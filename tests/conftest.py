@@ -1,0 +1,53 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Mirrors the reference's hermetic-test philosophy (every hardware boundary has
+a fake — reference tests/conftest.py) for the TPU world: multi-chip sharding
+paths are exercised on a virtual CPU mesh via
+``--xla_force_host_platform_device_count`` (SURVEY.md section 4).
+
+Must run before the first ``import jax`` anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
+
+
+@pytest.fixture(scope="session")
+def golden_capture():
+    """One golden 6-slot capture at 20 dB SNR, shared across tests."""
+    from tetraear_tpu.ref import golden
+    payloads = [golden.sds_text_payload("HELLO HELLO") for _ in range(6)]
+    iq = golden.golden_iq(payloads, fs=2.4e6, snr_db=20, seed=3)
+    return {"iq": iq, "payloads": payloads, "fs": 2.4e6,
+            "text": "[TXT] HELLO HELLO", "address": 0x123456}
+
+
+@pytest.fixture
+def sample_tetra_bits(rng):
+    """510-bit frame with the sync word at the canonical position."""
+    from tetraear_tpu.ref import golden
+    data = golden.build_mac_resource_data_bits(
+        golden.sds_text_payload("TEST TEST"), rng=np.random.default_rng(5))
+    return golden.build_slot(data, rng=np.random.default_rng(6))
+
+
+@pytest.fixture
+def sample_iq_samples(rng):
+    """10 ms of synthetic TETRA baseband + noise (conftest.py:53-67 shape)."""
+    from tetraear_tpu.ref import modulator
+    bits = rng.integers(0, 2, 400).astype(np.uint8)
+    return modulator.generate_carrier(bits, fs=2.4e6, snr_db=15,
+                                      rng=np.random.default_rng(8))

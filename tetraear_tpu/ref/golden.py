@@ -1,0 +1,117 @@
+"""Golden TETRA slot/stream builders for end-to-end tests and benches.
+
+The reference repo has no transmitter and no golden vectors — its tests only
+assert shapes/ranges (SURVEY.md section 4 gap).  This module builds 510-bit
+slots that are *fully consistent* with the receive chain:
+
+  * the 22-bit downlink sync word sits at slot bits 216..237 so the sync
+    searcher fires (tetraear/core/decoder.py:863-877);
+  * the data view bits[0:108] ++ bits[122:230] parses as a MAC-RESOURCE PDU
+    (tetraear/core/protocol.py:399-449);
+  * the data view passes the soft CRC-16 gate (protocol.py:292-329).
+
+The last point is subtle: 14 of the 16 CRC bits are *forced* by the sync
+overlap (slot bits 216..229 are both sync word and the CRC tail of the data
+view), so the builder searches filler bits until the payload's CRC agrees
+with the forced pattern within the gate's 2-bit error budget.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tetraear_tpu.frame import burst as burst_mod
+from tetraear_tpu.frame import crc as crc_mod
+from tetraear_tpu.ref import modulator
+
+SLOT_BITS = 510
+DATA_BITS = 216           # len(bits[0:108]) + len(bits[122:230])
+SYNC_AT = 216             # sync word position within the slot
+
+
+def _data_to_slot_index(j: int) -> int:
+    """Map data-view index (0..215) to slot bit index."""
+    return j if j < 108 else 122 + (j - 108)
+
+
+def build_mac_resource_data_bits(payload: bytes, address: int = 0x123456,
+                                 rng: np.random.Generator | None = None,
+                                 max_tries: int = 20000) -> np.ndarray:
+    """216-bit data view: MAC-RESOURCE header + payload + CRC, where the CRC
+    tail agrees (<=2 bit errors) with the sync word that will overlay it."""
+    rng = rng or np.random.default_rng(0)
+    sync = burst_mod.SYNC_CONTINUOUS_DOWNLINK
+
+    header = np.zeros(5, dtype=np.uint8)          # type=00 enc=00 fill=0
+    addr_bits = np.array([(address >> i) & 1 for i in range(23, -1, -1)],
+                         dtype=np.uint8)
+    n_payload = len(payload)
+    if n_payload > 63:
+        raise ValueError("payload too long for 6-bit length field")
+    len_bits = np.array([(n_payload >> i) & 1 for i in range(5, -1, -1)],
+                        dtype=np.uint8)
+    payload_bits = burst_mod.bytes_to_bits(payload)
+    fixed = np.concatenate([header, addr_bits, len_bits, payload_bits])
+    if len(fixed) > 200:
+        raise ValueError("payload too long to fit before the CRC field")
+
+    free = 200 - len(fixed)
+    # CRC bits 2..15 are forced to sync[0:14] by the overlay; search filler
+    # until the computed CRC matches within the soft gate's budget.
+    target = sync[:14]
+    for _ in range(max_tries):
+        filler = rng.integers(0, 2, free).astype(np.uint8)
+        body = np.concatenate([fixed, filler])
+        crc = crc_mod.crc16_batch(body)[0]
+        if int(np.sum(crc[2:16] != target)) <= 2:
+            data = np.concatenate([body, crc])
+            data[202:216] = target        # overlay wins; <=2 errors remain
+            return data
+    raise RuntimeError("golden CRC search failed; increase max_tries")
+
+
+def build_slot(data_bits: np.ndarray,
+               rng: np.random.Generator | None = None) -> np.ndarray:
+    """Scatter a 216-bit data view into a 510-bit slot + sync word."""
+    rng = rng or np.random.default_rng(1)
+    slot = rng.integers(0, 2, SLOT_BITS).astype(np.uint8)
+    for j in range(DATA_BITS):
+        slot[_data_to_slot_index(j)] = data_bits[j]
+    slot[SYNC_AT:SYNC_AT + 22] = burst_mod.SYNC_CONTINUOUS_DOWNLINK
+    return slot
+
+
+def build_stream(payloads: list, address: int = 0x123456,
+                 seed: int = 0) -> np.ndarray:
+    """Concatenate golden slots (one per payload) into a bit stream."""
+    rng = np.random.default_rng(seed)
+    slots = []
+    for p in payloads:
+        data = build_mac_resource_data_bits(p, address=address, rng=rng)
+        slots.append(build_slot(data, rng=rng))
+    return np.concatenate(slots)
+
+
+def golden_iq(payloads: list, fs: float = 2.4e6,
+              freq_offset_hz: float = 0.0, snr_db: float | None = None,
+              seed: int = 0, lead_in_bits: int = 64) -> np.ndarray:
+    """Full golden capture: payloads -> slots -> pi/4-DQPSK IQ at fs.
+
+    lead_in_bits of random padding precede the first slot so filter warmup
+    does not eat slot 0.
+    """
+    rng = np.random.default_rng(seed + 99)
+    bits = build_stream(payloads, seed=seed)
+    pad = rng.integers(0, 2, lead_in_bits).astype(np.uint8)
+    tail = rng.integers(0, 2, 256).astype(np.uint8)
+    all_bits = np.concatenate([pad, bits, tail])
+    return modulator.generate_carrier(
+        all_bits, fs=fs, freq_offset_hz=freq_offset_hz, snr_db=snr_db,
+        rng=np.random.default_rng(seed + 7))
+
+
+def sds_text_payload(text: str, pid: int = 0x82) -> bytes:
+    """SDS-TL text payload the SDS layer decodes as [TXT] (low byte
+    diversity keeps the decoder's entropy gate happy, decoder.py:1037-1049).
+    """
+    return bytes([pid]) + text.encode("latin-1")
