@@ -10,11 +10,20 @@ Must run before the first ``import jax`` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize registers the TPU backend at interpreter startup
+# (before pytest imports this file), so env vars alone cannot stop it.
+# jax.config.update is read lazily at first backend selection, which has not
+# happened yet — force the CPU platform through it, plus the virtual
+# 8-device mesh for sharding tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

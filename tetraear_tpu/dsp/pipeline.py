@@ -1,0 +1,201 @@
+"""Carrier-bank demodulator: the jitted TPU block step + host assembly.
+
+One jit-compiled step takes a wideband IQ block (shared by all carriers or
+per-carrier) and the carried state pytree, and produces masked symbol/soft
+outputs for every carrier at once:
+
+  (C, N) IQ -> NCO mix -> polyphase resample -> RRC -> timing -> DQPSK
+  -> hard symbols (C, K), soft bits (C, K, 2), valid mask (C, K)
+
+All shapes are static; per-carrier state (NCO cycles, filter halos, timing
+phase, previous symbol) is a pytree threaded through the step, which is what
+lets the runtime scan it over time blocks and shard carriers across a mesh
+(tetraear_tpu.runtime).
+
+This replaces the reference's single-carrier, stateless chunk processing
+(tetraear/signal/processor.py:221-273; state loss documented at
+tetraear/ui/modern.py:1908-1910).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tetraear_tpu.dsp import design, kernels, timing
+
+
+class CarrierBankDemod:
+    """Demodulate C TETRA carriers from a shared wideband capture.
+
+    Args:
+        fs: input sample rate (integer Hz).
+        freqs_hz: (C,) carrier offsets from the capture centre (integer Hz).
+        block_len: input samples per step; must be a multiple of the plan
+            granularity (``self.granularity``).
+    """
+
+    def __init__(self, fs: float, freqs_hz, block_len: int = 24_000,
+                 sps: int = design.SPS):
+        self.fs = float(fs)
+        self.freqs_hz = np.atleast_1d(np.asarray(freqs_hz, dtype=np.float64))
+        self.n_carriers = len(self.freqs_hz)
+        self.sps = sps
+        self.plan = design.build_resample_plan(self.fs,
+                                               design.SYMBOL_RATE * sps)
+        self.rrc = design.rrc_taps(sps=sps).astype(np.float32)
+        self.granularity = self._granularity()
+        if block_len % self.granularity:
+            raise ValueError(
+                f"block_len {block_len} not a multiple of granularity "
+                f"{self.granularity}")
+        self.block_len = block_len
+        self.nco = kernels.nco_tables(self.freqs_hz, self.fs, block_len)
+        self.n_out72 = self._out_len(block_len)
+        self.k_max = self.n_out72 // sps + 1
+        self._step = jax.jit(self._step_impl)
+
+    # -- shape bookkeeping -------------------------------------------------
+
+    def _granularity(self) -> int:
+        import math
+        n = 1
+        for st in self.plan.stages:
+            n = n * st.down // math.gcd(n, st.down)
+        up = down = 1
+        for st in self.plan.stages:
+            up *= st.up
+            down *= st.down
+        k = 1
+        # output block must divide by sps AND by every stage's L (the
+        # phase-interleave reshape in kernels.stage_apply needs it)
+        lcm_l = 1
+        for st in self.plan.stages:
+            lcm_l = lcm_l * st.up // math.gcd(lcm_l, st.up)
+        need = self.sps * lcm_l // math.gcd(self.sps, lcm_l)
+        while (k * n * up) % (down * need) != 0:
+            k += 1
+        return k * n
+
+    def _out_len(self, n_in: int) -> int:
+        n = n_in
+        for st in self.plan.stages:
+            n = n * st.up // st.down
+        return n
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self) -> dict:
+        """Initial carried state.  All complex quantities are stored in
+        real [re, im] form because the axon TPU runtime cannot move
+        complex64 across the jit boundary (see kernels.c2r)."""
+        c = self.n_carriers
+        return {
+            "nco_cycles": jnp.zeros((c,), jnp.float32),
+            "stage_hist": [
+                jnp.zeros((c, kernels.stage_history_len(st), 2), jnp.float32)
+                for st in self.plan.stages],
+            "rrc_hist": jnp.zeros((c, len(self.rrc) - 1, 2), jnp.float32),
+            "timing": {
+                "tail": jnp.zeros((c, timing.TAIL, 2), jnp.float32),
+                "next_t": jnp.full((c,), float(timing.TAIL), jnp.float32),
+                "acc": jnp.zeros((c, 2), jnp.float32),
+            },
+            "prev_sym": jnp.zeros((c, 2), jnp.float32),
+        }
+
+    # -- the jitted block step ----------------------------------------------
+
+    def _step_impl(self, x_r: jnp.ndarray, state: dict) -> tuple:
+        """x_r: (N, 2) shared wideband block or (C, N, 2) per-carrier, real
+        [re, im] form; state as produced by init_state (real form)."""
+        x = kernels.r2c(x_r)
+        if x.ndim == 1:
+            x = jnp.broadcast_to(x[None, :], (self.n_carriers, x.shape[0]))
+        y, nco_cycles = kernels.nco_mix(
+            x, state["nco_cycles"],
+            jnp.asarray(self.nco["coarse"]), jnp.asarray(self.nco["fine"]),
+            jnp.asarray(self.nco["block_step"]), self.nco["fs"])
+        y, stage_hist = kernels.plan_apply(
+            self.plan, y, [kernels.r2c(h) for h in state["stage_hist"]])
+        y, rrc_hist = kernels.fir_apply(self.rrc, y,
+                                        kernels.r2c(state["rrc_hist"]))
+        tstate_c = {
+            "tail": kernels.r2c(state["timing"]["tail"]),
+            "next_t": state["timing"]["next_t"],
+            "acc": kernels.r2c(state["timing"]["acc"]),
+        }
+        syms, valid, tstate = timing.timing_recover(y, tstate_c)
+        hard, soft, prev = timing.dqpsk_demod(
+            syms, valid, kernels.r2c(state["prev_sym"]))
+        new_state = {
+            "nco_cycles": nco_cycles,
+            "stage_hist": [kernels.c2r(h) for h in stage_hist],
+            "rrc_hist": kernels.c2r(rrc_hist),
+            "timing": {
+                "tail": kernels.c2r(tstate["tail"]),
+                "next_t": tstate["next_t"],
+                "acc": kernels.c2r(tstate["acc"]),
+            },
+            "prev_sym": kernels.c2r(prev),
+        }
+        out = {"hard": hard, "soft": soft, "valid": valid,
+               "baseband": kernels.c2r(y)}
+        return out, new_state
+
+    def step(self, x, state) -> tuple:
+        """One jitted block step; x (N,) or (C, N) complex64 (host side)."""
+        x = np.asarray(x)
+        if np.iscomplexobj(x):
+            x_r = kernels.c2r_np(x)
+        else:
+            x_r = np.asarray(x, np.float32)
+        return self._step(jnp.asarray(x_r), state)
+
+    # -- host-side convenience: full-capture demod ---------------------------
+
+    def run(self, iq: np.ndarray) -> dict:
+        """Demod a full capture; returns per-carrier symbol/soft streams.
+
+        Drops the first differential output (it references the zero-filled
+        initial prev symbol), matching the oracle's first-block semantics.
+        """
+        iq = np.asarray(iq, dtype=np.complex64)
+        n_blocks = len(iq) // self.block_len
+        state = self.init_state()
+        hards = [[] for _ in range(self.n_carriers)]
+        softs = [[] for _ in range(self.n_carriers)]
+        first = True
+        for b in range(n_blocks):
+            x = iq[b * self.block_len:(b + 1) * self.block_len]
+            out, state = self.step(x, state)
+            hard = np.asarray(out["hard"])
+            soft = np.asarray(out["soft"])
+            valid = np.asarray(out["valid"])
+            for ci in range(self.n_carriers):
+                v = valid[ci]
+                h = hard[ci][v]
+                s = soft[ci][v]
+                if first:
+                    h, s = h[1:], s[1:]
+                hards[ci].append(h)
+                softs[ci].append(s)
+            first = False
+        return {
+            "symbols": [np.concatenate(h) if h else np.zeros(0, np.uint8)
+                        for h in hards],
+            "soft_bits": [np.concatenate(s) if s else np.zeros((0, 2),
+                                                              np.float32)
+                          for s in softs],
+        }
+
+
+def symbols_to_bits(symbols: np.ndarray) -> np.ndarray:
+    s = np.asarray(symbols, dtype=np.uint8)
+    bits = np.empty(2 * len(s), dtype=np.uint8)
+    bits[0::2] = (s >> 1) & 1
+    bits[1::2] = s & 1
+    return bits

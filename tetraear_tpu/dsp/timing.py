@@ -1,0 +1,124 @@
+"""Batched symbol-timing recovery + differential demod (JAX).
+
+Vectorized over carriers; fixed-shape outputs with validity masks so the
+whole step jits cleanly (no data-dependent shapes — XLA requirement).
+
+Algorithm identical to the NumPy oracle (tetraear_tpu.ref.demod):
+Oerder-Meyr square-law timing phasor with an IIR-smoothed accumulator,
+nearest-wrap snap of the symbol clock, Catmull-Rom interpolation at
+symbol instants, then pi/4-DQPSK differential demod with quadrant
+decisions and soft bits.
+
+At sps=4 the O&M twiddles exp(-j 2 pi n / 4) are exactly {1,-j,-1,j}, so
+the timing metric reduces to four strided power sums — pure VPU reductions,
+no transcendentals.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPS = 4
+TAIL = 4                       # carried samples for cubic interpolation
+TWO_PI = 2.0 * np.pi
+
+
+def init_timing_state(n_carriers: int) -> dict:
+    return {
+        "tail": jnp.zeros((n_carriers, TAIL), jnp.complex64),
+        "next_t": jnp.full((n_carriers,), float(TAIL), jnp.float32),
+        "acc": jnp.zeros((n_carriers,), jnp.complex64),
+    }
+
+
+def _om_phasor(y: jnp.ndarray) -> jnp.ndarray:
+    """Oerder-Meyr timing phasor per carrier; y is (C, N), N % 4 == 0."""
+    p = (y.real * y.real + y.imag * y.imag)          # |y|^2, (C, N)
+    c, n = p.shape
+    p4 = p.reshape(c, n // SPS, SPS)
+    s = jnp.sum(p4, axis=1)                          # (C, 4) per-phase power
+    # sum_n |y|^2 e^{-j 2 pi n / 4}: twiddles 1, -j, -1, j
+    return jax.lax.complex(s[:, 0] - s[:, 2], s[:, 3] - s[:, 1])
+
+
+def _catmull_rom_rows(z: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Per-row cubic interpolation: z (C, L) complex, t (C, K) positions."""
+    i = jnp.floor(t).astype(jnp.int32)
+    f = (t - i).astype(jnp.float32)
+    idx = jnp.clip(i, 1, z.shape[1] - 3)
+    p0 = jnp.take_along_axis(z, idx - 1, axis=1)
+    p1 = jnp.take_along_axis(z, idx, axis=1)
+    p2 = jnp.take_along_axis(z, idx + 1, axis=1)
+    p3 = jnp.take_along_axis(z, idx + 2, axis=1)
+    f2 = f * f
+    f3 = f2 * f
+    out = 0.5 * (2.0 * p1
+                 + (p2 - p0) * f
+                 + (2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3) * f2
+                 + (3.0 * (p1 - p2) + p3 - p0) * f3)
+    return out.astype(jnp.complex64)
+
+
+def timing_recover(y: jnp.ndarray, state: dict,
+                   acc_decay: float = 0.5) -> tuple:
+    """(C, N) matched-filtered samples -> masked symbol-spaced samples.
+
+    Returns (symbols (C, K), valid (C, K) bool, new_state) with
+    K = N//SPS + 1 (fixed shape; the true count varies by +-1 per block).
+    """
+    c, n = y.shape
+    if n % SPS != 0:
+        raise ValueError(f"block length {n} not divisible by sps={SPS}")
+    k_max = n // SPS + 1
+
+    acc = acc_decay * state["acc"] + _om_phasor(y)
+    mu = jnp.mod(-jnp.angle(acc) / TWO_PI * SPS, SPS)     # (C,)
+
+    z = jnp.concatenate([state["tail"], y], axis=1)        # (C, TAIL+N)
+    next_t = state["next_t"]
+    cur_frac = jnp.mod(next_t - TAIL, SPS)
+    delta = jnp.mod(mu - cur_frac + SPS / 2.0, SPS) - SPS / 2.0
+    next_t = next_t + delta
+    next_t = jnp.where(next_t < 1.0, next_t + SPS, next_t)
+
+    t_max = jnp.float32(z.shape[1] - 3)
+    t_k = next_t[:, None] + SPS * jnp.arange(k_max, dtype=jnp.float32)[None]
+    valid = t_k <= t_max                                   # (C, K)
+    syms = _catmull_rom_rows(z, t_k)
+    n_valid = jnp.sum(valid, axis=1)                       # (C,)
+
+    shift = jnp.float32(z.shape[1] - TAIL)
+    new_next = next_t + SPS * n_valid.astype(jnp.float32) - shift
+    new_state = {
+        "tail": z[:, z.shape[1] - TAIL:],
+        "next_t": new_next,
+        "acc": acc,
+    }
+    return syms, valid, new_state
+
+
+def dqpsk_demod(symbols: jnp.ndarray, valid: jnp.ndarray,
+                prev: jnp.ndarray) -> tuple:
+    """Differential demod on masked symbol rows.
+
+    symbols: (C, K) complex, valid: (C, K) bool — valid entries are
+    contiguous from index 0 (timing_recover guarantees this).
+    prev: (C,) last valid symbol from the previous block.
+
+    Returns (hard (C, K) uint8, soft (C, K, 2) float32, new_prev (C,)).
+    """
+    seq = jnp.concatenate([prev[:, None], symbols], axis=1)   # (C, K+1)
+    d = seq[:, 1:] * jnp.conj(seq[:, :-1])
+    msb = (d.imag < 0).astype(jnp.uint8)
+    lsb = (d.real < 0).astype(jnp.uint8)
+    hard = (msb << 1) | lsb
+    mag = jnp.abs(d) + 1e-12
+    soft = jnp.stack([-d.imag / mag, -d.real / mag], axis=-1)
+
+    n_valid = jnp.sum(valid, axis=1)
+    last_idx = jnp.clip(n_valid - 1, 0, symbols.shape[1] - 1)
+    last = jnp.take_along_axis(symbols, last_idx[:, None], axis=1)[:, 0]
+    new_prev = jnp.where(n_valid > 0, last, prev)
+    return hard, soft.astype(jnp.float32), new_prev
