@@ -1,0 +1,109 @@
+"""Benchmark: real-time TETRA carriers per chip.
+
+Measures the steady-state throughput of the carrier-bank demodulator (NCO
+mix -> polyphase channel filter -> RRC -> timing recovery -> DQPSK, the
+full per-carrier receive chain) on whatever backend JAX selects (the real
+TPU chip under the driver; CPU as fallback).
+
+Metric: number of 25 kHz TETRA carriers that can be demodulated in real
+time on one chip.  Baseline = 1: the reference processes exactly one
+carrier per process and must finish each 54 ms chunk within 54 ms on a
+desktop CPU (tetraear/ui/modern.py:1908-1912).
+
+Timing methodology: the per-block state is chained through S = STEPS
+sequential jitted steps (a data dependency the runtime cannot reorder or
+overlap), and the clock stops only after a value depending on the final
+state is fetched to the host.  This is robust against async dispatch and
+relay-acknowledged-but-not-executed effects seen on the axon backend.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def run_bench(n_carriers: int = 256, block: int = 240_000,
+              steps: int = 20) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from tetraear_tpu.dsp import kernels
+    from tetraear_tpu.dsp.pipeline import CarrierBankDemod
+
+    offsets = [(i - n_carriers // 2) * 25_000 + 12_500
+               for i in range(n_carriers)]
+    bank = CarrierBankDemod(fs=2.4e6, freqs_hz=offsets, block_len=block)
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(block)
+         + 1j * rng.standard_normal(block)).astype(np.complex64)
+    xd = jnp.asarray(kernels.c2r_np(x))
+
+    def chain(x_r, state, n):
+        def body(st, _):
+            out, st2 = bank._step_impl(x_r, st)
+            return st2, out["hard"][:, 0]
+        st, tails = jax.lax.scan(body, state, None, length=n)
+        return st, tails
+
+    chain_j = jax.jit(chain, static_argnums=2)
+
+    # Warmup/compile.
+    st0 = bank.init_state()
+    st, tails = chain_j(xd, st0, 2)
+    float(np.asarray(tails)[0, 0])          # force full execution
+
+    t0 = time.time()
+    st, tails = chain_j(xd, bank.init_state(), steps)
+    # fetch a value that depends on every step
+    _ = np.asarray(st["timing"]["next_t"])[0]
+    _ = np.asarray(tails)[-1, 0]
+    elapsed = time.time() - t0
+
+    block_seconds = block / 2.4e6
+    rt_factor = (steps * block_seconds) / elapsed
+    carriers_rt = rt_factor * n_carriers
+    msps = steps * block / elapsed / 1e6
+    return {
+        "carriers_rt": carriers_rt,
+        "rt_factor": rt_factor,
+        "input_msps": msps,
+        "elapsed_s": elapsed,
+        "n_carriers": n_carriers,
+        "backend": jax.default_backend(),
+    }
+
+
+def main():
+    n_carriers = int(os.environ.get("BENCH_CARRIERS", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    try:
+        r = run_bench(n_carriers=n_carriers, steps=steps)
+        value = r["carriers_rt"]
+        print(json.dumps({
+            "metric": "realtime_tetra_carriers_per_chip",
+            "value": round(float(value), 1),
+            "unit": "carriers (25 kHz pi/4-DQPSK, full RX chain)",
+            "vs_baseline": round(float(value) / 1.0, 1),
+        }))
+        print(f"# backend={r['backend']} n_carriers={r['n_carriers']} "
+              f"rt_factor={r['rt_factor']:.1f} input={r['input_msps']:.0f} "
+              f"Msps elapsed={r['elapsed_s']:.2f}s steps={steps}",
+              file=sys.stderr)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "realtime_tetra_carriers_per_chip",
+            "value": 0.0,
+            "unit": "carriers (25 kHz pi/4-DQPSK, full RX chain)",
+            "vs_baseline": 0.0,
+        }))
+        print(f"# bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        raise SystemExit(0)
+
+
+if __name__ == "__main__":
+    main()
