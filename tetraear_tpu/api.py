@@ -1,0 +1,365 @@
+"""Top-level streaming pipeline: IQ source -> demod -> frames -> voice.
+
+Headless equivalent of the reference's real-time engine
+(CaptureThread.run, tetraear/ui/modern.py:1857-2256) rebuilt around the
+batched, state-carrying TPU demodulator:
+
+  * persistent per-carrier DSP state across blocks (the reference re-
+    acquires timing/sync every chunk and loses straddling frames —
+    modern.py:1908-1910);
+  * N carriers demodulated per block instead of one;
+  * the same observable surface: spectrum updates, signal-detection gate
+    with hysteresis, AFC, frame events, voice PCM, JSONL frame logs,
+    stats.
+
+Events are plain callbacks (on_frame / on_spectrum / on_audio /
+on_status), so the CLI listener, tools and any GUI front-end consume the
+same stream.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from tetraear_tpu.crypto.tea import TetraKeyManager
+from tetraear_tpu.frame.decoder import TetraDecoder
+from tetraear_tpu.frame.validator import TetraSignalValidator
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class PipelineConfig:
+    sample_rate: float = 2.4e6
+    frequency: float = 392.5e6          # display/centre frequency
+    carrier_offsets_hz: tuple = (0.0,)  # channels to demodulate
+    block_len: int = 131_072            # reference chunk (modern.py:1912)
+    auto_decrypt: bool = True
+    keys: tuple = ()
+    key_file: str | None = None
+    expected_mcc: int | None = None
+    validate: bool = True
+    records_dir: str | None = None      # JSONL + raw frame dumps
+    # signal-detection gate (modern.py:1993-1999)
+    detect_gate: bool = True
+    snr_threshold_db: float = 15.0
+    peak_threshold_db: float = -70.0
+    peak_avg_margin_db: float = 3.0
+    loss_hysteresis_s: float = 0.5
+    afc: bool = False                   # automatic frequency correction
+    fft_size: int = 2048
+    voice: bool = True                  # decode voice when codec available
+
+
+@dataclass
+class PipelineStats:
+    blocks: int = 0
+    samples: int = 0
+    frames: int = 0
+    valid_frames: int = 0
+    crc_pass: int = 0
+    encrypted: int = 0
+    decrypted: int = 0
+    voice_frames: int = 0
+    sds_messages: int = 0
+    signal_present: bool = False
+    started_at: float = field(default_factory=time.time)
+
+    def as_dict(self) -> dict:
+        d = self.__dict__.copy()
+        dur = max(time.time() - d.pop("started_at"), 1e-9)
+        d["uptime_s"] = dur
+        d["samples_per_s"] = self.samples / dur
+        d["frames_per_s"] = self.frames / dur
+        return d
+
+
+class Pipeline:
+    """Streaming demod/decode engine over any IQSource."""
+
+    def __init__(self, config: PipelineConfig, on_frame=None,
+                 on_spectrum=None, on_audio=None, on_status=None):
+        from tetraear_tpu.dsp.pipeline import CarrierBankDemod
+
+        self.config = config
+        self.on_frame = on_frame
+        self.on_spectrum = on_spectrum
+        self.on_audio = on_audio
+        self.on_status = on_status
+
+        # Round block length down to the demod granularity.
+        probe = CarrierBankDemod(fs=config.sample_rate, freqs_hz=[0.0],
+                                 block_len=400)
+        gran = probe.granularity
+        self.block_len = max(gran, (config.block_len // gran) * gran)
+        self.bank = CarrierBankDemod(
+            fs=config.sample_rate, freqs_hz=config.carrier_offsets_hz,
+            block_len=self.block_len)
+        self.n_carriers = self.bank.n_carriers
+        self.state = self.bank.init_state()
+        self._first_block = True
+
+        key_manager = None
+        if config.key_file:
+            key_manager = TetraKeyManager()
+            key_manager.load_key_file(config.key_file)
+        self.decoders = [TetraDecoder(key_manager=key_manager,
+                                      auto_decrypt=config.auto_decrypt)
+                         for _ in range(self.n_carriers)]
+        for d in self.decoders:
+            if config.keys:
+                d.set_keys(list(config.keys))
+        self.validator = (TetraSignalValidator(config.expected_mcc)
+                          if config.validate else None)
+        self.stats = PipelineStats()
+
+        # per-carrier leftover symbols for frame alignment across blocks
+        self._leftover = [np.zeros(0, np.uint8)
+                          for _ in range(self.n_carriers)]
+        self._soft_leftover = [np.zeros((0, 2), np.float32)
+                               for _ in range(self.n_carriers)]
+        self._sym_base = [0 for _ in range(self.n_carriers)]
+        self._emitted_until = [0 for _ in range(self.n_carriers)]
+        self._last_signal_t = 0.0
+        self._afc_offset = 0.0
+
+        self.voice = None
+        if config.voice:
+            try:
+                from tetraear_tpu.voice.codec import VoiceProcessor
+                vp = VoiceProcessor()
+                if vp.working:
+                    self.voice = vp
+            except Exception as e:
+                logger.debug("voice codec unavailable: %s", e)
+
+        self._records_dir = Path(config.records_dir) if config.records_dir \
+            else None
+        self._jsonl = None
+        if self._records_dir:
+            self._records_dir.mkdir(parents=True, exist_ok=True)
+            ts = time.strftime("%Y%m%d_%H%M%S")
+            self._jsonl = open(
+                self._records_dir / f"frames_{ts}.jsonl", "a",
+                encoding="utf-8")
+
+    # -- detection gate ----------------------------------------------------
+
+    def _detect_signal(self, block: np.ndarray) -> tuple:
+        """FFT power gate with loss hysteresis (modern.py:1919-2012).
+
+        Returns (signal_present, peak_offset_hz, spectrum_db)."""
+        n = min(self.config.fft_size, len(block))
+        seg = block[:n] * np.hanning(n)
+        spec = np.fft.fftshift(np.fft.fft(seg))
+        power_db = 20 * np.log10(np.abs(spec) / n + 1e-12)
+        peak_db = float(power_db.max())
+        avg_db = float(np.mean(power_db))
+        noise_db = float(np.median(power_db))
+        snr = peak_db - noise_db
+        present = (snr > self.config.snr_threshold_db
+                   and peak_db > self.config.peak_threshold_db
+                   and peak_db - avg_db > self.config.peak_avg_margin_db)
+        now = time.time()
+        if present:
+            self._last_signal_t = now
+        elif now - self._last_signal_t < self.config.loss_hysteresis_s:
+            present = True          # hysteresis against flutter
+        peak_bin = int(np.argmax(power_db))
+        freqs = np.fft.fftshift(
+            np.fft.fftfreq(n, 1.0 / self.config.sample_rate))
+        return present, float(freqs[peak_bin]), power_db
+
+    # -- block processing --------------------------------------------------
+
+    def process_block(self, block: np.ndarray) -> list:
+        """Feed one IQ block; returns the list of decoded frame dicts."""
+        block = np.asarray(block, np.complex64)
+        if len(block) < self.block_len:
+            return []
+        block = block[:self.block_len]
+        self.stats.blocks += 1
+        self.stats.samples += len(block)
+
+        if self.config.detect_gate or self.on_spectrum or self.config.afc:
+            present, peak_off, spectrum = self._detect_signal(block)
+            self.stats.signal_present = present
+            if self.on_spectrum:
+                self.on_spectrum(spectrum)
+            if self.config.detect_gate and not present:
+                if self.on_status:
+                    self.on_status("no signal")
+                return []
+            if self.config.afc:
+                # smoothed AFC: 10% of the offset per step, +-10 kHz window
+                # (modern.py:5135-5169)
+                if abs(peak_off) < 10_000:
+                    self._afc_offset += 0.1 * (peak_off - self._afc_offset)
+
+        out, self.state = self.bank.step(block, self.state)
+        hard = np.asarray(out["hard"])
+        soft = np.asarray(out["soft"])
+        valid = np.asarray(out["valid"]).astype(bool)
+
+        frames_out = []
+        for ci in range(self.n_carriers):
+            h = hard[ci][valid[ci]]
+            s = soft[ci][valid[ci]]
+            if self._first_block and len(h):
+                h, s = h[1:], s[1:]          # drop zero-prev diff output
+            syms = np.concatenate([self._leftover[ci], h])
+            softs = np.concatenate([self._soft_leftover[ci], s])
+            base = self._sym_base[ci] - len(self._leftover[ci])
+
+            frames = self.decoders[ci].decode(syms)
+            consumed = 0
+            for f in frames:
+                pos_bits = f.get("position", 0)
+                # dedup: a frame kept in the leftover tail can be re-found
+                # in the next block's decode
+                if base + pos_bits // 2 < self._emitted_until[ci]:
+                    continue
+                self._emitted_until[ci] = base + pos_bits // 2 + 255
+                f["carrier"] = ci
+                f["carrier_offset_hz"] = float(
+                    self.bank.freqs_hz[ci])
+                f["frequency"] = self.config.frequency + float(
+                    self.bank.freqs_hz[ci])
+                f["stream_symbol"] = base + pos_bits // 2
+                # attach soft bits for the voice path
+                s0 = pos_bits // 2
+                if s0 + 255 <= len(softs):
+                    f["soft_symbols"] = softs[s0:s0 + 255]
+                consumed = max(consumed, pos_bits // 2 + 255)
+                self._handle_frame(f)
+                frames_out.append(f)
+            # keep a slot's worth of tail for frames straddling the edge
+            keep = min(len(syms), max(300, len(syms) - consumed))
+            self._leftover[ci] = syms[len(syms) - keep:]
+            self._soft_leftover[ci] = softs[len(softs) - keep:]
+            self._sym_base[ci] = base + len(syms)
+        self._first_block = False
+        return frames_out
+
+    def _handle_frame(self, frame: dict) -> None:
+        self.stats.frames += 1
+        if frame.get("burst_crc"):
+            self.stats.crc_pass += 1
+        if frame.get("encrypted"):
+            self.stats.encrypted += 1
+        if frame.get("decrypted"):
+            self.stats.decrypted += 1
+        if frame.get("sds_message"):
+            self.stats.sds_messages += 1
+
+        if self.validator is not None:
+            ok, conf, issues = self.validator.validate_frame(frame)
+            frame["valid"] = ok
+            frame["validation_confidence"] = conf
+            frame["validation_issues"] = issues
+            if ok:
+                self.stats.valid_frames += 1
+
+        if self.voice is not None:
+            self._try_voice(frame)
+
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(_jsonable(frame)) + "\n")
+            self._jsonl.flush()
+        if self.on_frame:
+            self.on_frame(frame)
+
+    def _try_voice(self, frame: dict) -> None:
+        """Voice candidate path (modern.py:2088-2228): MAC-FRAG/type-1,
+        clear or successfully decrypted, soft bits -> codec block."""
+        pdu_type = str((frame.get("mac_pdu") or {}).get("type", ""))
+        is_candidate = (("FRAG" in pdu_type or frame.get("type") == 1)
+                        and (not frame.get("encrypted")
+                             or frame.get("decrypted")))
+        if not is_candidate:
+            return
+        from tetraear_tpu.voice.codec import build_codec_block
+        soft = frame.get("soft_symbols")
+        if soft is None:
+            return
+        block = build_codec_block(soft)
+        if block is None:
+            return
+        if self._records_dir is not None:
+            with open(self._records_dir / "tetra_frames.bin", "ab") as fh:
+                fh.write(block)
+        audio = self.voice.decode_frame(block)
+        if len(audio):
+            frame["has_voice"] = True
+            self.stats.voice_frames += 1
+            if self.on_audio:
+                self.on_audio(audio)
+
+    # -- run loops ---------------------------------------------------------
+
+    def run(self, source, max_blocks: int | None = None) -> PipelineStats:
+        """Consume a source until EOF/max_blocks; callbacks fire per event."""
+        with source:
+            n = 0
+            while max_blocks is None or n < max_blocks:
+                block = source.read_samples(self.block_len)
+                if len(block) < self.block_len:
+                    break
+                self.process_block(block)
+                n += 1
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None
+        return self.stats
+
+    def frames(self, source, max_blocks: int | None = None):
+        """Generator yielding frames as they decode (FrameStream)."""
+        with source:
+            n = 0
+            while max_blocks is None or n < max_blocks:
+                block = source.read_samples(self.block_len)
+                if len(block) < self.block_len:
+                    break
+                yield from self.process_block(block)
+                n += 1
+
+    # -- checkpoint --------------------------------------------------------
+
+    def save_checkpoint(self, path) -> None:
+        from tetraear_tpu.runtime import checkpoint
+        checkpoint.save_state(path, self.state, extra={
+            "sym_base": self._sym_base,
+            "stats": self.stats.as_dict(),
+        })
+
+    def load_checkpoint(self, path) -> None:
+        from tetraear_tpu.runtime import checkpoint
+        leaves, extra = checkpoint.load_state(path)
+        self.state = checkpoint.restore_into(self.state, leaves)
+        if "sym_base" in extra:
+            self._sym_base = list(extra["sym_base"])
+        self._first_block = False
+
+
+def _jsonable(frame: dict) -> dict:
+    out = {}
+    for k, v in frame.items():
+        if k in ("bits", "soft_symbols"):
+            continue
+        if isinstance(v, (bytes, bytearray)):
+            out[k] = v.hex()
+        elif isinstance(v, np.ndarray):
+            out[k] = v.tolist()
+        elif isinstance(v, np.generic):
+            out[k] = v.item()
+        elif isinstance(v, dict):
+            out[k] = _jsonable(v)
+        else:
+            out[k] = v
+    return out

@@ -281,6 +281,11 @@ class TetraDecoder:
             stats=self.protocol_parser.stats)
         if burst is not None:
             frame_data["burst_crc"] = burst.crc_ok
+            # alias for the validator, which reads 'crc_ok'
+            # (the reference emits only 'burst_crc' while its validator
+            # checks 'crc_ok' — decoder.py:992 vs validator.py:102, so the
+            # CRC penalty never fires there)
+            frame_data["crc_ok"] = burst.crc_ok
             mac_pdu = self.protocol_parser.parse_mac_pdu(burst.data_bits)
             if mac_pdu is not None:
                 frame_data["mac_pdu"] = {
@@ -303,9 +308,15 @@ class TetraDecoder:
                         additional_info["encryption_mode"] = mode_name
                 else:
                     # Entropy heuristic on clear-flagged payloads
-                    # (decoder.py:1037-1053).
+                    # (decoder.py:1037-1053).  Skipped for MAC-BROADCAST:
+                    # SYSINFO neighbour-cell data is naturally high-entropy
+                    # and never encrypted, but the reference still flags it
+                    # and "decrypts" it to garbage.
                     data = mac_pdu.data
-                    if len(data) > 0:
+                    if mac_pdu.pdu_type == PDUType.MAC_BROADCAST:
+                        frame_data["encrypted"] = False
+                        frame_data["encryption_algorithm"] = None
+                    elif len(data) > 0:
                         entropy_ratio = len(set(data)) / max(len(data), 1)
                         if entropy_ratio > 0.7 and len(data) > 8:
                             frame_data["encrypted"] = True

@@ -70,6 +70,46 @@ def build_mac_resource_data_bits(payload: bytes, address: int = 0x123456,
     raise RuntimeError("golden CRC search failed; increase max_tries")
 
 
+def _solve_crc_tail(fixed: np.ndarray,
+                    rng: np.random.Generator,
+                    max_tries: int = 20000) -> np.ndarray:
+    """Fill [fixed | filler | crc] to 216 bits with the sync-overlay CRC
+    constraint satisfied (shared by all golden data-view builders)."""
+    sync = burst_mod.SYNC_CONTINUOUS_DOWNLINK
+    if len(fixed) > 200:
+        raise ValueError("fixed part too long")
+    free = 200 - len(fixed)
+    target = sync[:14]
+    for _ in range(max_tries):
+        filler = rng.integers(0, 2, free).astype(np.uint8)
+        body = np.concatenate([fixed, filler])
+        crc = crc_mod.crc16_batch(body)[0]
+        if int(np.sum(crc[2:16] != target)) <= 2:
+            data = np.concatenate([body, crc])
+            data[202:216] = target
+            return data
+    raise RuntimeError("golden CRC search failed; increase max_tries")
+
+
+def build_broadcast_data_bits(mcc: int = 260, mnc: int = 99,
+                              colour_code: int = 5,
+                              rng: np.random.Generator | None = None
+                              ) -> np.ndarray:
+    """216-bit data view for a MAC-BROADCAST SYSINFO slot: type=10,
+    broadcast-type=00, MCC(10), MNC(14), CC(6)
+    (tetraear/core/protocol.py:471-498 layout)."""
+    rng = rng or np.random.default_rng(0)
+    fixed = np.zeros(34, dtype=np.uint8)
+    fixed[0] = 1                                   # pdu type = 10
+    for i in range(10):
+        fixed[4 + i] = (mcc >> (9 - i)) & 1
+    for i in range(14):
+        fixed[14 + i] = (mnc >> (13 - i)) & 1
+    for i in range(6):
+        fixed[28 + i] = (colour_code >> (5 - i)) & 1
+    return _solve_crc_tail(fixed, rng)
+
+
 def build_slot(data_bits: np.ndarray,
                rng: np.random.Generator | None = None) -> np.ndarray:
     """Scatter a 216-bit data view into a 510-bit slot + sync word."""
@@ -82,11 +122,19 @@ def build_slot(data_bits: np.ndarray,
 
 
 def build_stream(payloads: list, address: int = 0x123456,
-                 seed: int = 0) -> np.ndarray:
-    """Concatenate golden slots (one per payload) into a bit stream."""
+                 seed: int = 0, sysinfo_every: int = 0,
+                 mcc: int = 260, mnc: int = 99) -> np.ndarray:
+    """Concatenate golden slots (one per payload) into a bit stream.
+
+    sysinfo_every > 0 interleaves a MAC-BROADCAST SYSINFO slot before every
+    n-th payload slot, like a real downlink's periodic network broadcast.
+    """
     rng = np.random.default_rng(seed)
     slots = []
-    for p in payloads:
+    for i, p in enumerate(payloads):
+        if sysinfo_every and i % sysinfo_every == 0:
+            data = build_broadcast_data_bits(mcc=mcc, mnc=mnc, rng=rng)
+            slots.append(build_slot(data, rng=rng))
         data = build_mac_resource_data_bits(p, address=address, rng=rng)
         slots.append(build_slot(data, rng=rng))
     return np.concatenate(slots)

@@ -1,0 +1,62 @@
+"""Streaming-state checkpoint/resume.
+
+The reference has no compute checkpointing — only replayable JSONL/bin
+dumps (SURVEY.md section 5.4).  Here the carried demod state (NCO cycles,
+filter halos, timing phase, previous symbols) is a pytree of real arrays,
+so a checkpoint is a flat .npz; restoring it resumes a stream mid-capture
+with zero warmup loss.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import numpy as np
+
+
+def _flatten(state) -> dict:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    return arrays, treedef
+
+
+def save_state(path, state, extra: dict | None = None) -> None:
+    arrays, treedef = _flatten(state)
+    arrays["__treedef__"] = np.frombuffer(
+        str(treedef).encode(), dtype=np.uint8)
+    if extra:
+        arrays["__extra__"] = np.frombuffer(
+            json.dumps(extra, default=str).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_state(path) -> tuple:
+    """Returns (state_leaves_as_list_or_pytree, extra_dict).
+
+    The treedef is reconstructed structurally: leaves are returned in
+    flatten order, and the caller's current state template is used to
+    unflatten (shapes must match the pipeline configuration).
+    """
+    data = np.load(path, allow_pickle=False)
+    leaves = []
+    i = 0
+    while f"leaf_{i}" in data:
+        leaves.append(data[f"leaf_{i}"])
+        i += 1
+    extra = {}
+    if "__extra__" in data:
+        extra = json.loads(bytes(data["__extra__"]).decode())
+    return leaves, extra
+
+
+def restore_into(template, leaves):
+    """Unflatten checkpoint leaves into the template's tree structure."""
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    if len(flat) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, pipeline state has "
+            f"{len(flat)} — configuration mismatch")
+    import jax.numpy as jnp
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(leaf) for leaf in leaves])

@@ -1,0 +1,193 @@
+"""TETRA voice codec interface: soft-bit slots -> 8 kHz PCM.
+
+Replaces the reference's subprocess+tempfile invocation of the ETSI
+Windows executables (tetraear/audio/voice.py:73-250) with an in-process
+C++ library (tetraear_tpu/voice/csrc, loaded via ctypes) implementing the
+ETSI TS 300 395-2 channel decoder + ACELP speech decoder.
+
+The wire format is kept byte-identical to the reference so recorded
+`tetra_frames_*.bin` dumps replay through either implementation:
+
+  * codec block: 690 little-endian int16 words — header 0x6B21 then 689
+    soft bits in [-127, 127] (voice.py:77-99);
+  * soft bits laid out in the ETSI Write_Tetra_File block structure:
+    positions 1-114, 116-229, 231-344, 346-435
+    (tetraear/ui/modern.py:2362-2407);
+  * channel-decoder output: per speech frame a BFI word + 137 int16
+    parameter words, 2 frames per slot (voice.py:159-173).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import struct
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+CODEC_BLOCK_WORDS = 690
+CODEC_BLOCK_BYTES = 1380
+CODEC_HEADER = 0x6B21
+SPEECH_FRAME_PARAMS = 137
+SAMPLES_PER_SPEECH_FRAME = 240          # 30 ms at 8 kHz
+
+_LIB_CANDIDATES = [
+    Path(__file__).parent / "csrc" / "build" / "libtetracodec.so",
+    Path(__file__).parent / "libtetracodec.so",
+]
+
+
+def _load_library():
+    for p in _LIB_CANDIDATES:
+        if p.exists():
+            try:
+                lib = ctypes.CDLL(str(p))
+                lib.tetra_channel_decode.restype = ctypes.c_int
+                lib.tetra_channel_decode.argtypes = [
+                    ctypes.POINTER(ctypes.c_int16),   # 690-word block
+                    ctypes.POINTER(ctypes.c_int16),   # out: 2*(1+137)
+                ]
+                lib.tetra_speech_decode.restype = ctypes.c_int
+                lib.tetra_speech_decode.argtypes = [
+                    ctypes.c_void_p,                  # decoder state
+                    ctypes.POINTER(ctypes.c_int16),   # (1+137) params
+                    ctypes.POINTER(ctypes.c_int16),   # out: 240 PCM
+                ]
+                lib.tetra_speech_decoder_new.restype = ctypes.c_void_p
+                lib.tetra_speech_decoder_free.argtypes = [ctypes.c_void_p]
+                lib.tetra_channel_encode.restype = ctypes.c_int
+                lib.tetra_channel_encode.argtypes = [
+                    ctypes.POINTER(ctypes.c_int16),   # 2*(1+137) params
+                    ctypes.POINTER(ctypes.c_int16),   # out 690-word block
+                ]
+                return lib
+            except OSError as e:
+                logger.warning("failed to load %s: %s", p, e)
+    return None
+
+
+_LIB = _load_library()
+
+
+def build_codec_block(soft_symbols: np.ndarray) -> bytes | None:
+    """255-slot soft symbols (255, 2) float in [-1,1] -> 1380-byte codec
+    block (modern.py:2302-2416 semantics, but from true soft decisions
+    rather than hard bits faked to +-127)."""
+    soft_symbols = np.asarray(soft_symbols)
+    if soft_symbols.shape[0] < 227:
+        return None
+    # burst payload symbols: 0..107 and 119..226 (skip training)
+    idx = np.concatenate([np.arange(0, 108), np.arange(119, 227)])
+    sel = soft_symbols[idx]                       # (216, 2)
+    soft_bits = sel.reshape(-1)                   # 432 soft bits, msb first
+    scaled = np.clip(np.round(soft_bits * 127.0), -127, 127).astype(np.int16)
+
+    block = np.zeros(CODEC_BLOCK_WORDS, dtype=np.int16)
+    block[0] = CODEC_HEADER
+    spans = [(1, 115), (116, 230), (231, 345), (346, 436)]
+    pos = 0
+    for lo, hi in spans:
+        n = min(hi - lo, len(scaled) - pos)
+        if n <= 0:
+            break
+        block[lo:lo + n] = scaled[pos:pos + n]
+        pos += n
+    return block.tobytes()
+
+
+def bits_to_codec_block(bits: np.ndarray) -> bytes | None:
+    """432 hard bits -> codec block with +-127 soft values (the fallback
+    path, modern.py:2137-2194)."""
+    bits = np.asarray(bits).reshape(-1)
+    if len(bits) < 432:
+        return None
+    soft = np.where(bits[:432] > 0, 127, -127).astype(np.int16)
+    block = np.zeros(CODEC_BLOCK_WORDS, dtype=np.int16)
+    block[0] = CODEC_HEADER
+    spans = [(1, 115), (116, 230), (231, 345), (346, 436)]
+    pos = 0
+    for lo, hi in spans:
+        n = hi - lo
+        block[lo:lo + n] = soft[pos:pos + n]
+        pos += n
+    return block.tobytes()
+
+
+class VoiceProcessor:
+    """Decode 1380-byte codec blocks to float32 PCM at 8 kHz.
+
+    API-compatible with the reference VoiceProcessor (voice.py:24-250):
+    same `working` gate, same input validation, same near-silence rejection.
+    """
+
+    def __init__(self):
+        self._lib = _LIB
+        self._dec_state = None
+        self.channel_decoder_available = _LIB is not None
+        self.speech_decoder_available = _LIB is not None
+        self.working = _LIB is not None
+        if self.working:
+            self._dec_state = self._lib.tetra_speech_decoder_new()
+        else:
+            logger.warning(
+                "TETRA codec library not built; voice decoding disabled "
+                "(build with: cd tetraear_tpu/voice/csrc && make)")
+
+    def __del__(self):
+        if self._lib is not None and self._dec_state:
+            try:
+                self._lib.tetra_speech_decoder_free(self._dec_state)
+            except Exception:
+                pass
+
+    def channel_decode(self, frame_data: bytes) -> np.ndarray | None:
+        """690-word block -> (2, 1+137) int16 [BFI, params...] per frame."""
+        if not self.working:
+            return None
+        inp = np.frombuffer(frame_data, dtype=np.int16).copy()
+        out = np.zeros(2 * (1 + SPEECH_FRAME_PARAMS), dtype=np.int16)
+        rc = self._lib.tetra_channel_decode(
+            inp.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        if rc != 0:
+            logger.debug("channel decode failed rc=%d", rc)
+            return None
+        return out.reshape(2, 1 + SPEECH_FRAME_PARAMS)
+
+    def decode_frame(self, frame_data: bytes) -> np.ndarray:
+        """1380-byte soft-bit block -> float32 PCM in [-1, 1]
+        (voice.py:73-250 semantics, no subprocess, no temp files)."""
+        if not self.working or not frame_data:
+            return np.zeros(0, np.float32)
+        if len(frame_data) != CODEC_BLOCK_BYTES:
+            logger.debug("invalid frame size: %d", len(frame_data))
+            return np.zeros(0, np.float32)
+        header = struct.unpack("<H", frame_data[0:2])[0]
+        if header != CODEC_HEADER:
+            logger.debug("invalid header: 0x%04X", header)
+            return np.zeros(0, np.float32)
+
+        frames = self.channel_decode(frame_data)
+        if frames is None:
+            return np.zeros(0, np.float32)
+
+        pcm_all = []
+        for fr in frames:
+            out = np.zeros(SAMPLES_PER_SPEECH_FRAME, dtype=np.int16)
+            rc = self._lib.tetra_speech_decode(
+                self._dec_state,
+                np.ascontiguousarray(fr).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int16)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            if rc != 0:
+                logger.debug("speech decode failed rc=%d", rc)
+                return np.zeros(0, np.float32)
+            pcm_all.append(out)
+        audio = np.concatenate(pcm_all).astype(np.float32) / 32768.0
+        if audio.size and float(np.max(np.abs(audio))) < 1e-5:
+            # near-silent output == decode failure (voice.py:223-232)
+            return np.zeros(0, np.float32)
+        return audio
