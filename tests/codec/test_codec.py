@@ -1,0 +1,225 @@
+"""Codec tests: channel codec, ACELP speech codec, full voice chain.
+
+Mirror of the reference codec suite's shape
+(tests/codec/test_codec_verification.py): skip when the library is not
+built, verify output layout, headers, the chain, and graceful failure on
+bad input — plus round-trip fidelity tests the reference could never run
+(its coder/decoder pair was exercised only through opaque .exes).
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.voice import codec
+
+pytestmark = pytest.mark.codec
+
+if not codec.VoiceProcessor().working:
+    pytest.skip("codec library not built (make -C tetraear_tpu/voice/csrc)",
+                allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def vp():
+    return codec.VoiceProcessor()
+
+
+def _speech_like(n_frames: int, seed: int = 0) -> np.ndarray:
+    """Synthetic voiced speech: pitch pulses through a formant filter."""
+    rng = np.random.default_rng(seed)
+    n = n_frames * codec.SAMPLES_PER_SPEECH_FRAME
+    exc = np.zeros(n)
+    pitch = 57
+    exc[::pitch] = 1.0
+    exc += 0.05 * rng.standard_normal(n)
+    y = np.zeros(n)
+    a = [1.2, -0.8, 0.3]          # crude formant resonator
+    for i in range(n):
+        y[i] = exc[i]
+        for j, aj in enumerate(a):
+            if i - j - 1 >= 0:
+                y[i] += aj * y[i - j - 1]
+    y = y / np.max(np.abs(y)) * 8000.0
+    return y.astype(np.int16)
+
+
+def _encode_speech(vp, pcm: np.ndarray) -> np.ndarray:
+    """PCM -> per-frame (1+137) params via the C encoder."""
+    lib = vp._lib
+    enc = lib.tetra_speech_encoder_new()
+    frames = []
+    try:
+        for i in range(len(pcm) // codec.SAMPLES_PER_SPEECH_FRAME):
+            seg = np.ascontiguousarray(
+                pcm[i * 240:(i + 1) * 240], dtype=np.int16)
+            params = np.zeros(138, dtype=np.int16)
+            rc = lib.tetra_speech_encode(
+                enc, seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                params.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            assert rc == 0
+            frames.append(params)
+    finally:
+        lib.tetra_speech_encoder_free(enc)
+    return np.stack(frames)
+
+
+def _channel_encode(vp, params2: np.ndarray) -> bytes:
+    lib = vp._lib
+    block = np.zeros(codec.CODEC_BLOCK_WORDS, dtype=np.int16)
+    rc = lib.tetra_channel_encode(
+        np.ascontiguousarray(params2).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int16)),
+        block.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    assert rc == 0
+    return block.tobytes()
+
+
+# -- channel codec ---------------------------------------------------------
+
+def test_channel_roundtrip_clean(vp, rng):
+    params = np.zeros((2, 138), dtype=np.int16)
+    params[:, 1:] = rng.integers(0, 2, (2, 137))
+    block = _channel_encode(vp, params)
+    assert struct_header(block) == codec.CODEC_HEADER
+    out = vp.channel_decode(block)
+    assert out.shape == (2, 138)
+    assert out[0, 0] == 0 and out[1, 0] == 0          # BFI clear
+    assert np.array_equal(out[:, 1:], params[:, 1:])
+
+
+def struct_header(block: bytes) -> int:
+    return int.from_bytes(block[:2], "little")
+
+
+def test_channel_corrects_soft_errors(vp, rng):
+    """Flipping a handful of coded soft bits must still decode exactly
+    (the protected classes are Viterbi-corrected)."""
+    params = np.zeros((2, 138), dtype=np.int16)
+    params[:, 1:] = rng.integers(0, 2, (2, 137))
+    block = np.frombuffer(_channel_encode(vp, params), np.int16).copy()
+    flip = rng.choice(np.arange(1, 436), size=6, replace=False)
+    block[flip] = -block[flip]
+    out = vp.channel_decode(block.tobytes())
+    assert out[0, 0] == 0
+    # class-2/class-1 protected bits (first ~194 of 274) must survive
+    data_ref = params[:, 1:]
+    data_out = out[:, 1:]
+    errors = int(np.sum(data_ref != data_out))
+    assert errors <= 6          # only unprotected class-0 bits may break
+
+
+def test_channel_bfi_on_garbage(vp, rng):
+    block = np.zeros(codec.CODEC_BLOCK_WORDS, dtype=np.int16)
+    block[0] = codec.CODEC_HEADER
+    block[1:436] = rng.choice(np.array([-127, 127], np.int16), 435)
+    out = vp.channel_decode(block.tobytes())
+    assert out[0, 0] == 1 and out[1, 0] == 1          # CRC flags bad frame
+
+
+def test_channel_rejects_bad_header(vp):
+    assert vp.channel_decode(bytes(codec.CODEC_BLOCK_BYTES)) is None
+
+
+# -- speech codec ----------------------------------------------------------
+
+def test_speech_roundtrip_preserves_energy_and_pitch(vp):
+    pcm = _speech_like(8)
+    frames = _encode_speech(vp, pcm)
+    lib = vp._lib
+    dec = lib.tetra_speech_decoder_new()
+    outs = []
+    try:
+        for fr in frames:
+            out = np.zeros(240, dtype=np.int16)
+            rc = lib.tetra_speech_decode(
+                dec, np.ascontiguousarray(fr).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int16)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            assert rc == 0
+            outs.append(out)
+    finally:
+        lib.tetra_speech_decoder_free(dec)
+    rec = np.concatenate(outs).astype(np.float64)
+    ref = pcm.astype(np.float64)
+
+    # energy within a factor ~4 (coarse gain quantizer)
+    e_ref = np.mean(ref[240:] ** 2)
+    e_rec = np.mean(rec[240:] ** 2)
+    assert 0.1 < e_rec / e_ref < 10.0
+
+    # pitch preserved: autocorrelation peak near the source pitch (57)
+    seg = rec[480:1440]
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak = int(np.argmax(ac[40:80])) + 40
+    assert abs(peak - 57) <= 3
+
+
+def test_full_voice_chain(vp):
+    """PCM -> speech encode -> channel encode -> soft block -> decode_frame
+    -> PCM: the end-to-end path the Pipeline voice hook uses."""
+    pcm = _speech_like(2, seed=3)
+    frames = _encode_speech(vp, pcm)          # (2, 138)
+    block = _channel_encode(vp, frames)
+    audio = vp.decode_frame(block)
+    assert len(audio) == 480                  # 2 frames x 240
+    assert np.max(np.abs(audio)) > 1e-3       # not silence
+    # correlated with the source
+    ref = pcm.astype(np.float64)
+    rec = audio.astype(np.float64) * 32768.0
+    c = np.corrcoef(np.abs(ref), np.abs(rec))[0, 1]
+    assert c > 0.1
+
+
+def test_decode_frame_validation(vp):
+    assert len(vp.decode_frame(b"")) == 0
+    assert len(vp.decode_frame(b"\x00" * 10)) == 0
+    bad = bytearray(codec.CODEC_BLOCK_BYTES)
+    assert len(vp.decode_frame(bytes(bad))) == 0      # header invalid
+
+
+def test_bfi_concealment(vp, rng):
+    """After a good frame, a BFI frame must produce damped audio, not
+    silence or garbage."""
+    lib = vp._lib
+    dec = lib.tetra_speech_decoder_new()
+    try:
+        pcm = _speech_like(1, seed=5)
+        fr = _encode_speech(vp, pcm)[0]
+        out1 = np.zeros(240, dtype=np.int16)
+        lib.tetra_speech_decode(
+            dec, np.ascontiguousarray(fr).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int16)),
+            out1.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        bad = fr.copy()
+        bad[0] = 1                            # BFI
+        out2 = np.zeros(240, dtype=np.int16)
+        lib.tetra_speech_decode(
+            dec, np.ascontiguousarray(bad).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int16)),
+            out2.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        e1 = np.mean(out1.astype(np.float64) ** 2)
+        e2 = np.mean(out2.astype(np.float64) ** 2)
+        assert e2 > 0                          # concealed, not muted
+        assert e2 < e1 * 1.5                   # damped
+    finally:
+        lib.tetra_speech_decoder_free(dec)
+
+
+def test_codec_block_builders():
+    soft = np.zeros((255, 2), np.float32)
+    soft[:, 0] = 0.9
+    soft[:, 1] = -0.9
+    block = codec.build_codec_block(soft)
+    assert block is not None and len(block) == codec.CODEC_BLOCK_BYTES
+    words = np.frombuffer(block, np.int16)
+    assert words[0] == codec.CODEC_HEADER
+    assert words[1] == 114 and words[2] == -114       # 0.9 * 127
+    assert codec.build_codec_block(np.zeros((10, 2))) is None
+
+    bits = np.ones(432, np.uint8)
+    block2 = codec.bits_to_codec_block(bits)
+    words2 = np.frombuffer(block2, np.int16)
+    assert words2[1] == 127
+    assert codec.bits_to_codec_block(np.ones(10)) is None

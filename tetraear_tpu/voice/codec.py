@@ -63,6 +63,14 @@ def _load_library():
                     ctypes.POINTER(ctypes.c_int16),   # 2*(1+137) params
                     ctypes.POINTER(ctypes.c_int16),   # out 690-word block
                 ]
+                lib.tetra_speech_encoder_new.restype = ctypes.c_void_p
+                lib.tetra_speech_encoder_free.argtypes = [ctypes.c_void_p]
+                lib.tetra_speech_encode.restype = ctypes.c_int
+                lib.tetra_speech_encode.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.POINTER(ctypes.c_int16),   # 240 PCM in
+                    ctypes.POINTER(ctypes.c_int16),   # out (1+137) params
+                ]
                 return lib
             except OSError as e:
                 logger.warning("failed to load %s: %s", p, e)

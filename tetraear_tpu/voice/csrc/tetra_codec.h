@@ -1,0 +1,71 @@
+/* TETRA voice codec library — C API.
+ *
+ * In-process replacement for the four ETSI TS 300 395-2 reference
+ * executables the reference app shells out to per frame
+ * (tetraear/audio/voice.py:124-183; tetraear/tetra_codec/bin exes):
+ *
+ *   tetra_channel_decode  ~ cdecoder.exe   (soft bits -> params + BFI)
+ *   tetra_speech_decode   ~ sdecoder.exe   (params -> 8 kHz PCM)
+ *   tetra_channel_encode  ~ ccoder.exe     (params -> soft-bit block)
+ *   tetra_speech_encode   ~ scoder.exe     (PCM -> params)
+ *
+ * Wire format is byte-compatible with the reference at the block level:
+ * a codec block is 690 little-endian int16 words (header 0x6B21 + 689
+ * soft bits in [-127,127] laid out per Write_Tetra_File), and the channel
+ * decoder emits (BFI + 137 parameter words) x 2 speech frames.
+ *
+ * The *internal* channel-coding scheme (class partition, convolutional
+ * polynomials, interleaver) and the ACELP bit allocation are an original
+ * design: the ETSI puncturing/interleaving tables ship only inside the
+ * codec source archive the reference downloads at install time
+ * (tools/install_tetra_codec.py:27), so bit-compatibility with the ETSI
+ * exes is not claimed; the full encode->decode chain is self-consistent
+ * and covered by tests/codec.
+ */
+
+#ifndef TETRA_CODEC_H
+#define TETRA_CODEC_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+#define TETRA_BLOCK_WORDS 690
+#define TETRA_BLOCK_SOFT_BITS 432
+#define TETRA_FRAME_PARAM_WORDS 137   /* bits per 30 ms speech frame */
+#define TETRA_FRAMES_PER_BLOCK 2
+#define TETRA_SAMPLES_PER_FRAME 240   /* 30 ms at 8 kHz */
+#define TETRA_HEADER 0x6B21
+
+/* Channel decode: block[690] soft words -> out[2*(1+137)] int16:
+ * for each speech frame, out[0] = BFI (0 ok, 1 bad), out[1..137] = bits.
+ * Returns 0 on success, nonzero on malformed input. */
+int tetra_channel_decode(const int16_t *block, int16_t *out);
+
+/* Channel encode: params[2*(1+137)] -> block[690] (header + hard +-127
+ * soft bits).  Returns 0 on success. */
+int tetra_channel_encode(const int16_t *params, int16_t *block);
+
+/* Speech decoder instance (carries LPC/excitation memory). */
+void *tetra_speech_decoder_new(void);
+void tetra_speech_decoder_free(void *dec);
+
+/* params[1+137] ([BFI, bits...]) -> pcm[240].  On BFI the previous
+ * frame's parameters are reused with damped gains (ETSI-style
+ * concealment).  Returns 0 on success. */
+int tetra_speech_decode(void *dec, const int16_t *params, int16_t *pcm);
+
+/* Speech encoder instance. */
+void *tetra_speech_encoder_new(void);
+void tetra_speech_encoder_free(void *enc);
+
+/* pcm[240] -> params[1+137] (BFI always 0).  Returns 0 on success. */
+int tetra_speech_encode(void *enc, const int16_t *pcm, int16_t *params);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* TETRA_CODEC_H */
