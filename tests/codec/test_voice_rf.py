@@ -1,0 +1,71 @@
+"""Integration: the complete voice path through RF.
+
+speech PCM -> ACELP encode -> channel encode -> golden traffic slots ->
+pi/4-DQPSK IQ at 2.4 Msps -> carrier-bank demod -> frame decode ->
+soft-bit codec blocks -> Viterbi channel decode -> ACELP decode -> PCM.
+
+The reference could never test this: its codec was four opaque Windows
+exes and it had no transmitter.
+"""
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.voice import codec
+
+pytestmark = pytest.mark.codec
+
+if not codec.VoiceProcessor().working:
+    pytest.skip("codec library not built", allow_module_level=True)
+
+
+def _speech(n_slots: int, pitch: int = 57, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = n_slots * 480
+    exc = np.zeros(n)
+    exc[::pitch] = 1.0
+    exc += 0.05 * rng.standard_normal(n)
+    y = np.zeros(n)
+    for i in range(n):
+        y[i] = exc[i]
+        if i > 0:
+            y[i] += 1.2 * y[i - 1]
+        if i > 1:
+            y[i] += -0.8 * y[i - 2]
+        if i > 2:
+            y[i] += 0.3 * y[i - 3]
+    return (y / np.max(np.abs(y)) * 8000).astype(np.int16)
+
+
+def test_voice_through_rf(tmp_path):
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.ref import golden
+    from tetraear_tpu.runtime.sources import FileIQSource, write_capture
+
+    pcm = _speech(6)
+    iq = golden.golden_voice_iq(pcm, fs=2.4e6, snr_db=25, seed=5)
+    path = tmp_path / "voice.cfile"
+    write_capture(path, iq)
+
+    audio_chunks = []
+    frames = []
+    cfg = PipelineConfig(sample_rate=2.4e6, detect_gate=False, voice=True,
+                         validate=False, block_len=32_000)
+    pipe = Pipeline(cfg, on_frame=frames.append,
+                    on_audio=audio_chunks.append)
+    assert pipe.voice is not None
+    pipe.run(FileIQSource(path, sample_rate=2.4e6))
+
+    # every slot classified as traffic (type 1) and voice-decoded
+    assert len(frames) == 6
+    assert all(f.get("type") == 1 for f in frames)
+    assert pipe.stats.voice_frames == 6
+    audio = np.concatenate(audio_chunks)
+    assert len(audio) == 6 * 480
+    assert np.max(np.abs(audio)) > 0.05
+
+    # transmitted pitch survives the whole chain
+    seg = audio[240:] - np.mean(audio[240:])
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak = int(np.argmax(ac[40:80])) + 40
+    assert abs(peak - 57) <= 3

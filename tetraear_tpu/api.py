@@ -281,7 +281,8 @@ class Pipeline:
         pdu_type = str((frame.get("mac_pdu") or {}).get("type", ""))
         is_candidate = (("FRAG" in pdu_type or frame.get("type") == 1)
                         and (not frame.get("encrypted")
-                             or frame.get("decrypted")))
+                             or frame.get("decrypted")
+                             or frame.get("encryption_suspected")))
         if not is_candidate:
             return
         from tetraear_tpu.voice.codec import build_codec_block

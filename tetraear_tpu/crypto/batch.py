@@ -1,0 +1,177 @@
+"""Batched TEA key search on device (JAX).
+
+The reference tries ~40 keys per encrypted frame in a Python loop
+(tetraear/core/decoder.py:683-783).  Here the whole keys x frames product
+runs as one jitted program: TEA round functions are uint32 array ops
+vectorized over a (K keys, B payloads) grid, and plaintext scoring
+(printable-byte ratio + structure heuristics) reduces on device, so a
+10k-carrier fleet can bruteforce every encrypted frame it sees without
+leaving the chip.
+
+Semantics are identical to tetraear_tpu.crypto.tea (which is itself
+bit-exact vs the reference ciphers).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DELTA = np.uint32(0x9E3779B9)
+_SUM0 = np.uint32((0x9E3779B9 * 32) & 0xFFFFFFFF)
+
+
+def _keys_to_words_tea1(keys: np.ndarray) -> np.ndarray:
+    """(K, 10) key bytes -> (K, 5) big-endian uint16 words (as uint32)."""
+    k = np.asarray(keys, np.uint8).reshape(-1, 10)
+    words = (k[:, 0::2].astype(np.uint32) << 8) | k[:, 1::2]
+    return words
+
+
+def _keys_to_words_tea2(keys: np.ndarray) -> np.ndarray:
+    """(K, 16) key bytes -> (K, 4) big-endian uint32 words."""
+    k = np.asarray(keys, np.uint8).reshape(-1, 16)
+    w = (k[:, 0::4].astype(np.uint32) << 24) \
+        | (k[:, 1::4].astype(np.uint32) << 16) \
+        | (k[:, 2::4].astype(np.uint32) << 8) \
+        | k[:, 3::4].astype(np.uint32)
+    return w
+
+
+def _payload_to_words(payloads: np.ndarray) -> tuple:
+    """(B, L) bytes (L % 8 == 0) -> (v0, v1) each (B, L//8) uint32."""
+    p = np.asarray(payloads, np.uint8)
+    b, length = p.shape
+    if length % 8:
+        raise ValueError("payload length must be a multiple of 8")
+    w = p.reshape(b, length // 8, 2, 4)
+    v = ((w[..., 0].astype(np.uint32) << 24)
+         | (w[..., 1].astype(np.uint32) << 16)
+         | (w[..., 2].astype(np.uint32) << 8)
+         | w[..., 3].astype(np.uint32))
+    return v[:, :, 0], v[:, :, 1]
+
+
+def _words_to_bytes(v0: jnp.ndarray, v1: jnp.ndarray) -> jnp.ndarray:
+    """(..., W) uint32 pairs -> (..., W*8) bytes."""
+    def split(v):
+        return jnp.stack([(v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                          (v >> 8) & 0xFF, v & 0xFF], axis=-1)
+    b = jnp.concatenate([split(v0), split(v1)], axis=-1)  # (..., W, 8)
+    return b.reshape(*b.shape[:-2], -1).astype(jnp.uint8)
+
+
+def _tea1_rounds(v0, v1, kw):
+    """Vectorized TEA1 decrypt rounds; kw is (K, 5) uint32, v (K,B,W)."""
+    four, five = jnp.uint32(4), jnp.uint32(5)
+
+    def f(v, s, widx):
+        k = kw[:, widx][:, None, None]
+        return (((v << four) ^ (v >> five) ^ s) + v) ^ (k + s)
+
+    s = _SUM0
+    for _ in range(32):
+        i1 = (int(s) >> 11) & 3
+        v1 = v1 - f(v0, jnp.uint32(s), i1)
+        s = np.uint32((int(s) - int(_DELTA)) & 0xFFFFFFFF)
+        i0 = int(s) & 3
+        v0 = v0 - f(v1, jnp.uint32(s), i0)
+    return v0, v1
+
+
+def _tea2_rounds(v0, v1, kw):
+    """Vectorized TEA2/3/4 decrypt rounds; kw is (K, 4) uint32."""
+    four, five = jnp.uint32(4), jnp.uint32(5)
+    k0 = kw[:, 0][:, None, None]
+    k1 = kw[:, 1][:, None, None]
+    k2 = kw[:, 2][:, None, None]
+    k3 = kw[:, 3][:, None, None]
+    s = _SUM0
+    for _ in range(32):
+        ss = jnp.uint32(s)
+        v1 = v1 - (((v0 << four) + k2) ^ (v0 + ss) ^ ((v0 >> five) + k3))
+        s = np.uint32((int(s) - int(_DELTA)) & 0xFFFFFFFF)
+        ss = jnp.uint32(s)
+        v0 = v0 - (((v1 << four) + k0) ^ (v1 + ss) ^ ((v1 >> five) + k1))
+    return v0, v1
+
+
+def _score_bytes(plain: jnp.ndarray) -> jnp.ndarray:
+    """(K, B, L) plaintext bytes -> (K, B) plausibility score.
+
+    Device projection of the reference's scoring heuristics
+    (decoder.py:698-733): printable-ASCII density, non-degenerate bytes,
+    structured-header bonus.
+    """
+    printable = ((plain >= 32) & (plain <= 126)).astype(jnp.int32)
+    score = 2 * jnp.sum(printable, axis=-1)
+    nonzero = jnp.any(plain != 0, axis=-1)
+    nonff = jnp.any(plain != 0xFF, axis=-1)
+    score = score + jnp.where(nonzero & nonff, 30, -50)
+    first = plain[..., 0]
+    score = score + jnp.where((first != 0) & (first != 0xFF), 10, 0)
+    tetra_first = (first == 0x01) | (first == 0x02) | (first == 0x03) | \
+        (first == 0x04) | (first == 0x05) | (first == 0x08) | \
+        (first == 0x0A) | (first == 0x0C) | (first == 0x82) | \
+        (first == 0x83) | (first == 0x07)
+    score = score + jnp.where(tetra_first, 20, 0)
+    return score
+
+
+@partial(jax.jit, static_argnames=("algorithm",))
+def _search_impl(v0, v1, key_words, algorithm):
+    # broadcast to (K, B, W)
+    k = key_words.shape[0]
+    v0b = jnp.broadcast_to(v0[None], (k,) + v0.shape)
+    v1b = jnp.broadcast_to(v1[None], (k,) + v1.shape)
+    if algorithm == "TEA1":
+        p0, p1 = _tea1_rounds(v0b, v1b, key_words)
+    else:
+        p0, p1 = _tea2_rounds(v0b, v1b, key_words)
+    plain = _words_to_bytes(p0, p1)          # (K, B, L)
+    scores = _score_bytes(plain)             # (K, B)
+    best_key = jnp.argmax(scores, axis=0)    # (B,)
+    best_score = jnp.max(scores, axis=0)
+    return scores, best_key, best_score, plain
+
+
+def tea_key_search(payloads, keys, algorithm: str = "TEA1") -> dict:
+    """Try every key against every payload on device.
+
+    Args:
+        payloads: (B, L) uint8 ciphertext rows, L % 8 == 0 (pad first).
+        keys: list of key byte strings (10 bytes for TEA1, 16 for
+            TEA2/3/4), or an (K, key_len) uint8 array.
+        algorithm: 'TEA1' or 'TEA2'/'TEA3'/'TEA4' (aliases, crypto.py
+            semantics).
+
+    Returns dict with:
+        scores (K, B) int32, best_key_index (B,), best_score (B,),
+        plaintexts (B, L) uint8 — each payload decrypted with its best key.
+    """
+    payloads = np.atleast_2d(np.asarray(payloads, np.uint8))
+    if isinstance(keys, (list, tuple)):
+        keys = np.stack([np.frombuffer(bytes(k), np.uint8) for k in keys])
+    algorithm = algorithm.upper()
+    if algorithm == "TEA1":
+        kw = _keys_to_words_tea1(keys)
+    else:
+        kw = _keys_to_words_tea2(keys)
+        algorithm = "TEA2"
+    v0, v1 = _payload_to_words(payloads)
+    scores, best_key, best_score, plain = _search_impl(
+        jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(kw), algorithm)
+    scores = np.asarray(scores)
+    best_key = np.asarray(best_key)
+    plain = np.asarray(plain)
+    b = payloads.shape[0]
+    best_plain = plain[best_key, np.arange(b)]
+    return {
+        "scores": scores,
+        "best_key_index": best_key,
+        "best_score": np.asarray(best_score),
+        "plaintexts": best_plain,
+    }

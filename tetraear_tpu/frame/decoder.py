@@ -320,6 +320,10 @@ class TetraDecoder:
                         entropy_ratio = len(set(data)) / max(len(data), 1)
                         if entropy_ratio > 0.7 and len(data) > 8:
                             frame_data["encrypted"] = True
+                            # entropy-only evidence; voice traffic looks
+                            # random too, so downstream keeps the voice
+                            # path open (decoder.py:453 analogue)
+                            frame_data["encryption_suspected"] = True
                         else:
                             frame_data["encrypted"] = False
                             frame_data["encryption_algorithm"] = None

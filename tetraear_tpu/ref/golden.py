@@ -158,6 +158,79 @@ def golden_iq(payloads: list, fs: float = 2.4e6,
         rng=np.random.default_rng(seed + 7))
 
 
+def build_voice_slot(coded_bits: np.ndarray,
+                     rng: np.random.Generator | None = None) -> np.ndarray:
+    """510-bit traffic slot carrying 432 channel-coded voice bits.
+
+    Layout per the voice extractor (tetraear/ui/modern.py:2329-2356):
+    payload symbols 0..107 (bits 0..215) and 119..226 (bits 238..453),
+    training/sync at symbols 108..118 (bits 216..237).  The slot header
+    bits [0:4] are forced to 0100 (MAC-FRAG, clear) so the frame decoder
+    routes it to the voice path — the convolutional channel code absorbs
+    those 4 overwritten coded bits.
+    """
+    rng = rng or np.random.default_rng(2)
+    coded_bits = np.asarray(coded_bits, dtype=np.uint8)
+    if len(coded_bits) != 432:
+        raise ValueError("expected 432 coded bits")
+    slot = rng.integers(0, 2, SLOT_BITS).astype(np.uint8)
+    slot[0:216] = coded_bits[0:216]
+    slot[SYNC_AT:SYNC_AT + 22] = burst_mod.SYNC_CONTINUOUS_DOWNLINK
+    slot[238:238 + 216] = coded_bits[216:432]
+    slot[0:4] = [0, 1, 0, 0]          # MAC-FRAG, clear
+    return slot
+
+
+def golden_voice_iq(pcm_frames: np.ndarray, fs: float = 2.4e6,
+                    snr_db: float | None = None, seed: int = 0,
+                    lead_in_bits: int = 64) -> np.ndarray:
+    """Speech PCM -> ACELP+channel encode -> traffic slots -> IQ.
+
+    pcm_frames: int16 array, length a multiple of 480 (two 30 ms speech
+    frames per slot).  Requires the native codec library.
+    """
+    import ctypes
+
+    from tetraear_tpu.voice import codec as vcodec
+
+    vp = vcodec.VoiceProcessor()
+    if not vp.working:
+        raise RuntimeError("voice codec library not built")
+    lib = vp._lib
+    enc = lib.tetra_speech_encoder_new()
+    rng = np.random.default_rng(seed + 99)
+    slots = []
+    try:
+        pcm_frames = np.asarray(pcm_frames, np.int16)
+        n_slots = len(pcm_frames) // 480
+        for si in range(n_slots):
+            params = np.zeros((2, 138), np.int16)
+            for f in range(2):
+                seg = np.ascontiguousarray(
+                    pcm_frames[si * 480 + f * 240: si * 480 + (f + 1) * 240])
+                lib.tetra_speech_encode(
+                    enc, seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    params[f].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            block = np.zeros(vcodec.CODEC_BLOCK_WORDS, np.int16)
+            lib.tetra_channel_encode(
+                np.ascontiguousarray(params).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int16)),
+                block.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            # block words -> 432 coded bits (soft +-127 -> hard)
+            soft = np.concatenate([block[1:115], block[116:230],
+                                   block[231:345], block[346:436]])
+            coded = (soft[:432] > 0).astype(np.uint8)
+            slots.append(build_voice_slot(coded, rng=rng))
+    finally:
+        lib.tetra_speech_encoder_free(enc)
+
+    pad = rng.integers(0, 2, lead_in_bits).astype(np.uint8)
+    tail = rng.integers(0, 2, 256).astype(np.uint8)
+    all_bits = np.concatenate([pad] + slots + [tail])
+    return modulator.generate_carrier(
+        all_bits, fs=fs, snr_db=snr_db, rng=np.random.default_rng(seed + 7))
+
+
 def sds_text_payload(text: str, pid: int = 0x82) -> bytes:
     """SDS-TL text payload the SDS layer decodes as [TXT] (low byte
     diversity keeps the decoder's entropy gate happy, decoder.py:1037-1049).
