@@ -1,0 +1,296 @@
+"""PyQt6 desktop GUI (optional; requires PyQt6 + a display).
+
+Equivalent of the reference main window (tetraear/ui/modern.py:2511-5331):
+control panel (frequency/gain/presets, START/STOP, auto-decrypt), live
+spectrum + waterfall with click-to-tune, tabs for Frames / Calls / Groups /
+Users / Stats, and a capture thread that feeds the streaming Pipeline and
+marshals events to the GUI thread via queued signals
+(modern.py:1787-1794 pattern).
+
+All display math (colormap, peak search, calibration) lives in
+tetraear_tpu.ui.spectrum so it is shared with the curses dashboard and
+unit-testable without Qt.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+try:
+    from PyQt6.QtCore import Qt, QThread, QTimer, pyqtSignal
+    from PyQt6.QtGui import QImage, QPixmap
+    from PyQt6.QtWidgets import (QApplication, QCheckBox, QComboBox,
+                                 QDoubleSpinBox, QHBoxLayout, QLabel,
+                                 QMainWindow, QPushButton, QTableWidget,
+                                 QTableWidgetItem, QTabWidget, QVBoxLayout,
+                                 QWidget)
+    QT_AVAILABLE = True
+except ImportError:  # pragma: no cover - headless environments
+    QT_AVAILABLE = False
+    QThread = object
+
+from tetraear_tpu.ui import spectrum as spec_mod
+
+DARK_QSS = """
+QMainWindow, QWidget { background: #09090b; color: #fafafa; }
+QPushButton { background: #18181b; border: 1px solid #27272a;
+              border-radius: 6px; padding: 6px 14px; }
+QPushButton:hover { background: #27272a; }
+QPushButton#start { background: #166534; }
+QPushButton#stop { background: #7f1d1d; }
+QTableWidget { background: #09090b; gridline-color: #27272a; }
+QHeaderView::section { background: #18181b; border: 0; padding: 4px; }
+QTabBar::tab { background: #18181b; padding: 6px 16px; }
+QTabBar::tab:selected { background: #27272a; }
+"""
+
+if QT_AVAILABLE:
+
+    class CaptureThread(QThread):
+        """Worker thread: source -> Pipeline; queued signals to the GUI
+        (modern.py:1784-2256 analogue)."""
+
+        frame_decoded = pyqtSignal(dict)
+        spectrum_update = pyqtSignal(object)
+        voice_audio = pyqtSignal(object)
+        status_update = pyqtSignal(str)
+
+        def __init__(self, config, source):
+            super().__init__()
+            self.config = config
+            self.source = source
+            self._running = False
+
+        def run(self):
+            from tetraear_tpu.api import Pipeline
+            self._running = True
+            pipe = Pipeline(
+                self.config,
+                on_frame=self.frame_decoded.emit,
+                on_spectrum=self.spectrum_update.emit,
+                on_audio=self.voice_audio.emit,
+                on_status=self.status_update.emit)
+            try:
+                with self.source:
+                    while self._running:
+                        block = self.source.read_samples(pipe.block_len)
+                        if len(block) < pipe.block_len:
+                            break
+                        pipe.process_block(block)
+            except Exception as e:
+                self.status_update.emit(f"error: {e}")
+            self.status_update.emit("Stopped")
+
+        def stop(self):
+            self._running = False
+
+    class WaterfallWidget(QLabel):
+        """Spectrum-over-time display with click-to-tune
+        (modern.py:649-1362 analogue)."""
+
+        clicked_freq = pyqtSignal(float)
+
+        def __init__(self, fs: float, width: int = 800, height: int = 200):
+            super().__init__()
+            self.fs = fs
+            self.buf = spec_mod.WaterfallBuffer(width, height)
+            self.denoise = spec_mod.SpectrumDenoiser()
+            self.setMinimumSize(width, height)
+
+        def push(self, power_db):
+            p = self.denoise(np.asarray(power_db))
+            cal = spec_mod.auto_calibrate(p)
+            self.buf.floor_db = cal["floor_db"]
+            self.buf.ceiling_db = cal["ceiling_db"]
+            self.buf.push(p)
+            rows = np.ascontiguousarray(self.buf.rows)
+            img = QImage(rows.data, rows.shape[1], rows.shape[0],
+                         3 * rows.shape[1], QImage.Format.Format_RGB888)
+            self.setPixmap(QPixmap.fromImage(img))
+
+        def mousePressEvent(self, ev):
+            x = ev.position().x() / max(self.width(), 1)
+            self.clicked_freq.emit((x - 0.5) * self.fs)
+
+    class ModernTetraGUI(QMainWindow):
+        """Main window (modern.py:2511 analogue)."""
+
+        def __init__(self, settings=None):
+            super().__init__()
+            from tetraear_tpu.utils.settings import (FrequencyManager,
+                                                     SettingsManager)
+            self.settings = settings or SettingsManager()
+            self.freqs = FrequencyManager()
+            self.thread = None
+            self.setWindowTitle("tetraear-tpu")
+            self.setStyleSheet(DARK_QSS)
+            self._build_ui()
+            self.calls = {}
+            self.groups = {}
+            self.users = {}
+
+        def _build_ui(self):
+            root = QWidget()
+            layout = QVBoxLayout(root)
+
+            # control panel
+            panel = QHBoxLayout()
+            self.freq_spin = QDoubleSpinBox()
+            self.freq_spin.setRange(30.0, 1700.0)
+            self.freq_spin.setDecimals(4)
+            self.freq_spin.setValue(
+                self.settings.get("last_frequency", 392.5e6) / 1e6)
+            self.freq_spin.setSuffix(" MHz")
+            panel.addWidget(self.freq_spin)
+            self.preset_box = QComboBox()
+            for p in self.freqs.frequencies:
+                self.preset_box.addItem(
+                    f"{p['name']} ({p['frequency'] / 1e6:.4f})",
+                    p["frequency"])
+            self.preset_box.currentIndexChanged.connect(self._preset)
+            panel.addWidget(self.preset_box)
+            self.auto_decrypt = QCheckBox("Auto-Decrypt")
+            self.auto_decrypt.setChecked(True)
+            panel.addWidget(self.auto_decrypt)
+            self.start_btn = QPushButton("START")
+            self.start_btn.setObjectName("start")
+            self.start_btn.clicked.connect(self.on_start)
+            panel.addWidget(self.start_btn)
+            self.stop_btn = QPushButton("STOP")
+            self.stop_btn.setObjectName("stop")
+            self.stop_btn.clicked.connect(self.on_stop)
+            panel.addWidget(self.stop_btn)
+            panel.addStretch(1)
+            self.status = QLabel("idle")
+            panel.addWidget(self.status)
+            layout.addLayout(panel)
+
+            self.waterfall = WaterfallWidget(
+                fs=self.settings.get("sample_rate", 2.4e6))
+            self.waterfall.clicked_freq.connect(self._tune_offset)
+            layout.addWidget(self.waterfall)
+
+            # tabs
+            self.tabs = QTabWidget()
+            self.frames_table = self._table(
+                ["#", "Type", "Carrier", "CRC", "Enc", "TG", "SSI",
+                 "Country", "Message"])
+            self.calls_table = self._table(
+                ["TG", "Source", "Dest", "Type", "Priority", "Enc",
+                 "Frames"])
+            self.groups_table = self._table(["TG", "Frames", "Last seen"])
+            self.users_table = self._table(["SSI", "Frames", "Last seen"])
+            self.stats_label = QLabel("")
+            stats_w = QWidget()
+            QVBoxLayout(stats_w).addWidget(self.stats_label)
+            self.tabs.addTab(self.frames_table, "Frames")
+            self.tabs.addTab(self.calls_table, "Calls")
+            self.tabs.addTab(self.groups_table, "Groups")
+            self.tabs.addTab(self.users_table, "Users")
+            self.tabs.addTab(stats_w, "Stats")
+            layout.addWidget(self.tabs)
+            self.setCentralWidget(root)
+
+        @staticmethod
+        def _table(cols):
+            t = QTableWidget(0, len(cols))
+            t.setHorizontalHeaderLabels(cols)
+            return t
+
+        def _preset(self, idx):
+            f = self.preset_box.currentData()
+            if f:
+                self.freq_spin.setValue(f / 1e6)
+
+        def _tune_offset(self, offset_hz):
+            self.freq_spin.setValue(self.freq_spin.value() + offset_hz / 1e6)
+
+        def on_start(self):
+            from tetraear_tpu.api import PipelineConfig
+            from tetraear_tpu.runtime.sources import open_source
+            if self.thread is not None:
+                return
+            freq = self.freq_spin.value() * 1e6
+            self.settings.set("last_frequency", freq)
+            cfg = PipelineConfig(
+                sample_rate=self.settings.get("sample_rate", 2.4e6),
+                frequency=freq,
+                auto_decrypt=self.auto_decrypt.isChecked())
+            source = open_source("rtlsdr",
+                                 sample_rate=cfg.sample_rate,
+                                 frequency=freq,
+                                 gain=self.settings.get("gain", "auto"))
+            self.thread = CaptureThread(cfg, source)
+            self.thread.frame_decoded.connect(self.on_frame)
+            self.thread.spectrum_update.connect(self.waterfall.push)
+            self.thread.status_update.connect(self.status.setText)
+            self.thread.finished.connect(self._thread_done)
+            self.thread.start()
+            self.status.setText("running")
+
+        def on_stop(self):
+            if self.thread is not None:
+                self.thread.stop()
+
+        def _thread_done(self):
+            self.thread = None
+            self.status.setText("stopped")
+
+        def on_frame(self, frame: dict):
+            from tetraear_tpu.frame import mcc_mnc
+            t = self.frames_table
+            row = t.rowCount()
+            t.insertRow(row)
+            meta = frame.get("call_metadata") or {}
+            vals = [
+                str(frame.get("number", "")),
+                frame.get("type_name", ""),
+                str(frame.get("carrier", 0)),
+                "OK" if frame.get("burst_crc") else "FAIL",
+                ("DEC" if frame.get("decrypted")
+                 else "ENC" if frame.get("encrypted") else "CLR"),
+                str(meta.get("talkgroup_id") or ""),
+                str(meta.get("source_ssi") or ""),
+                (mcc_mnc.get_location_info(meta["mcc"], meta.get("mnc"))
+                 if meta.get("mcc") else ""),
+                frame.get("sds_message") or "",
+            ]
+            for c, v in enumerate(vals):
+                t.setItem(row, c, QTableWidgetItem(v))
+            t.scrollToBottom()
+            # aggregate tables
+            tg = meta.get("talkgroup_id")
+            if tg:
+                self.groups[tg] = self.groups.get(tg, 0) + 1
+            ssi = meta.get("source_ssi")
+            if ssi:
+                self.users[ssi] = self.users.get(ssi, 0) + 1
+            self._refresh_agg()
+
+        def _refresh_agg(self):
+            for table, data in ((self.groups_table, self.groups),
+                                (self.users_table, self.users)):
+                table.setRowCount(len(data))
+                for r, (key, count) in enumerate(sorted(data.items())):
+                    table.setItem(r, 0, QTableWidgetItem(str(key)))
+                    table.setItem(r, 1, QTableWidgetItem(str(count)))
+
+
+def main(argv=None) -> int:
+    if not QT_AVAILABLE:
+        print("PyQt6 is not installed; use the terminal dashboard instead:\n"
+              "  python -m tetraear_tpu.ui.dashboard --source synthetic")
+        return 1
+    app = QApplication(argv or [])
+    win = ModernTetraGUI()
+    win.resize(1100, 760)
+    win.show()
+    return app.exec()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
