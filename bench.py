@@ -27,16 +27,25 @@ import time
 import numpy as np
 
 
-def run_bench(n_carriers: int = 256, block: int = 240_000,
-              steps: int = 20) -> dict:
+def run_bench(n_carriers: int = 256, block: int | None = None,
+              steps: int = 20, frontend: str = "fft") -> dict:
+    import math
+
     import jax
     import jax.numpy as jnp
     from tetraear_tpu.dsp import kernels
     from tetraear_tpu.dsp.pipeline import CarrierBankDemod
 
+    # capture bandwidth scales with the carrier count (25 kHz channel
+    # grid + 15% guard), in integer multiples of the 96 kHz channel rate
+    decim = max(25, math.ceil(n_carriers * 25_000 * 1.15 / 96_000))
+    fs = decim * 96_000.0
+    if block is None:
+        block = 9_568 * decim          # ~0.1 s, 10 Hz bin grid
     offsets = [(i - n_carriers // 2) * 25_000 + 12_500
                for i in range(n_carriers)]
-    bank = CarrierBankDemod(fs=2.4e6, freqs_hz=offsets, block_len=block)
+    bank = CarrierBankDemod(fs=fs, freqs_hz=offsets, block_len=block,
+                            frontend=frontend)
 
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(block)
@@ -64,7 +73,7 @@ def run_bench(n_carriers: int = 256, block: int = 240_000,
     _ = np.asarray(tails)[-1, 0]
     elapsed = time.time() - t0
 
-    block_seconds = block / 2.4e6
+    block_seconds = block / fs
     rt_factor = (steps * block_seconds) / elapsed
     carriers_rt = rt_factor * n_carriers
     msps = steps * block / elapsed / 1e6
@@ -81,8 +90,9 @@ def run_bench(n_carriers: int = 256, block: int = 240_000,
 def main():
     n_carriers = int(os.environ.get("BENCH_CARRIERS", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    frontend = os.environ.get("BENCH_FRONTEND", "fft")
     try:
-        r = run_bench(n_carriers=n_carriers, steps=steps)
+        r = run_bench(n_carriers=n_carriers, steps=steps, frontend=frontend)
         value = r["carriers_rt"]
         print(json.dumps({
             "metric": "realtime_tetra_carriers_per_chip",

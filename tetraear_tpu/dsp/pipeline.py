@@ -39,22 +39,43 @@ class CarrierBankDemod:
     """
 
     def __init__(self, fs: float, freqs_hz, block_len: int = 24_000,
-                 sps: int = design.SPS):
+                 sps: int = design.SPS, frontend: str = "conv"):
         self.fs = float(fs)
         self.freqs_hz = np.atleast_1d(np.asarray(freqs_hz, dtype=np.float64))
         self.n_carriers = len(self.freqs_hz)
         self.sps = sps
-        self.plan = design.build_resample_plan(self.fs,
-                                               design.SYMBOL_RATE * sps)
+        self.frontend = frontend
         self.rrc = design.rrc_taps(sps=sps).astype(np.float32)
-        self.granularity = self._granularity()
-        if block_len % self.granularity:
-            raise ValueError(
-                f"block_len {block_len} not a multiple of granularity "
-                f"{self.granularity}")
-        self.block_len = block_len
-        self.nco = kernels.nco_tables(self.freqs_hz, self.fs, block_len)
-        self.n_out72 = self._out_len(block_len)
+        if frontend == "fft":
+            # wideband FFT channelizer to fs/25, then a rational clean-up
+            # stage to 72 kHz per carrier (dsp/channelizer.py)
+            from tetraear_tpu.dsp import channelizer as chan_mod
+            self.channelizer = chan_mod.FFTChannelizer(
+                self.fs, self.freqs_hz, block_len)
+            self.plan = design.build_resample_plan(
+                self.channelizer.out_rate, design.SYMBOL_RATE * sps)
+            self.granularity = (self._granularity()
+                                * self.channelizer.decim)
+            if block_len % self.granularity:
+                raise ValueError(
+                    f"block_len {block_len} not a multiple of granularity "
+                    f"{self.granularity}")
+            self.block_len = block_len
+            self.nco = None
+        else:
+            self.channelizer = None
+            self.plan = design.build_resample_plan(self.fs,
+                                                   design.SYMBOL_RATE * sps)
+            self.granularity = self._granularity()
+            if block_len % self.granularity:
+                raise ValueError(
+                    f"block_len {block_len} not a multiple of granularity "
+                    f"{self.granularity}")
+            self.block_len = block_len
+            self.nco = kernels.nco_tables(self.freqs_hz, self.fs, block_len)
+        self.n_out72 = self._out_len(
+            block_len if frontend != "fft"
+            else block_len // self.channelizer.decim)
         self.k_max = self.n_out72 // sps + 1
         self._step = jax.jit(self._step_impl)
 
@@ -93,7 +114,10 @@ class CarrierBankDemod:
         real [re, im] form because the axon TPU runtime cannot move
         complex64 across the jit boundary (see kernels.c2r)."""
         c = self.n_carriers
+        extra = ({"channelizer": self.channelizer.init_state()}
+                 if self.channelizer is not None else {})
         return {
+            **extra,
             "nco_cycles": jnp.zeros((c,), jnp.float32),
             "stage_hist": [
                 jnp.zeros((c, kernels.stage_history_len(st), 2), jnp.float32)
@@ -113,12 +137,23 @@ class CarrierBankDemod:
         """x_r: (N, 2) shared wideband block or (C, N, 2) per-carrier, real
         [re, im] form; state as produced by init_state (real form)."""
         x = kernels.r2c(x_r)
-        if x.ndim == 1:
-            x = jnp.broadcast_to(x[None, :], (self.n_carriers, x.shape[0]))
-        y, nco_cycles = kernels.nco_mix(
-            x, state["nco_cycles"],
-            jnp.asarray(self.nco["coarse"]), jnp.asarray(self.nco["fine"]),
-            jnp.asarray(self.nco["block_step"]), self.nco["fs"])
+        chan_state = {}
+        if self.channelizer is not None:
+            if x.ndim != 1:
+                raise ValueError("fft frontend takes a shared wideband "
+                                 "block")
+            y, cstate = self.channelizer.step(x, state["channelizer"])
+            chan_state = {"channelizer": cstate}
+            nco_cycles = state["nco_cycles"]
+        else:
+            if x.ndim == 1:
+                x = jnp.broadcast_to(x[None, :],
+                                     (self.n_carriers, x.shape[0]))
+            y, nco_cycles = kernels.nco_mix(
+                x, state["nco_cycles"],
+                jnp.asarray(self.nco["coarse"]),
+                jnp.asarray(self.nco["fine"]),
+                jnp.asarray(self.nco["block_step"]), self.nco["fs"])
         y, stage_hist = kernels.plan_apply(
             self.plan, y, [kernels.r2c(h) for h in state["stage_hist"]])
         y, rrc_hist = kernels.fir_apply(self.rrc, y,
@@ -132,6 +167,7 @@ class CarrierBankDemod:
         hard, soft, prev = timing.dqpsk_demod(
             syms, valid, kernels.r2c(state["prev_sym"]))
         new_state = {
+            **chan_state,
             "nco_cycles": nco_cycles,
             "stage_hist": [kernels.c2r(h) for h in stage_hist],
             "rrc_hist": kernels.c2r(rrc_hist),
