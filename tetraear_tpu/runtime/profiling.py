@@ -1,0 +1,105 @@
+"""Tracing and per-stage throughput counters.
+
+The reference has no profiling at all (SURVEY.md section 5.1); this module
+provides the TPU-native equivalents:
+
+  * Profiler — context manager around jax.profiler.trace writing
+    TensorBoard-loadable traces (xplane) for kernel-level analysis;
+  * StageTimers — host-side per-stage wall-time accounting with
+    samples/s rates, for the streaming pipeline's steady-state numbers;
+  * roofline_estimate — back-of-envelope FLOP/byte counts for the demod
+    chain, to compare measured throughput against the HBM roofline.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from pathlib import Path
+
+
+class Profiler:
+    """jax.profiler wrapper: with Profiler('/tmp/trace'): run_workload()."""
+
+    def __init__(self, trace_dir: str | Path = "/tmp/tetraear_trace"):
+        self.trace_dir = str(trace_dir)
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.trace_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False
+
+
+class StageTimers:
+    """Accumulate wall time per named stage; report rates."""
+
+    def __init__(self):
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+        self.items = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, items: int = 0):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+            self.items[name] += items
+
+    def report(self) -> dict:
+        out = {}
+        for name, total in self.totals.items():
+            entry = {
+                "total_s": total,
+                "calls": self.counts[name],
+                "mean_ms": 1e3 * total / max(self.counts[name], 1),
+            }
+            if self.items[name]:
+                entry["items_per_s"] = self.items[name] / max(total, 1e-12)
+            out[name] = entry
+        return out
+
+
+def roofline_estimate(n_carriers: int, fs: float, frontend: str = "fft",
+                      decim: int | None = None) -> dict:
+    """Rough FLOPs and HBM bytes per input second for the demod chain.
+
+    Used to sanity-check measured throughput: if achieved FLOP/s or
+    bytes/s are far below chip peaks, the kernel is latency- or
+    layout-bound, not roofline-bound.
+    """
+    import math
+    decim = decim or max(1, int(round(fs / 96_000.0)))
+    out96 = fs / decim
+    out72 = 72_000.0
+    c = n_carriers
+
+    if frontend == "fft":
+        nfft = fs / 10.0                       # 0.1 s blocks, amortized
+        fft_flops = 5.0 * fs * math.log2(max(nfft, 2))      # forward, /s
+        ifft_flops = c * 5.0 * out96 * math.log2(max(nfft / decim, 2))
+        front_flops = fft_flops + ifft_flops + 6.0 * c * out96
+        front_bytes = 8.0 * fs * 2 + c * out96 * 8.0 * 2
+    else:
+        # NCO (sincos ~ 20 flops) + stage-1 conv per carrier
+        front_flops = c * fs * (20.0 + 8.0)
+        front_bytes = c * fs * 8.0 * 2
+
+    # back half per carrier: stage2 (~64 MAC/out at 72k), RRC (41 taps),
+    # timing (~30 flops/sym), demod (~10)
+    back_flops = c * (out72 * (64 + 41) * 2 + 18_000.0 * 40)
+    back_bytes = c * out72 * 8.0 * 4
+    return {
+        "flops_per_s": front_flops + back_flops,
+        "hbm_bytes_per_s": front_bytes + back_bytes,
+        "front_flops_per_s": front_flops,
+        "frontend": frontend,
+    }
