@@ -37,15 +37,15 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
     from tetraear_tpu.dsp.pipeline import CarrierBankDemod
 
     # capture bandwidth scales with the carrier count (25 kHz channel
-    # grid + 15% guard), in integer multiples of the 96 kHz channel rate
-    decim = max(25, math.ceil(n_carriers * 25_000 * 1.15 / 96_000))
-    fs = decim * 96_000.0
-    if block is None:
-        block = 9_568 * decim          # ~0.1 s, 10 Hz bin grid
+    # grid + 15% guard).  fs = 72 kHz * 2^m makes the channelizer output
+    # land on 72 kHz exactly — no back-resampling stage at all.
+    needed = max(2.4e6, n_carriers * 25_000 * 1.15)
+    fs = 72_000.0 * 2 ** math.ceil(math.log2(needed / 72_000.0))
     offsets = [(i - n_carriers // 2) * 25_000 + 12_500
                for i in range(n_carriers)]
     bank = CarrierBankDemod(fs=fs, freqs_hz=offsets, block_len=block,
                             frontend=frontend)
+    block = bank.block_len
 
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(block)

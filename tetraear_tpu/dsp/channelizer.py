@@ -5,27 +5,39 @@ O(C x N) at the full input rate — fine for tens of carriers, ruinous for
 thousands.  This frontend computes ONE forward FFT of the wideband block
 and extracts every carrier as a band of bins:
 
-    x (N+V,) --FFT--> X (nfft,) --band gather + H1 + IFFT--> (C, nfft/25)
+    x (nfft,) --FFT--> X --band gather + H1 + IFFT--> (C, n_band) @ fs/D
 
-per-carrier cost collapses to a small IFFT at the channel rate (96 kHz),
-so total work is O(N log N + C * N/25): the 10k-carrier roofline kernel
+per-carrier cost collapses to a small IFFT at the channel rate, so total
+work is O(N log N + C * N/D): the 10k-carrier roofline kernel
 (SURVEY.md section 7, BASELINE configs 3-5).
 
-Correctness notes:
-  * The extraction applies the channel-select lowpass in the frequency
-    domain (h1 FFT'd at the full rate, sampled at band-relative bins), so
-    this is an exact overlap-save realization of conv(x, h1) followed by
-    perfect decimation by 25; the circular-wrap corrupt region is
-    (len(h1)-1)/25 output samples, covered by the V-sample input overlap.
-  * Extracting a band re-references phase to each block's start; a
-    per-block phase correction with exact integer cycle counters
-    (< nfft < 2^24, exact in float32) restores global phase continuity so
-    downstream filter state carries across blocks.
-  * Carrier offsets must be integer multiples of fs/nfft (10 Hz at the
-    canonical 2.4 Msps / 239200-sample block).
+TPU-critical sizing: **nfft and n_band are powers of two.**  The TPU XLA
+backend lowers odd-radix DFT factors to dense DFT-matrix matmuls (a
+689k-point FFT tried to allocate a 1.9 TB matrix); pow2 sizes run in ~5 ms
+at 2^20.  Consequences of pow2 sizing:
+
+  * decim = 2^m with fs/decim in [60, 150] kHz; the polyphase back half
+    resamples the odd channel rate (75/120/... kHz) to 72 kHz.
+  * carrier offsets are rounded to the nearest FFT bin (<= fs/2nfft,
+    ~4.6 Hz).  A few Hz of residual offset rotates the constellation once
+    every ~0.2 s — invisible to differential demod (0.002 rad/symbol) —
+    so no residual NCO is needed.
+
+Other correctness notes:
+  * The channel-select lowpass h1 is applied in the frequency domain
+    (FFT of h1 sampled at band-relative bins), making the extraction an
+    exact overlap-save of conv(x, h1) + decimation; the circular-wrap
+    corrupt region ((len(h1)-1)/decim output samples) is covered by the
+    overlap.
+  * Band extraction re-references phase to each block's start; a per-block
+    rotation with exact integer cycle counters (< nfft <= 2^22, exact in
+    float32 up to 2^24) restores global phase continuity so downstream
+    filter state carries across blocks.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -34,67 +46,96 @@ import jax.numpy as jnp
 
 from tetraear_tpu.dsp import design
 
-CHANNEL_RATE = 96_000.0      # per-carrier output rate
-DECIM = 25                   # canonical decimation at fs = 2.4 Msps
+TARGET_CHANNEL_RATE = 96_000.0
+
+
+def choose_decim(fs: float) -> int:
+    """Power-of-two decimation keeping the channel rate in [72k, 160k],
+    preferring the rate whose 72 kHz resample ratio has the smallest
+    polyphase interpolation factor (each of the L sub-filters becomes a
+    separate conv in the back half; L in the hundreds would bloat the
+    compiled step).  fs = 72 kHz * 2^m yields L = 1 (no back stage)."""
+    from fractions import Fraction
+    best, best_l = None, 1 << 30
+    d = 1
+    while fs / d > 160_000.0:
+        d *= 2
+    while fs / d >= 72_000.0:
+        rate = fs / d
+        if abs(rate - round(rate)) < 1e-6:
+            frac = Fraction(72_000, int(round(rate)))
+            # prefer fewer sub-filters; on ties, the lower channel rate
+            if frac.numerator <= best_l:
+                best, best_l = d, frac.numerator
+        d *= 2
+    if best is None or best_l > 64:
+        raise ValueError(
+            f"no power-of-two channel rate from fs={fs:g} gives a "
+            f"tractable 72 kHz resample ratio (best L={best_l}); use an "
+            f"fs of the form 72000*2^m (e.g. 2.304/4.608/9.216/36.864 "
+            f"MHz) or a standard SDR rate like 2.4 Msps")
+    return best
+
+
+def choose_nfft(fs: float) -> int:
+    """Smallest power of two covering ~0.1 s of input."""
+    return 2 ** int(math.ceil(math.log2(max(fs * 0.1, 1024.0))))
 
 
 class FFTChannelizer:
-    """Streaming overlap-save channelizer fs -> 96 kHz per carrier.
+    """Streaming overlap-save channelizer fs -> fs/decim per carrier."""
 
-    decim = fs / 96 kHz (any integer: 25 at 2.4 Msps, 320 at 30.72 Msps
-    for config-5-scale wideband captures); overlap scales with decim.
-    """
-
-    def __init__(self, fs: float, freqs_hz: np.ndarray, block_len: int):
+    def __init__(self, fs: float, freqs_hz: np.ndarray,
+                 block_len: int | None = None,
+                 back_granularity: int | None = None):
         self.fs = float(fs)
         self.freqs_hz = np.asarray(freqs_hz, np.float64)
-        decim = int(round(self.fs / CHANNEL_RATE))
-        if abs(self.fs - decim * CHANNEL_RATE) > 1e-6:
+        self.decim = choose_decim(self.fs)
+        self.nfft = choose_nfft(self.fs)
+        self.n_band = self.nfft // self.decim
+        self.out_rate = self.fs / self.decim
+
+        # channel-select lowpass at the input rate; its stopband starts
+        # inside the extracted band so decimation cannot fold interference
+        h1 = design.kaiser_lowpass(
+            13_000.0, self.out_rate / 2.0 - 14_000.0, self.fs,
+            atten_db=60.0)
+        self.h1_len = len(h1)
+
+        # overlap: >= h1 memory, and block = nfft - overlap must divide by
+        # decim * back_granularity (the 72 kHz back half's block quantum)
+        g = int(back_granularity) if back_granularity else 1
+        quantum = self.decim * g
+        overlap = self.nfft % quantum
+        while overlap < max(self.h1_len, self.decim):
+            overlap += quantum
+        self.overlap = overlap
+        self.block_len = self.nfft - overlap
+        if block_len is not None and block_len != self.block_len:
             raise ValueError(
-                f"fs {fs} must be an integer multiple of {CHANNEL_RATE}")
-        self.decim = decim
-        # halo >= len(h1); h1 length scales with fs so 32*decim always
-        # covers it, and block=9568*decim keeps the bin grid at 10 Hz
-        self.overlap = 32 * decim
-        if block_len % (decim * 16):
-            raise ValueError(f"block_len {block_len} must be a multiple of "
-                             f"{decim * 16}")
-        self.block_len = block_len                    # new samples per step
-        self.nfft = block_len + self.overlap
-        self.n_band = self.nfft // decim              # channel FFT size
-        self.out_rate = self.fs / decim               # 96 kHz
-        self.drop = self.overlap // decim             # corrupt head samples
-        self.n_out = block_len // decim               # valid per step
+                f"fft frontend requires block_len={self.block_len} at "
+                f"fs={fs:g} (got {block_len})")
+        self.drop = self.overlap // self.decim
+        self.n_out = self.block_len // self.decim
 
         bin_hz = self.fs / self.nfft
-        k = self.freqs_hz / bin_hz
-        if not np.allclose(k, np.round(k), atol=1e-6):
-            raise ValueError(
-                f"carrier offsets must be multiples of {bin_hz:.3f} Hz "
-                f"for block_len={block_len}")
-        self.k_c = np.round(k).astype(np.int64)       # (C,) centre bins
+        # offsets round to the nearest bin (<= bin/2 ~ Hz-scale residual;
+        # harmless to differential demod — see module docstring)
+        self.k_c = np.round(self.freqs_hz / bin_hz).astype(np.int64)
+        self.residual_hz = self.freqs_hz - self.k_c * bin_hz
 
-        # channel-select lowpass at the input rate; stopband before the
-        # band edge so the decimation cannot fold interference in
-        h1 = design.kaiser_lowpass(13_000.0,
-                                   self.out_rate / 2 - 13_000.0 - 1_000.0,
-                                   self.fs, atten_db=60.0)
-        if len(h1) > self.overlap:
-            raise ValueError(f"h1 length {len(h1)} exceeds overlap "
-                             f"{self.overlap}")
-        self.h1_len = len(h1)
         H1 = np.fft.fft(h1, self.nfft)
         j = np.arange(self.n_band)
         j_signed = np.where(j < self.n_band // 2, j, j - self.n_band)
         self.h1_band = H1[j_signed % self.nfft].astype(np.complex64)
-        # band gather indices per carrier: (C, n_band)
         self.band_idx = ((self.k_c[:, None] + j_signed[None, :])
                          % self.nfft).astype(np.int32)
 
-        # per-block phase-correction cycle step: (k_c * block_len) mod nfft
+        # per-block phase-correction step: (k_c * block_len) mod nfft,
+        # exact integers < nfft <= 2^22 (float32-exact below 2^24)
         self.cycle_step = ((self.k_c % self.nfft)
-                           * (block_len % self.nfft) % self.nfft).astype(
-                               np.float32)            # exact ints < 2^24
+                           * (self.block_len % self.nfft)
+                           % self.nfft).astype(np.float32)
 
     def init_state(self) -> dict:
         return {
@@ -105,8 +146,8 @@ class FFTChannelizer:
     def step(self, x: jnp.ndarray, state: dict) -> tuple:
         """x: (block_len,) complex64 new wideband samples.
 
-        Returns ((C, n_out) complex64 channel blocks @ fs/25, new_state).
-        """
+        Returns ((C, n_out) complex64 channel blocks @ out_rate,
+        new_state)."""
         from tetraear_tpu.dsp import kernels
 
         tail = kernels.r2c(state["tail"])
@@ -114,7 +155,7 @@ class FFTChannelizer:
         X = jnp.fft.fft(xx)
         band = X[jnp.asarray(self.band_idx)]          # (C, n_band)
         band = band * jnp.asarray(self.h1_band)[None, :]
-        y = jnp.fft.ifft(band, axis=1) / self.decim   # (C, n_band) @ 96k
+        y = jnp.fft.ifft(band, axis=1) / self.decim
         y = y[:, self.drop:self.drop + self.n_out]
 
         # restore global phase continuity (see module docstring)

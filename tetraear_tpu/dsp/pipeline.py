@@ -38,7 +38,7 @@ class CarrierBankDemod:
             granularity (``self.granularity``).
     """
 
-    def __init__(self, fs: float, freqs_hz, block_len: int = 24_000,
+    def __init__(self, fs: float, freqs_hz, block_len: int | None = None,
                  sps: int = design.SPS, frontend: str = "conv"):
         self.fs = float(fs)
         self.freqs_hz = np.atleast_1d(np.asarray(freqs_hz, dtype=np.float64))
@@ -47,26 +47,27 @@ class CarrierBankDemod:
         self.frontend = frontend
         self.rrc = design.rrc_taps(sps=sps).astype(np.float32)
         if frontend == "fft":
-            # wideband FFT channelizer to fs/25, then a rational clean-up
-            # stage to 72 kHz per carrier (dsp/channelizer.py)
+            # wideband FFT channelizer to fs/2^m, then a rational clean-up
+            # stage to 72 kHz per carrier (dsp/channelizer.py); the
+            # channelizer owns the block size (pow2 nfft minus overlap)
             from tetraear_tpu.dsp import channelizer as chan_mod
-            self.channelizer = chan_mod.FFTChannelizer(
-                self.fs, self.freqs_hz, block_len)
+            decim = chan_mod.choose_decim(self.fs)
             self.plan = design.build_resample_plan(
-                self.channelizer.out_rate, design.SYMBOL_RATE * sps)
-            self.granularity = (self._granularity()
-                                * self.channelizer.decim)
-            if block_len % self.granularity:
-                raise ValueError(
-                    f"block_len {block_len} not a multiple of granularity "
-                    f"{self.granularity}")
-            self.block_len = block_len
+                self.fs / decim, design.SYMBOL_RATE * sps)
+            g_back = self._granularity()
+            self.channelizer = chan_mod.FFTChannelizer(
+                self.fs, self.freqs_hz, block_len,
+                back_granularity=g_back)
+            self.granularity = g_back * self.channelizer.decim
+            self.block_len = self.channelizer.block_len
             self.nco = None
         else:
             self.channelizer = None
             self.plan = design.build_resample_plan(self.fs,
                                                    design.SYMBOL_RATE * sps)
             self.granularity = self._granularity()
+            if block_len is None:
+                block_len = 60 * self.granularity
             if block_len % self.granularity:
                 raise ValueError(
                     f"block_len {block_len} not a multiple of granularity "
@@ -74,8 +75,8 @@ class CarrierBankDemod:
             self.block_len = block_len
             self.nco = kernels.nco_tables(self.freqs_hz, self.fs, block_len)
         self.n_out72 = self._out_len(
-            block_len if frontend != "fft"
-            else block_len // self.channelizer.decim)
+            self.block_len if frontend != "fft"
+            else self.block_len // self.channelizer.decim)
         self.k_max = self.n_out72 // sps + 1
         self._step = jax.jit(self._step_impl)
 
