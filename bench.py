@@ -27,11 +27,28 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the big-FFT graphs take minutes
+    to compile through the axon remote-compile relay; cache them across
+    bench invocations."""
+    import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               str(os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)),
+                                   ".jax_cache")))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def run_bench(n_carriers: int = 256, block: int | None = None,
               steps: int = 20, frontend: str = "fft") -> dict:
     import math
 
     import jax
+    _enable_compile_cache()
     import jax.numpy as jnp
     from tetraear_tpu.dsp import kernels
     from tetraear_tpu.dsp.pipeline import CarrierBankDemod

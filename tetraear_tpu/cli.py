@@ -230,6 +230,8 @@ def main(argv=None) -> int:
             ("generate-keys", "generate_common_keys"),
             ("analyze-text", "analyze_text"),
             ("verify-codec", "verify_codec"),
+            ("auto-capture", "auto_capture"),
+            ("build-release", "build_release"),
     ]:
         p = sub.add_parser(name, help=f"tool: {module}", add_help=False)
         p.set_defaults(tool_module=module)

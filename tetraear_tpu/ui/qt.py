@@ -116,6 +116,77 @@ if QT_AVAILABLE:
             x = ev.position().x() / max(self.width(), 1)
             self.clicked_freq.emit((x - 0.5) * self.fs)
 
+    class ScannerDialog(QWidget):
+        """Threaded frequency-scan dialog (modern.py:1363-1782 analogue):
+        presets, live result table, double-click to tune."""
+
+        tuned = pyqtSignal(float)
+
+        def __init__(self, make_source, sample_rate: float = 2.4e6):
+            super().__init__()
+            self.make_source = make_source
+            self.sample_rate = sample_rate
+            self.setWindowTitle("TETRA Scanner")
+            lay = QVBoxLayout(self)
+            row = QHBoxLayout()
+            self.preset = QComboBox()
+            for name, lo, hi in (("Poland primary", 390.0, 395.0),
+                                 ("Poland emergency", 380.0, 385.0),
+                                 ("EU civil", 410.0, 430.0)):
+                self.preset.addItem(f"{name} ({lo}-{hi} MHz)", (lo, hi))
+            row.addWidget(self.preset)
+            self.go = QPushButton("Scan")
+            self.go.clicked.connect(self.start_scan)
+            row.addWidget(self.go)
+            self.progress = QLabel("")
+            row.addWidget(self.progress)
+            lay.addLayout(row)
+            self.table = QTableWidget(0, 4)
+            self.table.setHorizontalHeaderLabels(
+                ["MHz", "Power dB", "Confidence", "Sync"])
+            self.table.cellDoubleClicked.connect(self._tune)
+            lay.addWidget(self.table)
+            self._thread = None
+
+        def start_scan(self):
+            import threading
+            lo, hi = self.preset.currentData()
+            self.table.setRowCount(0)
+            self.progress.setText("scanning...")
+
+            def run():
+                from tetraear_tpu.scan.scanner import FrequencyScanner
+                src = self.make_source()
+                if not src.open():
+                    return
+                try:
+                    sc = FrequencyScanner(src,
+                                          sample_rate=self.sample_rate)
+                    for ch in sc.scan_range(lo * 1e6, hi * 1e6):
+                        self._add_row(ch)
+                finally:
+                    src.close()
+
+            self._thread = threading.Thread(target=run, daemon=True)
+            self._thread.start()
+
+        def _add_row(self, ch: dict):
+            r = self.table.rowCount()
+            self.table.insertRow(r)
+            self.table.setItem(r, 0, QTableWidgetItem(
+                f"{ch['frequency_mhz']:.4f}"))
+            self.table.setItem(r, 1, QTableWidgetItem(
+                f"{ch['power_db']:.1f}"))
+            self.table.setItem(r, 2, QTableWidgetItem(
+                f"{ch['confidence']:.2f}"))
+            self.table.setItem(r, 3, QTableWidgetItem(
+                "yes" if ch.get("sync_detected") else "no"))
+
+        def _tune(self, row, _col):
+            item = self.table.item(row, 0)
+            if item:
+                self.tuned.emit(float(item.text()) * 1e6)
+
     class ModernTetraGUI(QMainWindow):
         """Main window (modern.py:2511 analogue)."""
 
