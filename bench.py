@@ -54,10 +54,12 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
     from tetraear_tpu.dsp.pipeline import CarrierBankDemod
 
     # capture bandwidth scales with the carrier count (25 kHz channel
-    # grid + 15% guard).  fs = 72 kHz * 2^m makes the channelizer output
-    # land on 72 kHz exactly — no back-resampling stage at all.
-    needed = max(2.4e6, n_carriers * 25_000 * 1.15)
-    fs = 72_000.0 * 2 ** math.ceil(math.log2(needed / 72_000.0))
+    # grid + 15% guard).  fs in the 10.24 MHz * 2^j family puts every
+    # grid carrier on a 128-bin boundary, so band extraction is a pure
+    # row gather (dsp/channelizer.py 'aligned' path) and the channel
+    # rate is 80 kHz (L=9 resample to 72 kHz).
+    needed = max(10.24e6, n_carriers * 25_000 * 1.15)
+    fs = 10.24e6 * 2 ** max(0, math.ceil(math.log2(needed / 10.24e6)))
     offsets = [(i - n_carriers // 2) * 25_000 + 12_500
                for i in range(n_carriers)]
     bank = CarrierBankDemod(fs=fs, freqs_hz=offsets, block_len=block,
@@ -78,9 +80,11 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
 
     chain_j = jax.jit(chain, static_argnums=2)
 
-    # Warmup/compile.
+    # Warmup/compile with the SAME static scan length as the timed run
+    # (a different length is a different executable — timing it would
+    # measure compilation, not throughput).
     st0 = bank.init_state()
-    st, tails = chain_j(xd, st0, 2)
+    st, tails = chain_j(xd, st0, steps)
     float(np.asarray(tails)[0, 0])          # force full execution
 
     t0 = time.time()
@@ -105,11 +109,24 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
 
 
 def main():
-    n_carriers = int(os.environ.get("BENCH_CARRIERS", "256"))
+    n_carriers = int(os.environ.get("BENCH_CARRIERS", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     frontend = os.environ.get("BENCH_FRONTEND", "fft")
+    budget_s = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+
+    # Watchdog: a hung remote compile must not hang the harness; raising
+    # in-process lets the PJRT client unwind and release its device grant
+    # (a hard kill wedges the TPU for subsequent users).
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError(f"bench exceeded {budget_s}s budget")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(budget_s)
     try:
         r = run_bench(n_carriers=n_carriers, steps=steps, frontend=frontend)
+        signal.alarm(0)
         value = r["carriers_rt"]
         print(json.dumps({
             "metric": "realtime_tetra_carriers_per_chip",

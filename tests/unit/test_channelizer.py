@@ -93,6 +93,45 @@ def test_wideband_9p6_msps():
         assert _best(out["symbols"][i], tx) == 1.0, f"carrier {i}"
 
 
+@pytest.mark.integration
+def test_aligned_row_gather_path():
+    """fs in the 10.24 MHz family puts grid carriers on 128-bin
+    boundaries -> row-gather extraction; decisions must stay exact."""
+    fs = 10.24e6
+    rng = np.random.default_rng(0)
+    hot = [-3_012_500.0, -37_500.0, 12_500.0, 2_512_500.0]
+    bits = [rng.integers(0, 2, 2200).astype(np.uint8) for _ in hot]
+    iq = modulator.generate_multi_carrier(
+        bits, fs=fs, offsets_hz=hot, snr_db=20,
+        rng=np.random.default_rng(1))
+    bank = CarrierBankDemod(fs=fs, freqs_hz=hot, frontend="fft")
+    assert bank.channelizer.aligned
+    assert bank.channelizer.out_rate == 80_000.0
+    iq = _pad_to(iq, bank.block_len, np.random.default_rng(2))
+    out = bank.run(iq[:bank.block_len])
+    for i in range(len(hot)):
+        tx = modulator.bits_to_symbols(bits[i])[:600]
+        assert _best(out["symbols"][i], tx) == 1.0, f"carrier {i}"
+
+
+def test_pallas_band_extract_interpret():
+    """The Pallas DMA extraction kernel agrees with the gather reference
+    (interpreter mode; see pallas_kernels docstring for hardware
+    constraints)."""
+    import jax.numpy as jnp
+    from tetraear_tpu.dsp.pallas_kernels import (band_extract,
+                                                 band_extract_reference)
+    rng = np.random.default_rng(0)
+    nfft, n_band, C = 4096, 256, 8
+    x = rng.standard_normal((nfft + n_band, 2)).astype(np.float32)
+    starts = rng.integers(0, nfft, C).astype(np.int32)
+    ref = np.asarray(band_extract_reference(jnp.asarray(x),
+                                            jnp.asarray(starts), n_band))
+    pal = np.asarray(band_extract(jnp.asarray(x), jnp.asarray(starts),
+                                  n_band, interpret=True))
+    assert np.array_equal(ref, pal)
+
+
 def test_fft_frontend_validates_block():
     with pytest.raises(ValueError):
         CarrierBankDemod(fs=2.4e6, freqs_hz=[0.0], block_len=12_345,

@@ -128,8 +128,20 @@ class FFTChannelizer:
         j = np.arange(self.n_band)
         j_signed = np.where(j < self.n_band // 2, j, j - self.n_band)
         self.h1_band = H1[j_signed % self.nfft].astype(np.complex64)
-        self.band_idx = ((self.k_c[:, None] + j_signed[None, :])
-                         % self.nfft).astype(np.int32)
+        # per-carrier band start in the wrap-extended spectrum (each band
+        # is one contiguous slice of length n_band in natural order)
+        self.band_start = ((self.k_c - self.n_band // 2)
+                           % self.nfft).astype(np.int32)
+        # 128-lane-aligned starts (e.g. the 12.5+25 kHz channel grid at
+        # fs in the 10.24 MHz * 2^j family) allow extraction as a ROW
+        # gather of the (nfft/128, 128)-reshaped spectrum — an order of
+        # magnitude cheaper than an element gather on TPU
+        self.aligned = bool(np.all(self.band_start % 128 == 0)
+                            and self.n_band % 128 == 0)
+        if self.aligned:
+            rows = self.n_band // 128
+            self.row_idx = (self.band_start[:, None] // 128
+                            + np.arange(rows)[None, :]).astype(np.int32)
 
         # per-block phase-correction step: (k_c * block_len) mod nfft,
         # exact integers < nfft <= 2^22 (float32-exact below 2^24)
@@ -153,7 +165,19 @@ class FFTChannelizer:
         tail = kernels.r2c(state["tail"])
         xx = jnp.concatenate([tail, x])               # (nfft,)
         X = jnp.fft.fft(xx)
-        band = X[jnp.asarray(self.band_idx)]          # (C, n_band)
+        # wrap-extend so every band is one contiguous slice
+        x_ext = jnp.concatenate([X, X[:self.n_band]])
+        if self.aligned:
+            rows = x_ext.reshape(-1, 128)             # (.., 128) lanes
+            nat = rows[jnp.asarray(self.row_idx)]     # (C, nb/128, 128)
+            nat = nat.reshape(len(self.k_c), self.n_band)
+        else:
+            idx = (jnp.asarray(self.band_start)[:, None]
+                   + jnp.arange(self.n_band, dtype=jnp.int32)[None, :])
+            nat = x_ext[idx]                          # (C, n_band) centred
+        half = self.n_band // 2
+        band = jnp.concatenate([nat[:, half:], nat[:, :half]],
+                               axis=1)                # -> FFT order
         band = band * jnp.asarray(self.h1_band)[None, :]
         y = jnp.fft.ifft(band, axis=1) / self.decim
         y = y[:, self.drop:self.drop + self.n_out]

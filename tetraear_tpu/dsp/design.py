@@ -173,6 +173,26 @@ def build_resample_plan(fs_in: float, fs_out: float = BASEBAND_RATE,
     return ResamplePlan(in_rate=fs_in, out_rate=fs_out, stages=tuple(stages))
 
 
+def fold_fir_into_stage(stage: ResampleStage,
+                        fir_taps: np.ndarray) -> ResampleStage:
+    """Fold a post-decimation FIR into a polyphase stage's taps.
+
+    Noble identity: filtering at the stage's *output* rate with h is
+    equivalent to filtering at the upsampled rate with h zero-stuffed by
+    the stage's down factor, so the combined stage computes
+    ``fir(resample(x))`` in one pass.  Used to eliminate separate stride-1
+    convolutions (pathologically slow on the axon TPU backend —
+    CLAUDE.md rule 6 neighbourhood).
+    """
+    h = stage.taps_array.astype(np.float64)
+    fir = np.asarray(fir_taps, np.float64)
+    up = np.zeros((len(fir) - 1) * stage.down + 1, np.float64)
+    up[::stage.down] = fir
+    combined = np.convolve(h, up).astype(np.float32)
+    return ResampleStage(up=stage.up, down=stage.down,
+                         taps=tuple(combined.tolist()))
+
+
 def plan_min_block(plan: ResamplePlan) -> int:
     """Smallest input-block size that every stage divides evenly."""
     n = 1

@@ -34,10 +34,12 @@ def sync_correlate(bits: jnp.ndarray) -> jnp.ndarray:
     """
     x = bits.astype(jnp.float32) * 2.0 - 1.0          # {0,1} -> {-1,+1}
     pat = jnp.asarray(_PATTERNS) * 2.0 - 1.0          # (2, 22)
+    # no preferred_element_type: stride-1 convs with that hint hit a
+    # pathologically slow path on the axon TPU backend (see dsp/kernels)
     out = jax.lax.conv_general_dilated(
         x[:, None, :], pat[:, None, :], window_strides=(1,),
-        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)            # (C, 2, N-21)
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))       # (C, 2, N-21)
     best = jnp.max(out, axis=1)
     return (best + SYNC_LEN) / (2.0 * SYNC_LEN)
 

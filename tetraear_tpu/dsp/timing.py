@@ -67,6 +67,12 @@ def timing_recover(y: jnp.ndarray, state: dict,
 
     Returns (symbols (C, K), valid (C, K) bool, new_state) with
     K = N//SPS + 1 (fixed shape; the true count varies by +-1 per block).
+
+    Gather-free interpolation: symbol instants are t_k = next_t + 4k, so
+    the fractional part is constant per carrier and the four cubic taps
+    are stride-4 slices of z at one of four integer base offsets —
+    16 static strided slices + a 4-way select instead of per-element
+    gathers (TPU gathers cost ~100x more than slices).
     """
     c, n = y.shape
     if n % SPS != 0:
@@ -86,7 +92,35 @@ def timing_recover(y: jnp.ndarray, state: dict,
     t_max = jnp.float32(z.shape[1] - 3)
     t_k = next_t[:, None] + SPS * jnp.arange(k_max, dtype=jnp.float32)[None]
     valid = t_k <= t_max                                   # (C, K)
-    syms = _catmull_rom_rows(z, t_k)
+
+    # per-row integer base b = floor(next_t) - 1 in {0..3}, fraction f
+    i0 = jnp.clip(jnp.floor(next_t).astype(jnp.int32), 1, SPS)
+    b = i0 - 1                                             # (C,)
+    f = (next_t - i0.astype(jnp.float32))[:, None]         # (C, 1)
+
+    z_p = jnp.concatenate(
+        [z, jnp.zeros((c, SPS + 4), z.dtype)], axis=1)
+    # taps[j] = z[:, b + j + 4k]; build all 4 base candidates per tap via
+    # static strided slices, then one-hot select on b
+    taps = []
+    for j in range(4):
+        cands = []
+        for bb in range(SPS):
+            sl = jax.lax.slice_in_dim(z_p, bb + j, bb + j + SPS * k_max, 1,
+                                      axis=1)
+            cands.append(sl[:, ::SPS])                     # (C, K)
+        sel = cands[0]
+        for bb in range(1, SPS):
+            sel = jnp.where((b == bb)[:, None], cands[bb], sel)
+        taps.append(sel)
+    p0, p1, p2, p3 = taps
+
+    f2 = f * f
+    f3 = f2 * f
+    syms = (0.5 * (2.0 * p1
+                   + (p2 - p0) * f
+                   + (2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3) * f2
+                   + (3.0 * (p1 - p2) + p3 - p0) * f3)).astype(jnp.complex64)
     n_valid = jnp.sum(valid, axis=1)                       # (C,)
 
     shift = jnp.float32(z.shape[1] - TAIL)
@@ -117,8 +151,12 @@ def dqpsk_demod(symbols: jnp.ndarray, valid: jnp.ndarray,
     mag = jnp.abs(d) + 1e-12
     soft = jnp.stack([-d.imag / mag, -d.real / mag], axis=-1)
 
+    # last valid symbol per carrier without a gather: valid entries are
+    # contiguous from 0, so the last one is where valid & ~valid_next
     n_valid = jnp.sum(valid, axis=1)
-    last_idx = jnp.clip(n_valid - 1, 0, symbols.shape[1] - 1)
-    last = jnp.take_along_axis(symbols, last_idx[:, None], axis=1)[:, 0]
+    valid_next = jnp.concatenate(
+        [valid[:, 1:], jnp.zeros_like(valid[:, :1])], axis=1)
+    edge = valid & ~valid_next                             # one-hot row
+    last = jnp.sum(jnp.where(edge, symbols, 0), axis=1)
     new_prev = jnp.where(n_valid > 0, last, prev)
     return hard, soft.astype(jnp.float32), new_prev
