@@ -52,7 +52,8 @@ class PipelineConfig:
     peak_threshold_db: float = -70.0
     peak_avg_margin_db: float = 3.0
     loss_hysteresis_s: float = 0.5
-    afc: bool = False                   # automatic frequency correction
+    afc: bool = False                   # coarse capture-level AFC (FFT peak)
+    carrier_afc: bool = True            # per-carrier d^4 tracking loop
     fft_size: int = 2048
     voice: bool = True                  # decode voice when codec available
 
@@ -100,7 +101,7 @@ class Pipeline:
         self.block_len = max(gran, (config.block_len // gran) * gran)
         self.bank = CarrierBankDemod(
             fs=config.sample_rate, freqs_hz=config.carrier_offsets_hz,
-            block_len=self.block_len)
+            block_len=self.block_len, afc=config.carrier_afc)
         self.n_carriers = self.bank.n_carriers
         self.state = self.bank.init_state()
         self._first_block = True

@@ -39,12 +39,15 @@ class CarrierBankDemod:
     """
 
     def __init__(self, fs: float, freqs_hz, block_len: int | None = None,
-                 sps: int = design.SPS, frontend: str = "conv"):
+                 sps: int = design.SPS, frontend: str = "conv",
+                 afc: bool = False, afc_gain: float = 0.3):
         self.fs = float(fs)
         self.freqs_hz = np.atleast_1d(np.asarray(freqs_hz, dtype=np.float64))
         self.n_carriers = len(self.freqs_hz)
         self.sps = sps
         self.frontend = frontend
+        self.afc = afc
+        self.afc_gain = float(afc_gain)
         self.rrc = design.rrc_taps(sps=sps).astype(np.float32)
         if frontend == "fft":
             # wideband FFT channelizer to fs/2^m, then a rational clean-up
@@ -130,6 +133,8 @@ class CarrierBankDemod:
                 "acc": jnp.zeros((c, 2), jnp.float32),
             },
             "prev_sym": jnp.zeros((c, 2), jnp.float32),
+            "afc_omega": jnp.zeros((c,), jnp.float32),
+            "afc_phase": jnp.zeros((c,), jnp.float32),
         }
 
     # -- the jitted block step ----------------------------------------------
@@ -165,6 +170,15 @@ class CarrierBankDemod:
             "acc": kernels.r2c(state["timing"]["acc"]),
         }
         syms, valid, tstate = timing.timing_recover(y, tstate_c)
+        if self.afc:
+            # closed-loop per-carrier frequency tracking (d^4 detector)
+            syms, afc_phase = timing.apply_freq_correction(
+                syms, state["afc_omega"], state["afc_phase"])
+            err = timing.afc_error(syms, valid)
+            afc_omega = state["afc_omega"] + self.afc_gain * err
+        else:
+            afc_omega = state["afc_omega"]
+            afc_phase = state["afc_phase"]
         hard, soft, prev = timing.dqpsk_demod(
             syms, valid, kernels.r2c(state["prev_sym"]))
         new_state = {
@@ -178,6 +192,8 @@ class CarrierBankDemod:
                 "acc": kernels.c2r(tstate["acc"]),
             },
             "prev_sym": kernels.c2r(prev),
+            "afc_omega": afc_omega,
+            "afc_phase": afc_phase,
         }
         out = {"hard": hard, "soft": soft, "valid": valid,
                "baseband": kernels.c2r(y)}

@@ -133,6 +133,38 @@ def timing_recover(y: jnp.ndarray, state: dict,
     return syms, valid, new_state
 
 
+def afc_error(symbols: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-carrier frequency error in rad/symbol from the d^4 detector.
+
+    Every legal pi/4-DQPSK transition satisfies 4*dphi = pi (mod 2pi), so
+    with a residual rotation eps per symbol, E[d^4] = |d|^4 e^{j(pi+4eps)}
+    — data-independent.  Returns (C,) estimated eps.  New capability: the
+    reference has only a coarse FFT-peak AFC at the capture level
+    (tetraear/ui/modern.py:1960-1967, 5135-5169), nothing per carrier.
+    """
+    d = symbols[:, 1:] * jnp.conj(symbols[:, :-1])
+    m = jnp.abs(d) + 1e-12
+    d4 = (d / m) ** 4
+    w = (valid[:, 1:] & valid[:, :-1]).astype(jnp.float32)
+    acc = jnp.sum(d4 * w, axis=1)
+    # angle(-acc) measures (angle(acc) - pi) without the +-pi wrap
+    # discontinuity that sits exactly at the zero-error operating point
+    return jnp.angle(-acc) / 4.0
+
+
+def apply_freq_correction(symbols: jnp.ndarray, omega: jnp.ndarray,
+                          phase0: jnp.ndarray) -> tuple:
+    """Derotate symbol-spaced samples by a per-carrier frequency omega
+    (rad/symbol) with carried phase.  Returns (corrected, new_phase0)."""
+    k = jnp.arange(symbols.shape[1], dtype=jnp.float32)[None, :]
+    ang = phase0[:, None] + omega[:, None] * k
+    rot = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
+    new_phase0 = jnp.mod(
+        phase0 + omega * jnp.float32(symbols.shape[1]),
+        jnp.float32(TWO_PI))
+    return symbols * rot, new_phase0
+
+
 def dqpsk_demod(symbols: jnp.ndarray, valid: jnp.ndarray,
                 prev: jnp.ndarray) -> tuple:
     """Differential demod on masked symbol rows.
