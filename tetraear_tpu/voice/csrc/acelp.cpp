@@ -156,16 +156,56 @@ int quant_nearest(float v, const float *table, int n) {
 struct DecoderState {
   float exc[kExcHist];          /* excitation history */
   float syn_mem[kOrder];        /* synthesis filter memory */
+  float pf_fir[kOrder];         /* postfilter numerator memory */
+  float pf_iir[kOrder];         /* postfilter denominator memory */
   FrameParams prev;             /* for BFI concealment */
   bool has_prev = false;
   int bfi_count = 0;
   DecoderState() {
     std::memset(exc, 0, sizeof(exc));
     std::memset(syn_mem, 0, sizeof(syn_mem));
+    std::memset(pf_fir, 0, sizeof(pf_fir));
+    std::memset(pf_iir, 0, sizeof(pf_iir));
     std::memset(&prev, 0, sizeof(prev));
     for (int s = 0; s < kSub; ++s) prev.lag[s] = kMinLag;
   }
 };
+
+/* Short-term postfilter A(z/gn)/A(z/gd) with per-frame energy matching:
+ * sharpens formants masked by the coarse 2-pulse excitation.  Decoder-
+ * side only — no bitstream change. */
+constexpr float kPfNum = 0.55f;
+constexpr float kPfDen = 0.80f;
+
+void postfilter(DecoderState *st, const float *a, float *x, int n) {
+  float an[kOrder + 1], ad[kOrder + 1];
+  float gn = 1.f, gd = 1.f;
+  an[0] = ad[0] = 1.f;
+  for (int i = 1; i <= kOrder; ++i) {
+    gn *= kPfNum;
+    gd *= kPfDen;
+    an[i] = a[i] * gn;
+    ad[i] = a[i] * gd;
+  }
+  double e_in = 1e-6, e_out = 1e-6;
+  for (int i = 0; i < n; ++i) {
+    float s = x[i];
+    e_in += (double)s * s;
+    /* numerator A(z/gn): FIR over input history */
+    float y = s;
+    for (int j = 0; j < kOrder; ++j) y += an[j + 1] * st->pf_fir[j];
+    for (int j = kOrder - 1; j > 0; --j) st->pf_fir[j] = st->pf_fir[j - 1];
+    st->pf_fir[0] = s;
+    /* denominator 1/A(z/gd): IIR over output history */
+    for (int j = 0; j < kOrder; ++j) y -= ad[j + 1] * st->pf_iir[j];
+    for (int j = kOrder - 1; j > 0; --j) st->pf_iir[j] = st->pf_iir[j - 1];
+    st->pf_iir[0] = y;
+    e_out += (double)y * y;
+    x[i] = y;
+  }
+  float g = (float)std::sqrt(e_in / e_out);
+  for (int i = 0; i < n; ++i) x[i] *= g;
+}
 
 struct EncoderState {
   float exc[kExcHist];
@@ -209,12 +249,20 @@ void decode_frame_params(DecoderState *st, const FrameParams &p, float damp,
   }
 
   /* synthesis */
+  float out[kFrame];
   for (int n = 0; n < kFrame; ++n) {
     float y = exc[kMaxLag + n];
     for (int j = 0; j < kOrder; ++j) y -= a[j + 1] * st->syn_mem[j];
     for (int j = kOrder - 1; j > 0; --j)
       st->syn_mem[j] = st->syn_mem[j - 1];
     st->syn_mem[0] = y;
+    out[n] = y;
+  }
+
+  postfilter(st, a, out, kFrame);
+
+  for (int n = 0; n < kFrame; ++n) {
+    float y = out[n];
     if (y > 32767.f) y = 32767.f;
     if (y < -32768.f) y = -32768.f;
     pcm[n] = (int16_t)std::lrint(y);
