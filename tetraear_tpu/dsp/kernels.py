@@ -18,7 +18,6 @@ TPU-first formulations of the chain in tetraear_tpu.ref.demod:
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ tetraear/ui/modern.py:1908-1910).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ block size — the property that lets the TPU runtime shard the time axis.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

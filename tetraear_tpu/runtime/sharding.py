@@ -23,7 +23,6 @@ tetraear_tpu.runtime.stream.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

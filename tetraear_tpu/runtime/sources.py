@@ -18,7 +18,6 @@ so the Pipeline, scanners and tools are agnostic to where samples come from
 from __future__ import annotations
 
 import logging
-import os
 from pathlib import Path
 
 import numpy as np

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tetraear_tpu.frame.decoder import SCANNER_SYNC_PATTERN, TetraDecoder
+from tetraear_tpu.frame.decoder import TetraDecoder
 from tetraear_tpu.ref.demod import OracleDemod
 
 

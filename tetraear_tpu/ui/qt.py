@@ -21,7 +21,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 try:
-    from PyQt6.QtCore import Qt, QThread, QTimer, pyqtSignal
+    from PyQt6.QtCore import QThread, pyqtSignal
     from PyQt6.QtGui import QImage, QPixmap
     from PyQt6.QtWidgets import (QApplication, QCheckBox, QComboBox,
                                  QDoubleSpinBox, QHBoxLayout, QLabel,
