@@ -173,8 +173,14 @@ class WidebandScanner:
         from tetraear_tpu.dsp.pipeline import CarrierBankDemod
 
         iq = np.asarray(iq, np.complex64)
+        # FFT channelizer when the capture covers at least one block
+        # (one wideband FFT for all channels); conv frontend for short
+        # dwells
         bank = CarrierBankDemod(fs=self.fs, freqs_hz=self.offsets,
-                                block_len=self._block_len(len(iq)))
+                                frontend="fft")
+        if len(iq) < bank.block_len:
+            bank = CarrierBankDemod(fs=self.fs, freqs_hz=self.offsets,
+                                    block_len=self._block_len(len(iq)))
         out = bank.run(iq)
 
         # per-channel band power from the channelized baseband (after the
