@@ -56,6 +56,16 @@ class CarrierBankDemod:
             decim = chan_mod.choose_decim(self.fs)
             self.plan = design.build_resample_plan(
                 self.fs / decim, design.SYMBOL_RATE * sps)
+            # fold the RRC matched filter into the final resample stage
+            # (noble identity): one fewer pass over every carrier stream
+            self._rrc_folded = bool(self.plan.stages)
+            if self._rrc_folded:
+                stages = list(self.plan.stages)
+                stages[-1] = design.fold_fir_into_stage(stages[-1],
+                                                        self.rrc)
+                self.plan = design.ResamplePlan(
+                    in_rate=self.plan.in_rate, out_rate=self.plan.out_rate,
+                    stages=tuple(stages))
             g_back = self._granularity()
             self.channelizer = chan_mod.FFTChannelizer(
                 self.fs, self.freqs_hz, block_len,
@@ -161,8 +171,11 @@ class CarrierBankDemod:
                 jnp.asarray(self.nco["block_step"]), self.nco["fs"])
         y, stage_hist = kernels.plan_apply(
             self.plan, y, [kernels.r2c(h) for h in state["stage_hist"]])
-        y, rrc_hist = kernels.fir_apply(self.rrc, y,
-                                        kernels.r2c(state["rrc_hist"]))
+        if getattr(self, "_rrc_folded", False):
+            rrc_hist = kernels.r2c(state["rrc_hist"])     # unused, carried
+        else:
+            y, rrc_hist = kernels.fir_apply(self.rrc, y,
+                                            kernels.r2c(state["rrc_hist"]))
         tstate_c = {
             "tail": kernels.r2c(state["timing"]["tail"]),
             "next_t": state["timing"]["next_t"],
