@@ -1,0 +1,72 @@
+"""Fuzz tests: the host-side parsers consume untrusted RF bits and must
+never raise, whatever arrives."""
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.frame import lip, sds
+from tetraear_tpu.frame.decoder import TetraDecoder
+from tetraear_tpu.frame.location import LocationParser
+from tetraear_tpu.frame.mac import MacParser
+
+
+def test_fuzz_decode_frame(rng):
+    dec = TetraDecoder(auto_decrypt=False)
+    for _ in range(200):
+        bits = rng.integers(0, 2, 510)
+        frame = dec.decode_frame(bits)
+        assert frame is None or isinstance(frame, dict)
+
+
+def test_fuzz_decode_frame_with_decrypt(rng):
+    dec = TetraDecoder(auto_decrypt=True)
+    for _ in range(20):
+        bits = rng.integers(0, 2, 510)
+        frame = dec.decode_frame(bits)
+        assert frame is None or isinstance(frame, dict)
+
+
+def test_fuzz_mac_parser(rng):
+    parser = MacParser()
+    for n in (0, 1, 5, 8, 40, 216, 400):
+        for _ in range(30):
+            bits = rng.integers(0, 2, n).astype(np.uint8)
+            pdu = parser.parse_mac_pdu(bits)
+            if pdu is not None:
+                parser.parse_call_metadata(pdu)
+
+
+def test_fuzz_sds(rng):
+    for n in (0, 1, 2, 3, 7, 8, 16, 64, 200):
+        for _ in range(30):
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            out = sds.parse_sds_data(data)
+            assert out is None or isinstance(out, str)
+
+
+def test_fuzz_lip_and_location(rng):
+    for n in (0, 2, 5, 9, 12, 20):
+        for _ in range(30):
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            lip.parse_lip(data)
+            LocationParser.parse_lip_message(data)
+    for _ in range(50):
+        text = "".join(chr(c) for c in rng.integers(32, 300, 40))
+        LocationParser.parse_coordinates(text)
+
+
+def test_fuzz_decoder_symbols(rng):
+    dec = TetraDecoder(auto_decrypt=False)
+    for _ in range(5):
+        symbols = rng.integers(0, 8, 2000)
+        frames = dec.decode(symbols)
+        assert isinstance(frames, list)
+
+
+def test_lazy_package_exports():
+    import tetraear_tpu
+    assert tetraear_tpu.__version__
+    assert tetraear_tpu.TetraDecoder is not None
+    assert tetraear_tpu.TEADecryptor is not None
+    with pytest.raises(AttributeError):
+        tetraear_tpu.nope
