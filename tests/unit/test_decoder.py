@@ -100,3 +100,16 @@ def test_frame_dict_schema():
                 "position", "encrypted", "encryption_algorithm", "key_id",
                 "additional_info", "burst_crc", "mac_pdu"):
         assert key in f, key
+
+
+def test_format_frame_info():
+    stream = golden.build_stream([golden.sds_text_payload("ABC ABC")],
+                                 seed=13)
+    symbols = (stream[0::2].astype(np.int64) << 1) | stream[1::2]
+    d = TetraDecoder(auto_decrypt=False)
+    frames = d.decode(symbols)
+    info = d.format_frame_info(frames[0])
+    assert "Frame #" in info
+    assert "MAC-RESOURCE" in info
+    assert "[CLR]" in info
+    assert "ABC ABC" in info

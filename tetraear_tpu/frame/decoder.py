@@ -387,6 +387,48 @@ class TetraDecoder:
                     pass
         return frame_data
 
+    # -- display -----------------------------------------------------------
+
+    def format_frame_info(self, frame: dict) -> str:
+        """Multi-line human-readable frame summary (decoder.py:1121-1187)."""
+        lines = [f"Frame #{frame.get('number')} "
+                 f"(Type: {frame.get('type_name', '?')})"]
+        lines.append(f"  Position: {frame.get('position')}")
+        header = frame.get("header", "")
+        lines.append(f"  Header: {header[:32]}...")
+        msg = frame.get("sds_message") or frame.get("decoded_text")
+        if msg:
+            lines.append(f"  Message: {msg}")
+        if frame.get("encrypted"):
+            lines.append(f"  [ENC] Encrypted: Yes "
+                         f"({frame.get('encryption_algorithm', 'Unknown')})")
+            if frame.get("decrypted"):
+                extra = f" - {frame['key_used']}" if frame.get(
+                    "key_used") else ""
+                lines.append(f"  [DEC] Decrypted: Yes{extra}")
+            else:
+                err = frame.get("decryption_error")
+                lines.append(f"  [ERR] Decrypted: No"
+                             + (f" ({err})" if err else ""))
+        else:
+            lines.append("  [CLR] Encrypted: No")
+            pdu = frame.get("mac_pdu") or {}
+            data = pdu.get("data")
+            if isinstance(data, (bytes, bytearray)) and data and not msg:
+                printable = sum(1 for b in data
+                                if 32 <= b <= 126 or b in (10, 13))
+                if printable / len(data) > 0.7:
+                    text = bytes(data).decode("latin-1",
+                                              errors="replace").strip()
+                    lines.append(f"  [TXT] Data: {text[:80]}")
+                else:
+                    lines.append(f"  [HEX] Data: {bytes(data).hex()[:64]}...")
+        if frame.get("is_reassembled"):
+            lines.append("  (Reassembled from fragments)")
+        if frame.get("has_voice"):
+            lines.append("  Contains voice data")
+        return "\n".join(lines)
+
     # -- decryption bruteforce ---------------------------------------------
 
     def _score_decrypt(self, plaintext: bytes) -> int:
