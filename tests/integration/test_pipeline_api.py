@@ -275,3 +275,14 @@ def test_voice_accumulator(tmp_path):
     done = acc.poll(now=t + 5)
     assert len(done) == 1
     assert "tg101" in done[0].name
+
+
+def test_pipeline_raw_fm_hook(synth_source):
+    chunks = []
+    cfg = PipelineConfig(sample_rate=2.4e6, detect_gate=False, voice=False,
+                         raw_fm=True)
+    pipe = Pipeline(cfg, on_raw_audio=chunks.append)
+    pipe.run(synth_source, max_blocks=2)
+    assert len(chunks) == 2
+    assert len(chunks[0]) == pipe.block_len
+    assert np.isfinite(chunks[0]).all()

@@ -56,6 +56,7 @@ class PipelineConfig:
     carrier_afc: bool = True            # per-carrier d^4 tracking loop
     fft_size: int = 2048
     voice: bool = True                  # decode voice when codec available
+    raw_fm: bool = False                # FM-demod raw audio monitoring
 
 
 @dataclass
@@ -85,7 +86,8 @@ class Pipeline:
     """Streaming demod/decode engine over any IQSource."""
 
     def __init__(self, config: PipelineConfig, on_frame=None,
-                 on_spectrum=None, on_audio=None, on_status=None):
+                 on_spectrum=None, on_audio=None, on_status=None,
+                 on_raw_audio=None):
         from tetraear_tpu.dsp.pipeline import CarrierBankDemod
 
         self.config = config
@@ -93,6 +95,8 @@ class Pipeline:
         self.on_spectrum = on_spectrum
         self.on_audio = on_audio
         self.on_status = on_status
+        self.on_raw_audio = on_raw_audio
+        self._fm_prev = 1.0 + 0j
 
         # Round block length down to the demod granularity.
         probe = CarrierBankDemod(fs=config.sample_rate, freqs_hz=[0.0],
@@ -202,6 +206,12 @@ class Pipeline:
                 # (modern.py:5135-5169)
                 if abs(peak_off) < 10_000:
                     self._afc_offset += 0.1 * (peak_off - self._afc_offset)
+
+        if self.config.raw_fm and self.on_raw_audio is not None:
+            # FM-demod raw monitoring path (modern.py:2040-2061)
+            from tetraear_tpu.dsp import fm
+            audio, self._fm_prev = fm.fm_demod(block, self._fm_prev)
+            self.on_raw_audio(audio)
 
         out, self.state = self.bank.step(block, self.state)
         hard = np.asarray(out["hard"])
