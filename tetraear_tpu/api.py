@@ -316,12 +316,20 @@ class Pipeline:
     # -- run loops ---------------------------------------------------------
 
     def run(self, source, max_blocks: int | None = None) -> PipelineStats:
-        """Consume a source until EOF/max_blocks; callbacks fire per event."""
+        """Consume a source until EOF/max_blocks; callbacks fire per event.
+
+        A final partial block at EOF is zero-padded so the tail of a
+        capture file still decodes (frames inside the padding region fail
+        CRC and are filtered normally)."""
         with source:
             n = 0
             while max_blocks is None or n < max_blocks:
                 block = source.read_samples(self.block_len)
                 if len(block) < self.block_len:
+                    if len(block) > self.block_len // 8:
+                        pad = np.zeros(self.block_len - len(block),
+                                       np.complex64)
+                        self.process_block(np.concatenate([block, pad]))
                     break
                 self.process_block(block)
                 n += 1

@@ -372,8 +372,16 @@ class TetraDecoder:
                 if not burst.crc_ok:
                     return None
 
-        if frame_data.get("encrypted") and (self.key_manager
-                                            or self.auto_decrypt):
+        # Only bruteforce when there is nothing readable already: the
+        # entropy heuristic routinely flags short clear texts (unique-byte
+        # ratio of normal prose edges over 0.7), and the reference then
+        # lets any >=80-scoring garbage overwrite the good SDS
+        # (decoder.py:1106-1117).
+        readable_clear = bool(
+            frame_data.get("sds_message")
+            and not str(frame_data["sds_message"]).startswith("[BIN"))
+        if (frame_data.get("encrypted") and not readable_clear
+                and (self.key_manager or self.auto_decrypt)):
             frame_data = self._decrypt_frame(frame_data)
             if frame_data.get("decrypted") and "decrypted_bytes" in frame_data:
                 try:
