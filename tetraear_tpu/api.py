@@ -99,8 +99,7 @@ class Pipeline:
         self._fm_prev = 1.0 + 0j
 
         # Round block length down to the demod granularity.
-        probe = CarrierBankDemod(fs=config.sample_rate, freqs_hz=[0.0],
-                                 block_len=400)
+        probe = CarrierBankDemod(fs=config.sample_rate, freqs_hz=[0.0])
         gran = probe.granularity
         self.block_len = max(gran, (config.block_len // gran) * gran)
         self.bank = CarrierBankDemod(

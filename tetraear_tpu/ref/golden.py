@@ -36,13 +36,19 @@ def _data_to_slot_index(j: int) -> int:
 
 def build_mac_resource_data_bits(payload: bytes, address: int = 0x123456,
                                  rng: np.random.Generator | None = None,
-                                 max_tries: int = 20000) -> np.ndarray:
+                                 max_tries: int = 20000,
+                                 enc_mode: int = 0) -> np.ndarray:
     """216-bit data view: MAC-RESOURCE header + payload + CRC, where the CRC
-    tail agrees (<=2 bit errors) with the sync word that will overlay it."""
+    tail agrees (<=2 bit errors) with the sync word that will overlay it.
+
+    enc_mode: MAC encryption-mode bits (0 clear, 1 SCK, 2 DCK); pass an
+    already-encrypted payload when nonzero."""
     rng = rng or np.random.default_rng(0)
     sync = burst_mod.SYNC_CONTINUOUS_DOWNLINK
 
-    header = np.zeros(5, dtype=np.uint8)          # type=00 enc=00 fill=0
+    header = np.zeros(5, dtype=np.uint8)          # type=00 enc fill=0
+    header[2] = (enc_mode >> 1) & 1
+    header[3] = enc_mode & 1
     addr_bits = np.array([(address >> i) & 1 for i in range(23, -1, -1)],
                          dtype=np.uint8)
     n_payload = len(payload)

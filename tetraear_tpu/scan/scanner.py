@@ -221,8 +221,8 @@ class WidebandScanner:
         return results
 
     def _block_len(self, n: int) -> int:
-        # one block covering the whole capture, rounded to granularity 400
+        # one block covering the whole capture, rounded to the granularity
         from tetraear_tpu.dsp.pipeline import CarrierBankDemod
-        probe = CarrierBankDemod(fs=self.fs, freqs_hz=[0.0], block_len=400)
+        probe = CarrierBankDemod(fs=self.fs, freqs_hz=[0.0])
         gran = probe.granularity
         return max(gran, (min(n, 512 * 1024) // gran) * gran)
