@@ -69,3 +69,25 @@ def test_voice_through_rf(tmp_path):
     ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
     peak = int(np.argmax(ac[40:80])) + 40
     assert abs(peak - 57) <= 3
+
+
+def test_listen_clear_tool_records_calls(tmp_path):
+    """The listen-clear workload end-to-end: synthetic voice carrier ->
+    decode -> VoiceAccumulator -> call WAV with the speech pitch."""
+    from tetraear_tpu.tools import listen_clear
+    from tetraear_tpu.voice.export import read_wav
+
+    rc = listen_clear.main(["--source", "synthetic-voice",
+                            "--max-blocks", "4",
+                            "-o", str(tmp_path), "--gap", "0.5"])
+    assert rc == 0
+    wavs = list(tmp_path.glob("call_*.wav"))
+    assert wavs, "no call recorded"
+    pcm, rate = read_wav(wavs[0])
+    assert rate == 8000
+    assert len(pcm) >= 2000
+    seg = pcm[240:].astype(np.float64)
+    seg -= seg.mean()
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak = int(np.argmax(ac[40:80])) + 40
+    assert abs(peak - 57) <= 3

@@ -139,14 +139,68 @@ class SyntheticTetraSource(IQSource):
 
     def __init__(self, sample_rate: float = 2.4e6, offsets_hz=(0.0,),
                  payload_texts=("HELLO HELLO",), snr_db: float | None = 20,
-                 frequency: float = 392.5e6, seed: int = 0):
+                 frequency: float = 392.5e6, seed: int = 0,
+                 voice: bool = False, voice_pitch: int = 57):
         super().__init__(frequency=frequency, sample_rate=sample_rate)
         self.offsets_hz = list(offsets_hz)
         self.payload_texts = list(payload_texts)
         self.snr_db = snr_db
         self.seed = seed
+        self.voice = voice
+        self.voice_pitch = voice_pitch
         self._buf = np.zeros(0, np.complex64)
         self._chunk_idx = 0
+
+    def _voice_bits(self, seed: int) -> np.ndarray:
+        """Four channel-encoded speech slots (requires the codec lib)."""
+        import ctypes
+
+        from tetraear_tpu.ref import golden
+        from tetraear_tpu.voice import codec as vcodec
+        vp = vcodec.VoiceProcessor()
+        if not vp.working:
+            raise RuntimeError("voice source requires the codec library")
+        lib = vp._lib
+        rng = np.random.default_rng(seed)
+        n = 4 * 480
+        exc = np.zeros(n)
+        exc[::self.voice_pitch] = 1.0
+        exc += 0.05 * rng.standard_normal(n)
+        y = np.zeros(n)
+        for i in range(n):
+            y[i] = exc[i]
+            if i > 0:
+                y[i] += 1.2 * y[i - 1]
+            if i > 1:
+                y[i] += -0.8 * y[i - 2]
+            if i > 2:
+                y[i] += 0.3 * y[i - 3]
+        pcm = (y / np.max(np.abs(y)) * 8000).astype(np.int16)
+        enc = lib.tetra_speech_encoder_new()
+        slots = []
+        try:
+            for si in range(4):
+                params = np.zeros((2, 138), np.int16)
+                for f in range(2):
+                    seg = np.ascontiguousarray(
+                        pcm[si * 480 + f * 240:si * 480 + (f + 1) * 240])
+                    lib.tetra_speech_encode(
+                        enc,
+                        seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                        params[f].ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int16)))
+                block = np.zeros(vcodec.CODEC_BLOCK_WORDS, np.int16)
+                lib.tetra_channel_encode(
+                    np.ascontiguousarray(params).ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int16)),
+                    block.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+                soft = np.concatenate([block[1:115], block[116:230],
+                                       block[231:345], block[346:436]])
+                slots.append(golden.build_voice_slot(
+                    (soft[:432] > 0).astype(np.uint8), rng=rng))
+        finally:
+            lib.tetra_speech_encoder_free(enc)
+        return np.concatenate(slots)
 
     def _generate_chunk(self) -> np.ndarray:
         from tetraear_tpu.ref import golden, modulator
@@ -157,8 +211,11 @@ class SyntheticTetraSource(IQSource):
         self._chunk_idx += 1
         parts = []
         for off in self.offsets_hz:
-            bits = golden.build_stream(payloads, seed=seed,
-                                       sysinfo_every=4)
+            if self.voice:
+                bits = self._voice_bits(seed)
+            else:
+                bits = golden.build_stream(payloads, seed=seed,
+                                           sysinfo_every=4)
             pad = np.random.default_rng(seed + 5).integers(
                 0, 2, 64).astype(np.uint8)
             parts.append(modulator.generate_carrier(
@@ -283,9 +340,11 @@ def open_source(spec: str, sample_rate: float = 2.4e6,
         return RTLSDRSource(frequency=frequency, sample_rate=sample_rate,
                             gain=gain)
     if spec.startswith("synthetic"):
+        voice = spec.startswith("synthetic-voice")
         offsets = (0.0,)
         if ":" in spec:
             offsets = tuple(float(o) for o in spec.split(":", 1)[1].split(","))
         return SyntheticTetraSource(sample_rate=sample_rate,
-                                    offsets_hz=offsets, frequency=frequency)
+                                    offsets_hz=offsets, frequency=frequency,
+                                    voice=voice)
     return FileIQSource(spec, sample_rate=sample_rate, frequency=frequency)
