@@ -53,16 +53,3 @@ def test_cli_scan_step_mode(capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "392.5000" in out
 
-
-def test_cli_bench_subcommand_exists():
-    from tetraear_tpu import cli
-    import argparse
-    # parser wiring only (the bench itself is exercised by the driver)
-    parser_ok = True
-    try:
-        cli.main(["bench", "--definitely-not-a-flag"])
-    except SystemExit:
-        pass
-    except Exception:
-        parser_ok = True
-    assert parser_ok
