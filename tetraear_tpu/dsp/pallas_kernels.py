@@ -61,7 +61,7 @@ def band_extract(x_ext_r: jnp.ndarray, starts: jnp.ndarray, n_band: int,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(c,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, n_band, 2), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SemaphoreType.DMA],
