@@ -121,6 +121,8 @@ class Pipeline:
                 d.set_keys(list(config.keys))
         self.validator = (TetraSignalValidator(config.expected_mcc)
                           if config.validate else None)
+        from tetraear_tpu.frame.aggregator import CallAggregator
+        self.aggregator = CallAggregator()
         self.stats = PipelineStats()
 
         # per-carrier leftover symbols for frame alignment across blocks
@@ -278,6 +280,8 @@ class Pipeline:
 
         if self.voice is not None:
             self._try_voice(frame)
+
+        self.aggregator.add_frame(frame)
 
         if self._jsonl is not None:
             self._jsonl.write(json.dumps(_jsonable(frame)) + "\n")

@@ -135,7 +135,9 @@ def cmd_listen(args) -> int:
     except KeyboardInterrupt:
         stats = pipe.stats
         print("\nstopped")
-    print(json.dumps(stats.as_dict(), indent=2, default=str))
+    summary = stats.as_dict()
+    summary["activity"] = pipe.aggregator.snapshot()
+    print(json.dumps(summary, indent=2, default=str))
     return 0
 
 
