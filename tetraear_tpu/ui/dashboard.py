@@ -57,10 +57,18 @@ class Dashboard:
         h, w = scr.getmaxyx()
         scr.erase()
         stats = self.pipeline.stats
+        agg = getattr(self.pipeline, "aggregator", None)
+        act = ""
+        if agg is not None:
+            snap = agg.snapshot()
+            tgs = ",".join(str(g["talkgroup"]) for g in snap["groups"][:3])
+            act = (f" | calls={len(snap['active_calls'])} "
+                   f"groups={len(snap['groups'])}"
+                   + (f" [{tgs}]" if tgs else ""))
         scr.addnstr(0, 0, f" {self.title}  |  frames={stats.frames} "
                     f"crc={stats.crc_pass} sds={stats.sds_messages} "
                     f"voice={stats.voice_frames} "
-                    f"enc={stats.encrypted}/{stats.decrypted}dec ",
+                    f"enc={stats.encrypted}/{stats.decrypted}dec{act} ",
                     w - 1, curses.A_REVERSE)
         scr.addnstr(1, 0, self._spectrum_row(w - 1), w - 1)
         scr.addnstr(2, 0, "-" * (w - 1), w - 1)

@@ -295,6 +295,8 @@ if QT_AVAILABLE:
                                  sample_rate=cfg.sample_rate,
                                  frequency=freq,
                                  gain=self.settings.get("gain", "auto"))
+            from tetraear_tpu.frame.aggregator import CallAggregator
+            self.aggregator = CallAggregator()
             self.thread = CaptureThread(cfg, source)
             self.thread.frame_decoded.connect(self.on_frame)
             self.thread.spectrum_update.connect(self.waterfall.push)
@@ -340,6 +342,18 @@ if QT_AVAILABLE:
             ssi = meta.get("source_ssi")
             if ssi:
                 self.users[ssi] = self.users.get(ssi, 0) + 1
+            if getattr(self, "aggregator", None) is not None:
+                self.aggregator.add_frame(frame)
+                snap = self.aggregator.snapshot()
+                t2 = self.calls_table
+                t2.setRowCount(len(snap["active_calls"]))
+                for r2, c2 in enumerate(snap["active_calls"]):
+                    vals2 = [str(c2["talkgroup"]), str(c2["source_ssi"]),
+                             "", c2["type"], "", 
+                             "yes" if c2["encrypted"] else "no",
+                             str(c2["frames"])]
+                    for cc, vv in enumerate(vals2):
+                        t2.setItem(r2, cc, QTableWidgetItem(vv))
             self._refresh_agg()
 
         def _refresh_agg(self):
