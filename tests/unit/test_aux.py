@@ -137,3 +137,29 @@ def test_pipeline_survives_source_faults():
                 fail += 1
     assert ok >= 4 and fail == 2
     assert len(frames) >= 6          # stream continued across faults
+
+
+def test_structure_tracker_place_at():
+    tr = FrameStructureTracker()
+    s = tr.place_at(4 * 18 + 1, crc_ok=True)     # slot 1 of frame 0, mf 1
+    assert (s.slot_number, s.frame_number) == (1, 0)
+    assert tr.current_multiframe == 1
+    assert tr.stats()["slots_seen"] == 4 * 18 + 2
+    assert tr.crc_by_slot[1] == 1
+
+
+def test_pipeline_frames_carry_tdma():
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.ref import golden
+
+    payloads = [golden.sds_text_payload("HELLO HELLO")] * 4
+    iq = golden.golden_iq(payloads, fs=2.4e6, snr_db=25, seed=41)
+    frames = []
+    pipe = Pipeline(PipelineConfig(sample_rate=2.4e6, detect_gate=False),
+                    on_frame=frames.append)
+    pipe.process_block(iq[:pipe.block_len])
+    assert frames
+    tds = [f["tdma"] for f in frames if "tdma" in f]
+    assert tds, "no TDMA coordinates attached"
+    assert all(0 <= t["slot"] < 4 and 0 <= t["frame"] < 18 for t in tds)
+    assert pipe.trackers[0].slot_counter > 0

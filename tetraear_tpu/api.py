@@ -122,7 +122,10 @@ class Pipeline:
         self.validator = (TetraSignalValidator(config.expected_mcc)
                           if config.validate else None)
         from tetraear_tpu.frame.aggregator import CallAggregator
+        from tetraear_tpu.frame.structure import FrameStructureTracker
         self.aggregator = CallAggregator()
+        self.trackers = [FrameStructureTracker()
+                         for _ in range(self.n_carriers)]
         self.stats = PipelineStats()
 
         # per-carrier leftover symbols for frame alignment across blocks
@@ -260,6 +263,17 @@ class Pipeline:
         return frames_out
 
     def _handle_frame(self, frame: dict) -> None:
+        ci = frame.get("carrier", 0)
+        if "stream_symbol" in frame and ci < len(self.trackers):
+            # 255 symbols per slot -> absolute TDMA slot index
+            slot = self.trackers[ci].place_at(
+                frame["stream_symbol"] // 255,
+                crc_ok=bool(frame.get("burst_crc")))
+            tr = self.trackers[ci]
+            frame["tdma"] = {"slot": slot.slot_number,
+                             "frame": slot.frame_number,
+                             "multiframe": tr.current_multiframe,
+                             "hyperframe": tr.current_hyperframe}
         self.stats.frames += 1
         if frame.get("burst_crc"):
             self.stats.crc_pass += 1

@@ -137,6 +137,8 @@ def cmd_listen(args) -> int:
         print("\nstopped")
     summary = stats.as_dict()
     summary["activity"] = pipe.aggregator.snapshot()
+    summary["tdma"] = [t.stats() for t in pipe.trackers
+                       if t.slot_counter]
     print(json.dumps(summary, indent=2, default=str))
     return 0
 

@@ -79,6 +79,30 @@ class FrameStructureTracker:
         return TetraSlot(slot_number=slot_number, frame_number=frame_number,
                          burst=burst)
 
+    def place_at(self, slot_index: int,
+                 crc_ok: bool | None = None) -> TetraSlot:
+        """Place an observed burst at an absolute slot index.
+
+        The streaming pipeline derives the index from the frame's global
+        symbol position (255 symbols/slot), so unobserved slots between
+        sync hits are skipped rather than miscounted.
+        """
+        slot_number = slot_index % SLOTS_PER_FRAME
+        frame_number = (slot_index // SLOTS_PER_FRAME) % FRAMES_PER_MULTIFRAME
+        self.current_multiframe = (
+            slot_index // (SLOTS_PER_FRAME * FRAMES_PER_MULTIFRAME)
+        ) % MULTIFRAMES_PER_HYPERFRAME
+        self.current_hyperframe = slot_index // (
+            SLOTS_PER_FRAME * FRAMES_PER_MULTIFRAME
+            * MULTIFRAMES_PER_HYPERFRAME)
+        self.slot_counter = max(self.slot_counter, slot_index + 1)
+        if crc_ok is not None:
+            self.slot_occupancy[slot_number] += 1
+            if crc_ok:
+                self.crc_by_slot[slot_number] += 1
+        return TetraSlot(slot_number=slot_number, frame_number=frame_number,
+                         burst=None)
+
     def stats(self) -> dict:
         return {
             "slots_seen": self.slot_counter,
