@@ -23,6 +23,13 @@ _EXPORTS = {
                              "SyntheticTetraSource"),
     "FrequencyScanner": ("tetraear_tpu.scan.scanner", "FrequencyScanner"),
     "WidebandScanner": ("tetraear_tpu.scan.scanner", "WidebandScanner"),
+    "CallAggregator": ("tetraear_tpu.frame.aggregator", "CallAggregator"),
+    "FrameStructureTracker": ("tetraear_tpu.frame.structure",
+                              "FrameStructureTracker"),
+    "ShardedDemod": ("tetraear_tpu.runtime.sharding", "ShardedDemod"),
+    "ShardedFFTDemod": ("tetraear_tpu.runtime.sharding",
+                        "ShardedFFTDemod"),
+    "make_mesh": ("tetraear_tpu.runtime.sharding", "make_mesh"),
 }
 
 
