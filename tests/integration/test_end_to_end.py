@@ -76,3 +76,25 @@ def test_encrypted_frame_decrypt_roundtrip():
     assert out["decrypted"]
     assert "EMERGENCY AT DOCK 5" in bytes.fromhex(
         out["decrypted_bytes"]).decode("latin-1")
+
+
+@pytest.mark.integration
+def test_sensitivity_floor():
+    """Full decode down to -8 dB wideband SNR (~10 dB in the 25 kHz
+    channel) — the matched-filter chain's sensitivity contract.  The
+    reference chain (legacy parity harness) decodes nothing below ~15 dB
+    wideband; the cliff here is near -12 dB (~6 dB in-band)."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.ref import golden
+
+    payloads = [golden.sds_text_payload("HELLO HELLO")] * 4
+    iq = golden.golden_iq(payloads, fs=2.4e6, snr_db=-8, seed=77)
+    frames = []
+    pipe = Pipeline(PipelineConfig(sample_rate=2.4e6, detect_gate=False,
+                                   validate=False, auto_decrypt=False),
+                    on_frame=frames.append)
+    pipe.process_block(iq[:pipe.block_len])
+    assert len(frames) == 3
+    assert all(f.get("burst_crc") for f in frames)
+    assert sum("HELLO" in (f.get("sds_message") or "")
+               for f in frames) == 3

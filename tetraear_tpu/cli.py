@@ -185,7 +185,11 @@ def cmd_decode_file(args) -> int:
     pipe = _make_pipeline(args, on_frame=listener.on_frame)
     src = _open_source(args)
     stats = pipe.run(src, max_blocks=args.max_blocks)
-    print(json.dumps(stats.as_dict(), indent=2, default=str))
+    summary = stats.as_dict()
+    summary["activity"] = pipe.aggregator.snapshot()
+    summary["tdma"] = [t.stats() for t in pipe.trackers
+                       if t.slot_counter]
+    print(json.dumps(summary, indent=2, default=str))
     return 0
 
 
