@@ -136,3 +136,26 @@ def test_fft_frontend_validates_block():
     with pytest.raises(ValueError):
         CarrierBankDemod(fs=2.4e6, freqs_hz=[0.0], block_len=12_345,
                          frontend="fft")
+
+
+def test_pallas_extract_flag_bit_exact(monkeypatch):
+    """TETRAEAR_PALLAS_EXTRACT=1 swaps the aligned row gather for the
+    plane-layout Pallas DMA kernel (interpret mode off-TPU); symbol
+    decisions must be identical."""
+    fs = 10.24e6
+    rng = np.random.default_rng(0)
+    hot = [-3_012_500.0, -37_500.0, 12_500.0, 2_512_500.0]
+    bits = [rng.integers(0, 2, 2200).astype(np.uint8) for _ in hot]
+    iq = modulator.generate_multi_carrier(
+        bits, fs=fs, offsets_hz=hot, snr_db=20,
+        rng=np.random.default_rng(1))
+    base = CarrierBankDemod(fs=fs, freqs_hz=hot, frontend="fft")
+    iq = _pad_to(iq, base.block_len, np.random.default_rng(2))
+    ref = base.run(iq[:base.block_len])
+
+    monkeypatch.setenv("TETRAEAR_PALLAS_EXTRACT", "1")
+    bank = CarrierBankDemod(fs=fs, freqs_hz=hot, frontend="fft")
+    assert bank.channelizer.use_pallas
+    out = bank.run(iq[:bank.block_len])
+    np.testing.assert_array_equal(np.asarray(ref["symbols"]),
+                                  np.asarray(out["symbols"]))

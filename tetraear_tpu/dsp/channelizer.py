@@ -142,6 +142,17 @@ class FFTChannelizer:
             rows = self.n_band // 128
             self.row_idx = (self.band_start[:, None] // 128
                             + np.arange(rows)[None, :]).astype(np.int32)
+        # Opt-in Pallas DMA extraction (one async copy per carrier on the
+        # re/im-plane layout; hardware-validated).  Off by default: the
+        # XLA row gather compiles to near-identical DMAs, and keeping the
+        # default graph unchanged preserves the persistent compile cache.
+        import os
+        self.use_pallas = (self.aligned
+                           and os.environ.get("TETRAEAR_PALLAS_EXTRACT")
+                           == "1"
+                           and self.n_band % 1024 == 0)
+        if self.use_pallas:
+            self.row_start = (self.band_start // 128).astype(np.int32)
 
         # per-block phase-correction step: (k_c * block_len) mod nfft,
         # exact integers < nfft <= 2^22 (float32-exact below 2^24)
@@ -167,7 +178,16 @@ class FFTChannelizer:
         X = jnp.fft.fft(xx)
         # wrap-extend so every band is one contiguous slice
         x_ext = jnp.concatenate([X, X[:self.n_band]])
-        if self.aligned:
+        if self.use_pallas:
+            from tetraear_tpu.dsp import pallas_kernels as pk
+            planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
+            planes = planes.reshape(2, -1, 128)
+            got = pk.band_extract_rows(
+                planes, jnp.asarray(self.row_start), self.n_band // 128,
+                interpret=jax.default_backend() != "tpu")
+            nat = jax.lax.complex(got[:, 0], got[:, 1])
+            nat = nat.reshape(len(self.k_c), self.n_band)
+        elif self.aligned:
             rows = x_ext.reshape(-1, 128)             # (.., 128) lanes
             nat = rows[jnp.asarray(self.row_idx)]     # (C, nb/128, 128)
             nat = nat.reshape(len(self.k_c), self.n_band)
