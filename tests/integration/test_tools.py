@@ -103,3 +103,16 @@ def test_verify_codec_tool():
     if not codec.VoiceProcessor().working:
         pytest.skip("codec library not built")
     assert verify_codec.main([]) == 0
+
+
+def test_cli_wideband_scan(capsys):
+    """The `scan --wideband` subcommand end-to-end on a synthetic band."""
+    from tetraear_tpu import cli
+
+    rc = cli.main(["scan", "--wideband", "--source", "synthetic:12500",
+                   "--dwell", "0.15"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "active TETRA channel(s)" in out
+    # the planted 12.5 kHz carrier is found (grid channel 392.5125 MHz)
+    assert "392.5125" in out and " *" in out
