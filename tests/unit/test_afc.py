@@ -68,3 +68,30 @@ def test_afc_recovers_2khz_offset():
     m_yes = _best(with_afc["symbols"][0][400:], probe)
     assert m_no < 0.95
     assert m_yes == 1.0
+
+
+@pytest.mark.integration
+def test_afc_with_clock_drift_combined():
+    """The real-world RTL-SDR condition: the same crystal error shifts
+    both the LO (~+1.5 kHz at 392 MHz for ~4 ppm... exaggerated here to
+    +1.5 kHz) and the sample clock (500 ppm, exaggerated likewise).
+    Carrier AFC + per-block O&M snap must absorb both at once."""
+    from scipy import signal as ss
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, 8000).astype(np.uint8)
+    tx = modulator.bits_to_symbols(bits)
+    iq = modulator.generate_carrier(
+        bits, fs=2.4e6, freq_offset_hz=1_500.0, snr_db=20,
+        rng=np.random.default_rng(5))
+    iq = ss.resample_poly(iq, 100_050, 100_000).astype(np.complex64)
+
+    bank = CarrierBankDemod(fs=2.4e6, freqs_hz=[0.0], block_len=48_000,
+                            afc=True)
+    out = bank.run(iq)
+    sym = out["symbols"][0]
+    # drifted sample clock shifts which TX span the RX tail lands on:
+    # search TX for the steady-state RX tail (as the timing-mode tests do)
+    tail = sym[len(sym) // 2:len(sym) // 2 + 1200]
+    match = max(float(np.mean(tail == tx[s:s + len(tail)]))
+                for s in range(len(tx) - len(tail)))
+    assert match == 1.0
