@@ -38,6 +38,7 @@ def test_sharded_fft_bit_exact():
     assert out["hard"].shape[:2] == (len(offs), sd.n_time)
     assert out["sync_hits"] > 0
 
+    bases = {}
     for ci in range(len(offs)):
         tx = modulator.bits_to_symbols(bits[ci])
         for t in range(sd.n_time):
@@ -51,6 +52,21 @@ def test_sharded_fft_bit_exact():
                     best, bpos = m, s
             assert best > 0.999, f"carrier {ci} shard {t} misaligned"
             base = bpos - 80
-            errs = sum(1 for k in range(80, len(seg))
+            bases[(ci, t)] = (base, len(seg))
+            # the channel-rate back-half halo makes the ENTIRE exposed
+            # span exact (not just past a warmup region): zero symbol
+            # errors from the first exposed symbol onward
+            errs = sum(1 for k in range(8, len(seg))
                        if 0 <= base + k < len(tx) and seg[k] != tx[base + k])
             assert errs == 0, f"carrier {ci} shard {t}: {errs} errors"
+
+    # boundary double-coverage: each shard's exposed halo overlaps the
+    # previous shard's tail by at least a full 255-symbol slot, so frames
+    # straddling a time-shard boundary are decodable in one shard
+    for ci in range(len(offs)):
+        for t in range(1, sd.n_time):
+            b_prev, n_prev = bases[(ci, t - 1)]
+            b_cur, _ = bases[(ci, t)]
+            overlap = (b_prev + n_prev) - b_cur
+            assert overlap >= 255, (
+                f"carrier {ci} boundary {t}: only {overlap} overlap syms")

@@ -17,11 +17,42 @@ def test_checkpoint_mismatch_raises(tmp_path):
     import jax.numpy as jnp
     state = {"a": jnp.ones(4), "b": jnp.zeros(2)}
     checkpoint.save_state(tmp_path / "s.npz", state)
-    leaves, _ = checkpoint.load_state(tmp_path / "s.npz")
+    leaves, extra = checkpoint.load_state(tmp_path / "s.npz")
     with pytest.raises(ValueError):
         checkpoint.restore_into({"a": jnp.ones(4)}, leaves)
     restored = checkpoint.restore_into(state, leaves)
     assert np.array_equal(np.asarray(restored["a"]), np.ones(4))
+
+    # same leaf COUNT but different structure -> treedef mismatch error
+    other = {"x": jnp.ones(4), "y": jnp.zeros(2)}
+    with pytest.raises(ValueError, match="tree structure"):
+        checkpoint.restore_into(other, leaves,
+                                saved_treedef=extra["__treedef__"])
+    # same structure but different shapes -> descriptive shape error
+    shaped = {"a": jnp.ones(8), "b": jnp.zeros(2)}
+    with pytest.raises(ValueError, match="configuration mismatch"):
+        checkpoint.restore_into(shaped, leaves)
+
+
+def test_afc_retune_applies_offset():
+    """Capture-level AFC must act: past the threshold the source is
+    retuned and the offset folds into the displayed frequency."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.runtime import sources
+
+    cfg = PipelineConfig(carrier_offsets_hz=(12_500.0,), afc=True,
+                         afc_retune_hz=500.0, voice=False, validate=False,
+                         detect_gate=False, frequency=392.5e6)
+    pipe = Pipeline(cfg)
+    src = sources.SyntheticTetraSource(sample_rate=2.4e6, snr_db=30,
+                                       seed=1)
+    pipe._afc_offset = 3_000.0           # as if the FFT peak drifted
+    retunes = []
+    src.set_frequency = lambda f: retunes.append(f)
+    pipe._maybe_afc_retune(src)
+    assert retunes and abs(retunes[0] - 392.503e6) < 1.0
+    assert abs(pipe.config.frequency - 392.503e6) < 1.0
+    assert pipe._afc_offset == 0.0
 
 
 @pytest.mark.slow

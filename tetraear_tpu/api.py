@@ -53,6 +53,7 @@ class PipelineConfig:
     peak_avg_margin_db: float = 3.0
     loss_hysteresis_s: float = 0.5
     afc: bool = False                   # coarse capture-level AFC (FFT peak)
+    afc_retune_hz: float = 2000.0       # retune source when |offset| exceeds
     carrier_afc: bool = True            # per-carrier d^4 tracking loop
     fft_size: int = 2048
     voice: bool = True                  # decode voice when codec available
@@ -71,6 +72,7 @@ class PipelineStats:
     voice_frames: int = 0
     sds_messages: int = 0
     signal_present: bool = False
+    afc_offset_hz: float = 0.0
     started_at: float = field(default_factory=time.time)
 
     def as_dict(self) -> dict:
@@ -210,6 +212,7 @@ class Pipeline:
                 # (modern.py:5135-5169)
                 if abs(peak_off) < 10_000:
                     self._afc_offset += 0.1 * (peak_off - self._afc_offset)
+                self.stats.afc_offset_hz = self._afc_offset
 
         if self.config.raw_fm and self.on_raw_audio is not None:
             # FM-demod raw monitoring path (modern.py:2040-2061)
@@ -330,6 +333,27 @@ class Pipeline:
             if self.on_audio:
                 self.on_audio(audio)
 
+    def _maybe_afc_retune(self, source) -> None:
+        """Apply the smoothed capture-level AFC offset by retuning the
+        source, the way the reference applies its GUI AFC to the tuner
+        (modern.py:5135-5169).  Only fires past ``afc_retune_hz`` so the
+        per-carrier d^4 loops absorb small residuals; after a retune the
+        carrier loops re-lock (same transient as a reference retune)."""
+        if not self.config.afc or abs(self._afc_offset) \
+                < self.config.afc_retune_hz:
+            return
+        if not hasattr(source, "set_frequency"):
+            return
+        new_freq = self.config.frequency + self._afc_offset
+        logger.info("AFC retune: %+.0f Hz -> %.6f MHz",
+                    self._afc_offset, new_freq / 1e6)
+        source.set_frequency(new_freq)
+        self.config.frequency = new_freq
+        self._afc_offset = 0.0
+        self.stats.afc_offset_hz = 0.0
+        if self.on_status:
+            self.on_status(f"afc retune {new_freq / 1e6:.6f} MHz")
+
     # -- run loops ---------------------------------------------------------
 
     def run(self, source, max_blocks: int | None = None) -> PipelineStats:
@@ -349,6 +373,7 @@ class Pipeline:
                         self.process_block(np.concatenate([block, pad]))
                     break
                 self.process_block(block)
+                self._maybe_afc_retune(source)
                 n += 1
         if self._jsonl is not None:
             self._jsonl.close()
@@ -378,7 +403,8 @@ class Pipeline:
     def load_checkpoint(self, path) -> None:
         from tetraear_tpu.runtime import checkpoint
         leaves, extra = checkpoint.load_state(path)
-        self.state = checkpoint.restore_into(self.state, leaves)
+        self.state = checkpoint.restore_into(
+            self.state, leaves, saved_treedef=extra.get("__treedef__"))
         if "sym_base" in extra:
             self._sym_base = list(extra["sym_base"])
         self._first_block = False

@@ -185,7 +185,8 @@ class CarrierBankDemod:
         if self.afc:
             # closed-loop per-carrier frequency tracking (d^4 detector)
             syms, afc_phase = timing.apply_freq_correction(
-                syms, state["afc_omega"], state["afc_phase"])
+                syms, state["afc_omega"], state["afc_phase"],
+                n_valid=jnp.sum(valid, axis=1))
             err = timing.afc_error(syms, valid)
             afc_omega = state["afc_omega"] + self.afc_gain * err
         else:
@@ -233,6 +234,7 @@ class CarrierBankDemod:
         state = self.init_state()
         hards = [[] for _ in range(self.n_carriers)]
         softs = [[] for _ in range(self.n_carriers)]
+        power_acc = np.zeros(self.n_carriers, np.float64)
         first = True
         for b in range(n_blocks):
             x = iq[b * self.block_len:(b + 1) * self.block_len]
@@ -240,6 +242,8 @@ class CarrierBankDemod:
             hard = np.asarray(out["hard"])
             soft = np.asarray(out["soft"])
             valid = np.asarray(out["valid"])
+            bb = np.asarray(out["baseband"])        # (C, n72, 2)
+            power_acc += np.mean(bb[..., 0] ** 2 + bb[..., 1] ** 2, axis=1)
             for ci in range(self.n_carriers):
                 v = valid[ci]
                 h = hard[ci][v]
@@ -255,6 +259,9 @@ class CarrierBankDemod:
             "soft_bits": [np.concatenate(s) if s else np.zeros((0, 2),
                                                               np.float32)
                           for s in softs],
+            # mean per-carrier channelized band power (linear); real signal
+            # power, unlike anything derivable from unit-normalized softs
+            "power": power_acc / max(n_blocks, 1),
         }
 
 

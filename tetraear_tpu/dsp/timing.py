@@ -153,14 +153,25 @@ def afc_error(symbols: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_freq_correction(symbols: jnp.ndarray, omega: jnp.ndarray,
-                          phase0: jnp.ndarray) -> tuple:
+                          phase0: jnp.ndarray,
+                          n_valid: jnp.ndarray | None = None) -> tuple:
     """Derotate symbol-spaced samples by a per-carrier frequency omega
-    (rad/symbol) with carried phase.  Returns (corrected, new_phase0)."""
+    (rad/symbol) with carried phase.  Returns (corrected, new_phase0).
+
+    ``n_valid`` is the per-carrier count of real symbols in this block
+    (timing_recover's mask sum).  The carried phase advances by
+    omega * n_valid — advancing by the padded slot count K instead would
+    over-rotate the next block's first symbol by omega*(K - n_valid)
+    whenever a block yields fewer than K symbols.
+    """
     k = jnp.arange(symbols.shape[1], dtype=jnp.float32)[None, :]
     ang = phase0[:, None] + omega[:, None] * k
     rot = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
+    if n_valid is None:
+        n_valid = jnp.full(symbols.shape[:1], symbols.shape[1],
+                           jnp.float32)
     new_phase0 = jnp.mod(
-        phase0 + omega * jnp.float32(symbols.shape[1]),
+        phase0 + omega * n_valid.astype(jnp.float32),
         jnp.float32(TWO_PI))
     return symbols * rot, new_phase0
 

@@ -32,11 +32,12 @@ def save_state(path, state, extra: dict | None = None) -> None:
 
 
 def load_state(path) -> tuple:
-    """Returns (state_leaves_as_list_or_pytree, extra_dict).
+    """Returns (state_leaves_as_list, extra_dict).
 
-    The treedef is reconstructed structurally: leaves are returned in
-    flatten order, and the caller's current state template is used to
-    unflatten (shapes must match the pipeline configuration).
+    Leaves come back in flatten order; the caller's current state template
+    is used to unflatten.  The saved treedef string travels along as
+    ``extra['__treedef__']`` so restore_into can verify the checkpoint was
+    produced by an identically-configured pipeline.
     """
     data = np.load(path, allow_pickle=False)
     leaves = []
@@ -47,16 +48,36 @@ def load_state(path) -> tuple:
     extra = {}
     if "__extra__" in data:
         extra = json.loads(bytes(data["__extra__"]).decode())
+    if "__treedef__" in data:
+        extra["__treedef__"] = bytes(data["__treedef__"]).decode()
     return leaves, extra
 
 
-def restore_into(template, leaves):
-    """Unflatten checkpoint leaves into the template's tree structure."""
+def restore_into(template, leaves, saved_treedef: str | None = None):
+    """Unflatten checkpoint leaves into the template's tree structure.
+
+    Validates leaf count, the saved treedef string (when available) and
+    per-leaf shapes/dtypes against the template, so a checkpoint from a
+    differently-configured pipeline fails with a descriptive error
+    instead of mis-restoring state."""
     flat, treedef = jax.tree_util.tree_flatten(template)
     if len(flat) != len(leaves):
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, pipeline state has "
             f"{len(flat)} — configuration mismatch")
+    if saved_treedef is not None and saved_treedef != str(treedef):
+        raise ValueError(
+            "checkpoint tree structure does not match this pipeline "
+            f"configuration:\n  saved:    {saved_treedef}\n"
+            f"  expected: {treedef}")
+    for i, (tmpl, leaf) in enumerate(zip(flat, leaves)):
+        t = np.asarray(tmpl)
+        l = np.asarray(leaf)
+        if t.shape != l.shape or t.dtype != l.dtype:
+            raise ValueError(
+                f"checkpoint leaf {i}: saved {l.dtype}{list(l.shape)} vs "
+                f"expected {t.dtype}{list(t.shape)} — configuration "
+                "mismatch (carrier count / frontend / block size differ?)")
     import jax.numpy as jnp
     return jax.tree_util.tree_unflatten(
         treedef, [jnp.asarray(leaf) for leaf in leaves])

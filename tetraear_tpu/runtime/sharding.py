@@ -253,6 +253,29 @@ class ShardedFFTDemod:
                                             back_granularity=k * g)
         self.seg_len = self.chan.block_len
         self.rrc = design.rrc_taps(sps=sps).astype(np.float32)
+        self.plan_gran = k * g
+
+        # Channel-rate halo for the back half.  The wideband ppermute halo
+        # (ch.overlap) only covers the h1 channelizer filter; the resample
+        # plan + RRC + timing warmup would otherwise start cold at every
+        # time-shard boundary and corrupt the symbols there.  Each shard
+        # therefore also receives the left neighbour's channelized output
+        # tail (overlap-save at the channel rate) sized to cover the back-
+        # half memory PLUS a full 255-symbol slot, so frames straddling a
+        # segment boundary are double-covered (clean in the right shard's
+        # exposed halo) and the frame layer dedups by sync position —
+        # the same contract as ShardedDemod.
+        self.back_halo = plan_input_halo(self.plan, len(self.rrc),
+                                         self.plan_gran,
+                                         warmup_symbols=300)
+        # corrupted-prefix length in output symbols (filter memory only;
+        # everything past it inside the halo is exact and stays exposed)
+        mem = plan_input_halo(self.plan, len(self.rrc), 1,
+                              warmup_symbols=4)
+        self.n_bad_syms = self._out_len(mem) // sps + 4
+        # time shard 0 has no left neighbour: its halo input is zeros, so
+        # its whole halo span (not just the filter memory) is masked
+        self.halo_syms = self._out_len(self.back_halo) // sps + 8
 
         # closed-form per-segment cycle step for every carrier (int32,
         # exact): (k_c * seg_len) mod nfft
@@ -266,6 +289,12 @@ class ShardedFFTDemod:
                 in_specs=(P("time"), P("carrier")),
                 out_specs=(P("carrier", "time"), P("carrier", "time"), P()),
             ))
+
+    def _out_len(self, n_in: int) -> int:
+        n = n_in
+        for st in self.plan.stages:
+            n = n * st.up // st.down
+        return n
 
     def _shard_step(self, x_r, seg_cycles_local):
         """x_r: (seg_len, 2) — this time shard's wideband segment.
@@ -316,7 +345,16 @@ class ShardedFFTDemod:
             2.0 * np.pi / ch.nfft)
         y = y * jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))[:, None]
 
-        # back half (stateless per shard; warmup covered by the halo)
+        # channel-rate overlap-save halo for the back half: receive the
+        # left neighbour's channelized tail over ICI.  Both sides are
+        # phase-corrected to GLOBAL phase above, so the concatenation is
+        # sample-continuous; the back half then has real filter history
+        # and this shard's exposed output double-covers the boundary.
+        halo_y = kernels.c2r(y[:, y.shape[1] - self.back_halo:])
+        left_y = jax.lax.ppermute(
+            halo_y, "time", [(i, i + 1) for i in range(n_time - 1)])
+        y = jnp.concatenate([kernels.r2c(left_y), y], axis=1)
+
         hists = [jnp.zeros((c_local, kernels.stage_history_len(st)),
                            jnp.complex64) for st in self.plan.stages]
         y, _ = kernels.plan_apply(self.plan, y, hists)
@@ -333,6 +371,13 @@ class ShardedFFTDemod:
         syms, valid, _ = timing.timing_recover(y, tstate)
         hard, soft, _ = timing.dqpsk_demod(
             syms, valid, jnp.zeros((c_local,), jnp.complex64))
+        # mask the filter-memory transient at the head of the halo region
+        # (duplicated warmup — the left shard owns those symbols cleanly);
+        # shard 0 received zeros, so it masks the entire halo span
+        n_bad = jnp.where(t_idx == 0, jnp.int32(self.halo_syms),
+                          jnp.int32(self.n_bad_syms))
+        bad = jnp.arange(valid.shape[1]) < n_bad
+        valid = valid & ~bad[None, :]
 
         bits = jnp.repeat(hard, 2, axis=1)
         bits = bits.at[:, 0::2].set(hard >> 1)

@@ -169,7 +169,12 @@ class WidebandScanner:
     def scan(self, iq: np.ndarray, center_freq_hz: float = 0.0,
              min_power: float = -70, min_confidence: float = 0.4) -> list:
         """Score every channel of one capture; returns reference-style
-        result dicts sorted by frequency."""
+        result dicts sorted by frequency.
+
+        ``min_power`` (dBFS in the 25 kHz channel) and ``min_confidence``
+        gate the ``is_tetra`` verdict the same way the step scanner's
+        accept test does (reference scanner.py:421-425); all channels are
+        still returned so callers can inspect the rejects."""
         from tetraear_tpu.dsp.pipeline import CarrierBankDemod
 
         iq = np.asarray(iq, np.complex64)
@@ -199,9 +204,10 @@ class WidebandScanner:
             crc_rate = (float(np.mean([f.get("burst_crc", False)
                                        for f in frames]))
                         if frames else 0.0)
-            soft = out["soft_bits"][ci]
-            power_db = (10 * np.log10(np.mean(soft[:, 0] ** 2) + 1e-10)
-                        if len(soft) else -100.0)
+            # real channelized band power (per-carrier mean |baseband|^2
+            # after the channel-select filter), not the unit-normalized
+            # soft bits which read ~-3 dB for signal and noise alike
+            power_db = float(10 * np.log10(out["power"][ci] + 1e-12))
             confidence = 0.4 * max_corr + 0.4 * crc_rate + \
                 0.2 * min(1.0, len(positions) / 4.0)
             results.append({
@@ -209,7 +215,9 @@ class WidebandScanner:
                 "frequency_mhz": (center_freq_hz + off) / 1e6,
                 "offset_hz": float(off),
                 "power_db": float(power_db),
-                "is_tetra": bool(frames) and crc_rate > 0.5,
+                "is_tetra": (bool(frames) and crc_rate > 0.5
+                             and power_db > min_power
+                             and confidence >= min_confidence),
                 "confidence": float(confidence),
                 "sync_detected": max_corr >= 0.90,
                 "sync_correlation": max_corr,
