@@ -1,0 +1,76 @@
+"""Batched device frame layer == per-carrier host decode.
+
+The Pipeline's frame layer now runs sync correlation + burst CRC on
+device for all carriers in one dispatch (frame.batch / dsp.framescan).
+This pins its output to the host oracle: the same multi-carrier golden
+capture decoded (a) by the streaming Pipeline with the batched layer and
+(b) per carrier with TetraDecoder.decode on the full demodulated symbol
+streams, must yield the same frames (position, CRC verdict, SDS text).
+"""
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.ref import golden, modulator
+from tetraear_tpu.frame.decoder import TetraDecoder
+
+
+@pytest.mark.integration
+def test_batched_pipeline_matches_host_decode():
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.dsp.pipeline import CarrierBankDemod
+    from tetraear_tpu.runtime.sources import FileIQSource
+
+    fs = 2.4e6
+    offsets = [-250_000.0, 12_500.0, 250_000.0]
+    texts = ["CAR ZERO MSG", "MIDDLE CHANNEL", "CAR TWO HERE"]
+    streams = []
+    for t in texts:
+        payloads = [golden.sds_text_payload(t)] * 6
+        streams.append(golden.build_stream(payloads))
+    iq = modulator.generate_multi_carrier(
+        streams, fs=fs, offsets_hz=offsets, snr_db=25,
+        rng=np.random.default_rng(5))
+
+    # (a) streaming Pipeline with the batched device frame layer
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as td:
+        path = pathlib.Path(td) / "cap.cfile"
+        np.asarray(iq, np.complex64).tofile(path)
+        got = []
+        cfg = PipelineConfig(sample_rate=fs, carrier_offsets_hz=offsets,
+                             detect_gate=False, voice=False,
+                             auto_decrypt=False, validate=False,
+                             block_len=48_000)
+        pipe = Pipeline(cfg, on_frame=got.append)
+        pipe.run(FileIQSource(path, sample_rate=fs))
+
+    # (b) host oracle: full-stream demod + per-carrier one-shot decode.
+    # The streaming cascade runs per block and can be locally MORE
+    # sensitive than the one-shot global cascade (a warmup frame below
+    # the block's 0.90 peak still decodes), so the contract is:
+    # every host-found frame appears in the batched output at the same
+    # stream position with the same CRC verdict and SDS text.
+    bank = CarrierBankDemod(fs=fs, freqs_hz=offsets, block_len=48_000)
+    out = bank.run(iq)
+    for ci, text in enumerate(texts):
+        ref_frames = TetraDecoder(auto_decrypt=False).decode(
+            out["symbols"][ci])
+        got_c = {f["stream_symbol"]: f for f in got
+                 if f["carrier"] == ci}
+        assert len(got_c) >= len(ref_frames) >= 5
+        for rf in ref_frames:
+            pos = rf["position"] // 2
+            assert pos in got_c, f"carrier {ci}: host frame @{pos} missing"
+            bf = got_c[pos]
+            assert bf["burst_crc"] == rf["burst_crc"]
+            assert bf.get("sds_message") == rf.get("sds_message")
+        # ground truth: all six transmitted slots decode with CRC + text
+        crc_pass = [f for f in got_c.values() if f["burst_crc"]]
+        assert len(crc_pass) == 6, f"carrier {ci}: {len(crc_pass)}/6 CRC"
+        sds = {f.get("sds_message") for f in crc_pass}
+        assert any(s and text in s for s in sds), (ci, sds)
+        # consecutive slots are 255 symbols apart
+        pos_sorted = sorted(f["stream_symbol"] for f in crc_pass)
+        gaps = np.diff(pos_sorted)
+        assert all(g % 255 == 0 for g in gaps), gaps

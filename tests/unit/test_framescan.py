@@ -1,0 +1,92 @@
+"""Device frame-scan kernel vs the host oracle: bit-exact decisions.
+
+The batched frame layer stands on two exactness contracts:
+  * device sync correlation == decoder.sync_correlate (same thresholds
+    fire at every position);
+  * device dense CRC == crc.soft_crc_check at every frame start.
+"""
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.dsp import framescan
+from tetraear_tpu.frame import crc as crc_mod
+from tetraear_tpu.frame import decoder as dec_mod
+from tetraear_tpu.frame.burst import extract_data_bits, BurstType
+
+
+def _random_bits(c, n, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 2, (c, n)).astype(np.uint8)
+
+
+@pytest.mark.unit
+def test_sync_corr_matches_host():
+    bits = _random_bits(3, 1500, seed=1)
+    # plant exact sync words so the 1.0 end of the range is exercised
+    from tetraear_tpu.frame.burst import SYNC_CONTINUOUS_DOWNLINK as TS1
+    from tetraear_tpu.frame.burst import SYNC_DISCONTINUOUS_DOWNLINK as TS2
+    bits[0, 300:322] = TS1
+    bits[1, 700:722] = TS2
+    dev = framescan.FrameScanKernel().scan(bits)
+    for c in range(bits.shape[0]):
+        host = dec_mod.sync_correlate(bits[c])
+        assert dev["corr"][c].shape == host.shape
+        # integer agreement counts divide identically on both paths
+        np.testing.assert_allclose(dev["corr"][c], host, atol=1e-6)
+        # decision equivalence at every cascade threshold
+        for thr in (0.90, 0.85, 0.80, 0.75):
+            assert np.array_equal(dev["corr"][c] >= thr, host >= thr)
+
+
+@pytest.mark.unit
+def test_crc_err_matches_soft_crc_check():
+    rng = np.random.default_rng(2)
+    c, n = 2, 2000
+    bits = _random_bits(c, n, seed=2)
+    # plant frames whose data view passes CRC exactly and with 1..3 errors
+    for ci, q, n_err in [(0, 100, 0), (0, 800, 1), (1, 300, 2), (1, 1200, 3)]:
+        payload = rng.integers(0, 2, 200).astype(np.uint8)
+        data = crc_mod.append_crc(payload)            # 216 bits
+        bits[ci, q:q + 108] = data[:108]
+        bits[ci, q + 122:q + 230] = data[108:]
+        # flip bits of the RECEIVED CRC (data view bits 200..215 = frame
+        # offsets 214..229): each flip adds exactly one error bit
+        for f in rng.choice(16, size=n_err, replace=False):
+            bits[ci, q + 214 + f] ^= 1
+    # degenerate all-zero view
+    bits[1, 1600:1830] = 0
+
+    dev = framescan.FrameScanKernel().scan(bits)
+    assert dev["crc_err"].shape == (c, n - 229)
+    for ci in range(c):
+        for q in range(0, n - 229, 37):
+            data = extract_data_bits(bits[ci, q:q + 510],
+                                     BurstType.NormalDownlink)
+            want = crc_mod.soft_crc_check(data)
+            got = dev["crc_err"][ci, q] <= 2
+            assert got == want, (ci, q, dev["crc_err"][ci, q])
+    # the planted frames read their exact error counts
+    assert dev["crc_err"][0, 100] == 0
+    assert dev["crc_err"][0, 800] == 1
+    assert dev["crc_err"][1, 300] == 2
+    assert dev["crc_err"][1, 1200] >= 3
+    assert dev["crc_err"][1, 1600] == 99
+
+
+@pytest.mark.unit
+def test_crc_err_reversed_payload_accept():
+    """soft_crc_check also accepts when the REVERSED payload matches —
+    the device kernel must reproduce that branch too."""
+    rng = np.random.default_rng(3)
+    payload = rng.integers(0, 2, 200).astype(np.uint8)
+    crc = crc_mod.crc16_batch(payload[::-1])[0]      # CRC of reversed
+    data = np.concatenate([payload, crc])
+    bits = _random_bits(1, 600, seed=4)
+    q = 50
+    bits[0, q:q + 108] = data[:108]
+    bits[0, q + 122:q + 230] = data[108:]
+    assert crc_mod.soft_crc_check(
+        extract_data_bits(bits[0, q:q + 510], BurstType.NormalDownlink))
+    dev = framescan.FrameScanKernel().scan(bits)
+    assert dev["crc_err"][0, q] <= 2

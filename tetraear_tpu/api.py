@@ -121,6 +121,9 @@ class Pipeline:
         for d in self.decoders:
             if config.keys:
                 d.set_keys(list(config.keys))
+        from tetraear_tpu.frame.batch import BatchedFrameDecoder
+        self.batch = BatchedFrameDecoder(self.n_carriers,
+                                         decoders=self.decoders)
         self.validator = (TetraSignalValidator(config.expected_mcc)
                           if config.validate else None)
         from tetraear_tpu.frame.aggregator import CallAggregator
@@ -130,13 +133,6 @@ class Pipeline:
                          for _ in range(self.n_carriers)]
         self.stats = PipelineStats()
 
-        # per-carrier leftover symbols for frame alignment across blocks
-        self._leftover = [np.zeros(0, np.uint8)
-                          for _ in range(self.n_carriers)]
-        self._soft_leftover = [np.zeros((0, 2), np.float32)
-                               for _ in range(self.n_carriers)]
-        self._sym_base = [0 for _ in range(self.n_carriers)]
-        self._emitted_until = [0 for _ in range(self.n_carriers)]
         self._last_signal_t = 0.0
         self._afc_offset = 0.0
 
@@ -221,48 +217,18 @@ class Pipeline:
             self.on_raw_audio(audio)
 
         out, self.state = self.bank.step(block, self.state)
-        hard = np.asarray(out["hard"])
-        soft = np.asarray(out["soft"])
-        valid = np.asarray(out["valid"]).astype(bool)
 
-        frames_out = []
-        for ci in range(self.n_carriers):
-            h = hard[ci][valid[ci]]
-            s = soft[ci][valid[ci]]
-            if self._first_block and len(h):
-                h, s = h[1:], s[1:]          # drop zero-prev diff output
-            syms = np.concatenate([self._leftover[ci], h])
-            softs = np.concatenate([self._soft_leftover[ci], s])
-            base = self._sym_base[ci] - len(self._leftover[ci])
-
-            frames = self.decoders[ci].decode(syms)
-            consumed = 0
-            for f in frames:
-                pos_bits = f.get("position", 0)
-                # dedup: a frame kept in the leftover tail can be re-found
-                # in the next block's decode
-                if base + pos_bits // 2 < self._emitted_until[ci]:
-                    continue
-                self._emitted_until[ci] = base + pos_bits // 2 + 255
-                f["carrier"] = ci
-                f["carrier_offset_hz"] = float(
-                    self.bank.freqs_hz[ci])
-                f["frequency"] = self.config.frequency + float(
-                    self.bank.freqs_hz[ci])
-                f["stream_symbol"] = base + pos_bits // 2
-                # attach soft bits for the voice path
-                s0 = pos_bits // 2
-                if s0 + 255 <= len(softs):
-                    f["soft_symbols"] = softs[s0:s0 + 255]
-                consumed = max(consumed, pos_bits // 2 + 255)
-                self._handle_frame(f)
-                frames_out.append(f)
-            # keep a slot's worth of tail for frames straddling the edge
-            keep = min(len(syms), max(300, len(syms) - consumed))
-            self._leftover[ci] = syms[len(syms) - keep:]
-            self._soft_leftover[ci] = softs[len(softs) - keep:]
-            self._sym_base[ci] = base + len(syms)
-        self._first_block = False
+        # batched frame layer: device sync+CRC for every carrier in one
+        # dispatch, host work O(hits) (frame.batch; round-1 looped a full
+        # TetraDecoder.decode over every carrier here)
+        frames_out = self.batch.process(out["hard"], out["soft"],
+                                        out["valid"])
+        for f in frames_out:
+            ci = f["carrier"]
+            f["carrier_offset_hz"] = float(self.bank.freqs_hz[ci])
+            f["frequency"] = self.config.frequency + float(
+                self.bank.freqs_hz[ci])
+            self._handle_frame(f)
         return frames_out
 
     def _handle_frame(self, frame: dict) -> None:
@@ -394,9 +360,14 @@ class Pipeline:
     # -- checkpoint --------------------------------------------------------
 
     def save_checkpoint(self, path) -> None:
+        """DSP state + frame-layer stream positions.  The 600-symbol
+        frame-alignment tails are not persisted: after a restore the
+        first straddling frame per carrier may be lost (same bound as a
+        reference restart), everything after is seamless."""
         from tetraear_tpu.runtime import checkpoint
         checkpoint.save_state(path, self.state, extra={
-            "sym_base": self._sym_base,
+            "sym_base": self.batch._sym_base.tolist(),
+            "emitted_until": self.batch._emitted_until.tolist(),
             "stats": self.stats.as_dict(),
         })
 
@@ -406,7 +377,11 @@ class Pipeline:
         self.state = checkpoint.restore_into(
             self.state, leaves, saved_treedef=extra.get("__treedef__"))
         if "sym_base" in extra:
-            self._sym_base = list(extra["sym_base"])
+            self.batch._sym_base = np.asarray(extra["sym_base"], np.int64)
+        if "emitted_until" in extra:
+            self.batch._emitted_until = np.asarray(
+                extra["emitted_until"], np.int64)
+        self.batch._first = False
         self._first_block = False
 
 

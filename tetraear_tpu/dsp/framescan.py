@@ -1,0 +1,155 @@
+"""Device frame scan: sync correlation + dense burst CRC in one conv.
+
+The reference finds frames with a per-position Python loop and then CRC-
+checks each candidate with a per-bit Python loop on the host
+(tetraear/core/decoder.py:231-259, core/protocol.py:292-347).  Round 1
+moved the demodulator onto the device but left this frame layer as a
+per-carrier host pass — the dominant cost at fleet scale.
+
+Here the whole frame layer's *dense* half runs on device, for every
+carrier at once:
+
+  * sync correlation: one 2-channel length-22 conv over the (C, N) bit
+    planes (tetraear_tpu.dsp.sync.sync_correlate);
+  * burst CRC at EVERY candidate frame start: the CRC-16-CCITT of a
+    burst's data view is affine over GF(2) in the frame's bits, so the
+    error count at all N positions is ONE 33-output-channel conv of
+    kernel length 230 (16 forward-CRC taps, 16 reversed-payload taps,
+    1 degenerate-row counter) followed by elementwise mod-2/XOR —
+    MXU-shaped work, no gathers.
+
+Host-side selection (threshold cascade, skip-ahead dedup, MAC/SDS
+parsing) stays O(hits) — see tetraear_tpu.frame.batch.
+
+Alignment contract
+------------------
+For an input bit matrix ``bits`` of shape (C, N):
+
+  * ``corr[c, p]``    — best TS1/TS2 agreement of bits[c, p:p+22]
+                        (shape (C, N-21), same as decoder.sync_correlate);
+  * ``crc_err[c, q]`` — min(forward, reversed) CRC bit-error count of the
+                        normal-burst data view of the frame *starting* at
+                        bit q, i.e. data = bits[q:q+108] ++ bits[q+122:q+230]
+                        (burst.extract_data_bits), shape (C, N-229);
+                        degenerate all-0/all-1 data views read 99.
+
+A sync hit at position p corresponds to frame start q = p - 216
+(decoder.TS_OFFSET_BITS), so ``crc_err[:, p - 216]`` is that frame's
+burst-CRC error count and ``crc_err <= 2`` reproduces
+frame.crc.soft_crc_check exactly (tests/unit/test_framescan.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tetraear_tpu.frame import burst as burst_mod
+from tetraear_tpu.frame import crc as crc_mod
+
+SYNC_LEN = 22
+TS_OFFSET_BITS = 216          # sync position - frame start (decoder.py)
+FRAME_BITS = 510
+DATA_BITS = 216               # burst data view length
+CRC_SPAN = 230                # last frame bit the CRC view touches
+
+_PATTERNS = np.stack([burst_mod.SYNC_CONTINUOUS_DOWNLINK,
+                      burst_mod.SYNC_DISCONTINUOUS_DOWNLINK]).astype(
+                          np.float32)
+
+# burst data view: frame-relative bit offsets (burst.extract_data_bits)
+_DATA_OFFSETS = np.concatenate([np.arange(0, 108), np.arange(122, 230)])
+
+
+def _crc_conv_kernel() -> tuple:
+    """(kernel (33, 1, 230) float32, c0 (16,) uint8).
+
+    Channels 0..15: forward CRC of the 200-bit payload, as taps at the
+    payload bits' frame offsets.  Channels 16..31: CRC of the reversed
+    payload.  Channel 32: ones count over the 216-bit data view (for the
+    degenerate-row rejection in crc.soft_crc_check).
+    """
+    m, c0 = crc_mod.crc16_matrix(DATA_BITS - 16)       # (16, 200)
+    payload_off = _DATA_OFFSETS[:DATA_BITS - 16]       # frame offsets
+    k = np.zeros((33, 1, CRC_SPAN), np.float32)
+    for i, off in enumerate(payload_off):
+        k[0:16, 0, off] = m[:, i]
+        # reversed payload: column i of M multiplies payload[199 - i]
+        k[16:32, 0, payload_off[len(payload_off) - 1 - i]] = m[:, i]
+    for off in _DATA_OFFSETS:
+        k[32, 0, off] += 1.0
+    return k, c0
+
+
+_CRC_KERNEL, _CRC_C0 = _crc_conv_kernel()
+# received-CRC bit offsets within the frame (data view bits 200..215)
+_RECV_OFFSETS = _DATA_OFFSETS[DATA_BITS - 16:]
+
+
+def sync_corr(bits: jnp.ndarray) -> jnp.ndarray:
+    """(C, N) bits {0,1} -> (C, N-21) best TS1/TS2 agreement ratio.
+
+    Bit-exact (at float32) vs decoder.sync_correlate: integer agreement
+    counts divide by 22 the same way on both paths, and the decision
+    thresholds sit >= 0.009 away from the 1/22 quantization grid.
+    """
+    x = bits.astype(jnp.float32) * 2.0 - 1.0
+    pat = jnp.asarray(_PATTERNS) * 2.0 - 1.0
+    # no preferred_element_type: stride-1 convs with the hint hit a slow
+    # path on the axon TPU backend (see dsp/kernels.py)
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :], pat[:, None, :], window_strides=(1,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
+    best = jnp.max(out, axis=1)
+    return (best + SYNC_LEN) / (2.0 * SYNC_LEN)
+
+
+def crc_err_all(bits: jnp.ndarray) -> jnp.ndarray:
+    """(C, N) bits -> (C, N-229) min CRC error count per frame start.
+
+    Reproduces crc.soft_crc_check's decision inputs (forward + reversed
+    payload, degenerate rejection) densely at every position.
+    """
+    x = bits.astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :], jnp.asarray(_CRC_KERNEL), window_strides=(1,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
+    out_i = jnp.round(out).astype(jnp.int32)           # exact small ints
+    crc_fwd = (out_i[:, 0:16] & 1).astype(jnp.uint8) \
+        ^ jnp.asarray(_CRC_C0, jnp.uint8)[None, :, None]
+    crc_rev = (out_i[:, 16:32] & 1).astype(jnp.uint8) \
+        ^ jnp.asarray(_CRC_C0, jnp.uint8)[None, :, None]
+    ones = out_i[:, 32]                                # (C, P)
+
+    # received CRC bits at the 16 tail offsets of the data view: 16
+    # static slices of the bit matrix (no gather)
+    p = out_i.shape[2]
+    recv = jnp.stack(
+        [jax.lax.slice_in_dim(bits, int(off), int(off) + p, 1, axis=1)
+         for off in _RECV_OFFSETS], axis=1).astype(jnp.uint8)  # (C, 16, P)
+    e_fwd = jnp.sum((crc_fwd ^ recv).astype(jnp.int32), axis=1)
+    e_rev = jnp.sum((crc_rev ^ recv).astype(jnp.int32), axis=1)
+    err = jnp.minimum(e_fwd, e_rev)
+    degenerate = (ones == 0) | (ones == DATA_BITS)
+    return jnp.where(degenerate, jnp.int32(99), err)
+
+
+def frame_scan(bits: jnp.ndarray) -> dict:
+    """Full dense frame scan of a (C, N) bit matrix (traceable).
+
+    Returns {"corr": (C, N-21) float32, "crc_err": (C, N-229) int32}.
+    """
+    return {"corr": sync_corr(bits), "crc_err": crc_err_all(bits)}
+
+
+class FrameScanKernel:
+    """Jitted standalone wrapper (the Pipeline's per-block dispatch)."""
+
+    def __init__(self):
+        self._scan = jax.jit(frame_scan)
+
+    def scan(self, bits: np.ndarray) -> dict:
+        out = self._scan(jnp.asarray(np.asarray(bits, np.uint8)))
+        return {"corr": np.asarray(out["corr"]),
+                "crc_err": np.asarray(out["crc_err"])}

@@ -1,0 +1,154 @@
+"""Batched frame layer: one pass over all carriers' bit planes per block.
+
+Replaces the per-carrier Python decode loop (round-1 api.py looped
+``TetraDecoder.decode`` over every carrier every block — the dominant
+host cost at fleet scale; cf. reference decode loop
+tetraear/core/decoder.py:835-888, one carrier per process).
+
+Division of labour per SURVEY.md §7 "irregular/host work":
+
+  * dense work on device (dsp.framescan): sync correlation + burst CRC
+    at every position for every carrier, one dispatch;
+  * host work O(hits): threshold cascade on the returned correlation
+    rows (only rows whose max >= 0.75 — idle carriers cost one
+    vectorized rowmax), greedy dedup, and per-hit MAC/SDS/crypto
+    parsing through TetraDecoder.decode_frame with the device CRC
+    verdict as a hint.
+
+Stream continuity: a fixed 600-symbol tail per carrier is re-scanned
+each block so frames straddling block edges decode (the reference loses
+them, modern.py:1908-1910); duplicates are suppressed by absolute
+stream position.  All bookkeeping (tail compaction, stream bases,
+valid counts) is vectorized over carriers — no O(C) Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tetraear_tpu.frame.decoder import (TetraDecoder, sync_cascade,
+                                        TS_OFFSET_BITS, FRAME_LENGTH)
+
+TAIL_SYMS = 600        # > slot (255) + sync offset (108) + dedup margin
+
+
+class BatchedFrameDecoder:
+    """Carrier-batched sync/CRC selection + per-hit frame decode."""
+
+    def __init__(self, n_carriers: int, decoders: list | None = None,
+                 key_manager=None, auto_decrypt: bool = True,
+                 tail_syms: int = TAIL_SYMS):
+        from tetraear_tpu.dsp.framescan import FrameScanKernel
+        self.n_carriers = n_carriers
+        self.decoders = decoders if decoders is not None else [
+            TetraDecoder(key_manager=key_manager, auto_decrypt=auto_decrypt)
+            for _ in range(n_carriers)]
+        self.T = int(tail_syms)
+        self.kernel = FrameScanKernel()
+        c = n_carriers
+        self._tail_hard = np.zeros((c, self.T), np.uint8)
+        self._tail_soft = np.zeros((c, self.T, 2), np.float32)
+        self._tail_valid = np.zeros(c, np.int64)     # real symbols in tail
+        self._sym_base = np.full(c, -self.T, np.int64)  # abs pos of col 0
+        self._emitted_until = np.zeros(c, np.int64)
+        self._first = True
+
+    # -- scan core (device outputs -> selected frames), also used by the
+    #    fused offline runner which computes corr/crc inside its own jit --
+
+    def select_and_decode(self, syms: np.ndarray, softs: np.ndarray,
+                          n_valid: np.ndarray, valid_start_bits: np.ndarray,
+                          corr: np.ndarray, crc_err: np.ndarray) -> list:
+        """syms: (C, W) assembled symbol rows (tail + block, zero-padded);
+        softs: (C, W, 2); n_valid: (C,) valid symbols per row counted from
+        the row start; valid_start_bits: (C,) first real bit per row (the
+        zero pad before the stream head on early blocks); corr/crc_err:
+        device scan of the rows' bit planes.  Returns decoded frame dicts
+        (with carrier/stream metadata)."""
+        frames_out = []
+        row_max = corr.max(axis=1) if corr.shape[1] else np.zeros(len(corr))
+        active = np.flatnonzero(row_max >= 0.75)
+        valid_bits = 2 * n_valid
+        for ci in active:
+            positions = sync_cascade(corr[ci])
+            if not positions:
+                continue
+            dec = self.decoders[ci]
+            bits_row = None
+            for pos in positions:
+                start = pos - TS_OFFSET_BITS
+                if start < valid_start_bits[ci]:
+                    continue
+                if start + FRAME_LENGTH > valid_bits[ci]:
+                    continue          # straddles the pad; tail rescans it
+                abs_sym = self._sym_base[ci] + start // 2
+                if abs_sym < self._emitted_until[ci]:
+                    continue          # already emitted from the tail
+                if bits_row is None:
+                    s = syms[ci]
+                    bits_row = np.empty(2 * len(s), np.uint8)
+                    bits_row[0::2] = (s >> 1) & 1
+                    bits_row[1::2] = s & 1
+                frame = dec.decode_frame(
+                    bits_row[start:start + FRAME_LENGTH], 0,
+                    syms[ci, start // 2:start // 2 + 255],
+                    frame_number=int(abs_sym * 2) // FRAME_LENGTH,
+                    crc_hint=bool(crc_err[ci, start] <= 2))
+                if frame is None:
+                    continue
+                self._emitted_until[ci] = abs_sym + 255
+                frame["position"] = start
+                frame["carrier"] = int(ci)
+                frame["stream_symbol"] = int(abs_sym)
+                frame["soft_symbols"] = softs[ci, start // 2:
+                                              start // 2 + 255]
+                frames_out.append(frame)
+        return frames_out
+
+    # -- per-block entry (standalone device dispatch) ----------------------
+
+    def assemble(self, hard: np.ndarray, soft: np.ndarray,
+                 valid: np.ndarray) -> tuple:
+        """Concatenate tails with the new block, compact and re-tail.
+
+        hard (C, K) uint8, soft (C, K, 2), valid (C, K) bool with valid
+        entries contiguous from index 0.  Returns (syms (C, T+K),
+        softs (C, T+K, 2), n_valid (C,), valid_start_bits (C,)) and
+        updates the carried tails.
+        """
+        hard = np.asarray(hard)
+        soft = np.asarray(soft)
+        valid = np.asarray(valid).astype(bool)
+        if self._first:
+            # drop the zero-prev differential output (oracle semantics)
+            hard, soft, valid = hard[:, 1:], soft[:, 1:], valid[:, 1:]
+            self._first = False
+        n_c = valid.sum(axis=1)
+        syms = np.concatenate(
+            [self._tail_hard, np.where(valid, hard, 0)], axis=1)
+        softs = np.concatenate(
+            [self._tail_soft, soft * valid[..., None]], axis=1)
+        n_total = self.T + n_c
+        valid_start = 2 * (self.T - self._tail_valid)   # pre-update state
+
+        # next tail = last T valid symbols, per-row offset = n_c
+        off = n_c[:, None] + np.arange(self.T)[None, :]
+        self._tail_hard = np.take_along_axis(syms, off, axis=1)
+        self._tail_soft = np.take_along_axis(softs, off[..., None], axis=1)
+        self._tail_valid = np.minimum(self.T, self._tail_valid + n_c)
+        return syms, softs, n_total, valid_start
+
+    def process(self, hard, soft, valid) -> list:
+        """One block for all carriers: assemble, device scan, select."""
+        syms, softs, n_total, vstart = self.assemble(hard, soft, valid)
+        bits = np.empty((syms.shape[0], 2 * syms.shape[1]), np.uint8)
+        bits[:, 0::2] = (syms >> 1) & 1
+        bits[:, 1::2] = syms & 1
+        out = self.kernel.scan(bits)
+        frames = self.select_and_decode(syms, softs, n_total, vstart,
+                                        out["corr"], out["crc_err"])
+        # advance stream bases by the consumed (non-tail) symbols;
+        # select_and_decode reads _sym_base as the CURRENT assembly base,
+        # so this must happen after selection
+        self._sym_base = self._sym_base + (n_total - self.T)
+        return frames

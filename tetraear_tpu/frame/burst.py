@@ -113,8 +113,14 @@ def extract_data_bits(bits: np.ndarray, burst_type: BurstType) -> np.ndarray:
 
 def parse_burst(symbols: np.ndarray, slot_number: int = 0,
                 frame_number: int = 0, colour_code: int = 0,
-                stats: dict | None = None) -> TetraBurst | None:
-    """Parse one 255-symbol slot into a TetraBurst (protocol.py:192-244)."""
+                stats: dict | None = None,
+                crc_hint: bool | None = None) -> TetraBurst | None:
+    """Parse one 255-symbol slot into a TetraBurst (protocol.py:192-244).
+
+    ``crc_hint`` carries a CRC verdict precomputed on device for normal
+    bursts (dsp.framescan dense CRC); it is trusted only for the normal
+    burst types whose data layout the device kernel models — sync bursts
+    fall back to the host check."""
     symbols = np.asarray(symbols)
     if len(symbols) < SYMBOLS_PER_SLOT:
         return None
@@ -122,7 +128,11 @@ def parse_burst(symbols: np.ndarray, slot_number: int = 0,
     btype = detect_burst_type(bits)
     training = extract_training_sequence(bits, btype)
     data_bits = extract_data_bits(bits, btype)
-    crc_ok = crc_mod.soft_crc_check(data_bits)
+    if crc_hint is not None and btype in (BurstType.NormalDownlink,
+                                          BurstType.NormalUplink):
+        crc_ok = bool(crc_hint)
+    else:
+        crc_ok = crc_mod.soft_crc_check(data_bits)
     if stats is not None:
         stats["total_bursts"] += 1
         stats["crc_pass" if crc_ok else "crc_fail"] += 1

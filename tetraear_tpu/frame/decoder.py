@@ -115,20 +115,43 @@ def greedy_positions(corr: np.ndarray, threshold: float,
     return out
 
 
-def find_sync(bits: np.ndarray, threshold: float = 0.85,
-              return_max_corr: bool = False):
-    """Threshold + adaptive-fallback sync search (decoder.py:171-295)."""
-    corr = sync_correlate(bits)
+def find_sync_in_corr(corr: np.ndarray, threshold: float = 0.85) -> tuple:
+    """Threshold + adaptive-fallback selection on a precomputed
+    correlation array; returns (positions, max_corr)."""
     if len(corr) == 0:
-        return ([], 0.0) if return_max_corr else []
+        return [], 0.0
     max_corr = float(corr.max())
     positions = greedy_positions(corr, threshold)
     if not positions and max_corr > 0.75 and max_corr >= threshold - 0.15:
         adaptive = max(0.75, max_corr - 0.02)
         if adaptive < threshold:
             positions = greedy_positions(corr, adaptive)
+    return positions, max_corr
+
+
+def find_sync(bits: np.ndarray, threshold: float = 0.85,
+              return_max_corr: bool = False):
+    """Threshold + adaptive-fallback sync search (decoder.py:171-295)."""
+    positions, max_corr = find_sync_in_corr(sync_correlate(bits), threshold)
     if return_max_corr:
         return positions, max_corr
+    return positions
+
+
+def sync_cascade(corr: np.ndarray) -> list:
+    """The full multi-threshold sync cascade of TetraDecoder.decode
+    (reference decoder.py:843-857), on a precomputed correlation array.
+
+    Shared by the host decode path and the batched device frame layer
+    (frame.batch) so both select identical positions."""
+    positions, max_corr = find_sync_in_corr(corr, 0.90)
+    if not positions:
+        positions, max_corr = find_sync_in_corr(corr, 0.85)
+    if not positions:
+        positions, max_corr = find_sync_in_corr(corr, 0.80)
+    if not positions and max_corr >= 0.75:
+        adaptive = max(0.75, max_corr - 0.02)
+        positions = greedy_positions(corr, adaptive)
     return positions
 
 
@@ -201,14 +224,7 @@ class TetraDecoder:
     def decode(self, symbols) -> list:
         """Symbol stream -> list of frame dicts (decoder.py:835-888)."""
         bits, mapped = self.symbols_to_bits(symbols)
-        positions, max_corr = find_sync(bits, 0.90, return_max_corr=True)
-        if not positions:
-            positions, max_corr = find_sync(bits, 0.85, return_max_corr=True)
-        if not positions:
-            positions, max_corr = find_sync(bits, 0.80, return_max_corr=True)
-        if not positions and max_corr >= 0.75:
-            adaptive = max(0.75, max_corr - 0.02)
-            positions = greedy_positions(sync_correlate(bits), adaptive)
+        positions = sync_cascade(sync_correlate(bits))
 
         frames = []
         for pos in positions:
@@ -231,8 +247,12 @@ class TetraDecoder:
     # -- per-frame decode --------------------------------------------------
 
     def decode_frame(self, bits, start_pos=0, symbols=None,
-                     frame_number: int = 0) -> dict | None:
-        """Decode one 510-bit frame (decoder.py:890-1119)."""
+                     frame_number: int = 0,
+                     crc_hint: bool | None = None) -> dict | None:
+        """Decode one 510-bit frame (decoder.py:890-1119).
+
+        ``crc_hint``: device-precomputed burst CRC verdict (see
+        burst.parse_burst)."""
         bits = np.asarray(bits)
         if len(bits) < FRAME_LENGTH:
             return None
@@ -278,7 +298,7 @@ class TetraDecoder:
 
         burst = burst_mod.parse_burst(
             np.asarray(symbols), slot_number=frame_number % 4,
-            stats=self.protocol_parser.stats)
+            stats=self.protocol_parser.stats, crc_hint=crc_hint)
         if burst is not None:
             frame_data["burst_crc"] = burst.crc_ok
             # alias for the validator, which reads 'crc_ok'
