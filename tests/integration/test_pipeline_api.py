@@ -138,6 +138,29 @@ def test_pipeline_from_file_capture(tmp_path):
     assert any(t == "[TXT] FILE TEST FILE" for t in texts)
 
 
+def test_cli_decode_uses_fused_dispatches(tmp_path, capsys):
+    """The offline `decode` subcommand must go through the fused
+    S-blocks-per-dispatch runner: a capture of N blocks decodes in
+    ceil(N/S) device dispatches, not N (CLAUDE.md rule 4)."""
+    import json as _json
+    from tetraear_tpu import cli
+    from tetraear_tpu.ref import golden
+    payloads = [golden.sds_text_payload("DISPATCH COUNT")] * 6
+    iq = golden.golden_iq(payloads, fs=2.4e6, snr_db=25, seed=45)
+    path = tmp_path / "cap.cfile"
+    write_capture(path, iq)
+    rc = cli.main(["decode", "--source", str(path), "-s", "2.4",
+                   "--show-invalid", "--dispatch-blocks", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    summary = _json.loads(out[out.index("{"):])
+    n_blocks = summary["blocks"]
+    assert n_blocks >= 2
+    assert summary["device_dispatches"] == -(-n_blocks // 4)
+    assert summary["crc_pass"] >= 4
+    assert "DISPATCH COUNT" in out
+
+
 # -- tools ----------------------------------------------------------------
 
 def test_generate_common_keys(capsys):

@@ -23,3 +23,43 @@ def test_scan_runner_matches_per_block():
     out2 = ScanRunner(bank, blocks_per_dispatch=2).run(
         iq[:96_000], state=None)
     assert len(out2["symbols"][0]) > 0
+
+
+def test_decode_runner_matches_streaming_pipeline():
+    """Fused runner (demod + frame scan in one lax.scan) finds the same
+    CRC-passing frames as the per-block streaming Pipeline, in len/S
+    dispatches."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.frame.batch import BatchedFrameDecoder
+    from tetraear_tpu.runtime.stream import DecodeRunner
+    from tetraear_tpu.ref import golden
+
+    payloads = [golden.sds_text_payload("FUSED RUNNER TEST")] * 8
+    iq = golden.golden_iq(payloads, fs=2.4e6, snr_db=25, seed=31)
+
+    cfg = PipelineConfig(carrier_offsets_hz=(0.0,), detect_gate=False,
+                         voice=False, auto_decrypt=False, validate=False,
+                         block_len=48_000)
+    got_stream = []
+    pipe = Pipeline(cfg, on_frame=got_stream.append)
+    n_blocks = len(iq) // pipe.block_len
+    for b in range(n_blocks):
+        pipe.process_block(iq[b * pipe.block_len:(b + 1) * pipe.block_len])
+
+    bank = __import__("tetraear_tpu.dsp.pipeline",
+                      fromlist=["CarrierBankDemod"]).CarrierBankDemod(
+        fs=2.4e6, freqs_hz=[0.0], block_len=48_000)
+    runner = DecodeRunner(bank, BatchedFrameDecoder(1, auto_decrypt=False),
+                          blocks_per_dispatch=4)
+    out = runner.run(iq[:n_blocks * 48_000])
+    assert runner.dispatches == -(-n_blocks // 4)     # len/S dispatches
+
+    ref = [(f["stream_symbol"], f["burst_crc"], f.get("sds_message"))
+           for f in got_stream if f["burst_crc"]]
+    got = [(f["stream_symbol"], f["burst_crc"], f.get("sds_message"))
+           for f in out["frames"] if f["burst_crc"]]
+    # the fused path skips the first-diff-symbol drop, shifting stream
+    # positions by exactly one symbol
+    got_shifted = [(p - 1, c, s) for p, c, s in got]
+    assert got_shifted == ref
+    assert len(ref) >= 6

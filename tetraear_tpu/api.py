@@ -346,6 +346,56 @@ class Pipeline:
             self._jsonl = None
         return self.stats
 
+    def run_offline(self, source, blocks_per_dispatch: int = 16,
+                    max_blocks: int | None = None) -> PipelineStats:
+        """Offline decode with S blocks fused per device dispatch.
+
+        Same frame stream and callbacks as run(), but demod AND the
+        dense frame layer execute as one lax.scan program per S blocks
+        (runtime.stream.DecodeRunner), amortizing the relay's ~5 ms
+        per-dispatch latency — the default path for capture files
+        (cli.cmd_decode_file).  Detection gating/spectrum callbacks are
+        skipped: offline decode wants every frame, as the reference's
+        offline scripts do (listen_clear.py:108-196)."""
+        from tetraear_tpu.runtime.stream import DecodeRunner
+        runner = DecodeRunner(self.bank, self.batch,
+                              blocks_per_dispatch=blocks_per_dispatch)
+
+        def on_frames(frames):
+            for f in frames:
+                ci = f["carrier"]
+                f["carrier_offset_hz"] = float(self.bank.freqs_hz[ci])
+                f["frequency"] = self.config.frequency + float(
+                    self.bank.freqs_hz[ci])
+                self._handle_frame(f)
+
+        span = blocks_per_dispatch * self.block_len
+        with source:
+            n = 0
+            while max_blocks is None or n < max_blocks:
+                want = span if max_blocks is None else min(
+                    span, (max_blocks - n) * self.block_len)
+                chunk = np.asarray(source.read_samples(want), np.complex64)
+                if len(chunk) == 0:
+                    break
+                if len(chunk) % self.block_len:
+                    pad = self.block_len - len(chunk) % self.block_len
+                    chunk = np.concatenate(
+                        [chunk, np.zeros(pad, np.complex64)])
+                self.stats.blocks += len(chunk) // self.block_len
+                self.stats.samples += len(chunk)
+                out = runner.run(chunk, state=self.state,
+                                 on_frames=on_frames)
+                self.state = out["state"]
+                n += len(chunk) // self.block_len
+                if len(chunk) < want:
+                    break
+        self.dispatches = runner.dispatches
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None
+        return self.stats
+
     def frames(self, source, max_blocks: int | None = None):
         """Generator yielding frames as they decode (FrameStream)."""
         with source:

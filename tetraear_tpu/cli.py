@@ -180,12 +180,18 @@ def cmd_scan(args) -> int:
 
 
 def cmd_decode_file(args) -> int:
-    """Offline decode of a recorded capture -> frames on stdout/JSONL."""
+    """Offline decode of a recorded capture -> frames on stdout/JSONL.
+
+    Uses the fused S-blocks-per-dispatch runner (Pipeline.run_offline)
+    so long captures decode at device speed instead of paying the relay
+    dispatch latency per block."""
     listener = CLIListener(show_invalid=args.show_invalid)
     pipe = _make_pipeline(args, on_frame=listener.on_frame)
     src = _open_source(args)
-    stats = pipe.run(src, max_blocks=args.max_blocks)
+    stats = pipe.run_offline(src, blocks_per_dispatch=args.dispatch_blocks,
+                             max_blocks=args.max_blocks)
     summary = stats.as_dict()
+    summary["device_dispatches"] = pipe.dispatches
     summary["activity"] = pipe.aggregator.snapshot()
     summary["tdma"] = [t.stats() for t in pipe.trackers
                        if t.slot_counter]
@@ -225,6 +231,8 @@ def main(argv=None) -> int:
     p_dec = sub.add_parser("decode", help="offline decode of a capture file")
     _add_common(p_dec)
     p_dec.add_argument("--show-invalid", action="store_true")
+    p_dec.add_argument("--dispatch-blocks", type=int, default=16,
+                       help="blocks fused per device dispatch (default 16)")
     p_dec.set_defaults(func=cmd_decode_file)
 
     p_bench = sub.add_parser("bench", help="run the throughput benchmark")

@@ -3,10 +3,12 @@
 The interactive Pipeline (tetraear_tpu.api) issues one jitted step per
 block — right for real-time sources, wasteful for offline decode through
 the axon relay (~5 ms fixed dispatch latency per call, CLAUDE.md rule 4).
-``scan_run`` fuses S blocks into ONE device program with ``lax.scan``
-carrying the demod state, so offline captures decode at device speed and
-the per-dispatch overhead amortizes S-fold.  This is also exactly the
-shape bench.py measures.
+``ScanRunner`` fuses S demod blocks into ONE device program with
+``lax.scan`` carrying the demod state; ``DecodeRunner`` additionally
+fuses the dense frame layer (sync correlation + burst CRC,
+dsp.framescan) into the same program with a carried on-device bit tail,
+so an offline capture goes IQ -> CRC-checked frame candidates in len/S
+dispatches.  This is also exactly the shape bench.py measures.
 """
 
 from __future__ import annotations
@@ -77,3 +79,102 @@ class ScanRunner:
                           np.zeros((0, 2), np.float32) for s in softs],
             "state": state,
         }
+
+
+class DecodeRunner:
+    """IQ -> CRC-checked frames, S blocks per device dispatch.
+
+    One ``lax.scan`` program per S blocks runs the demodulator AND the
+    dense frame layer (dsp.framescan sync correlation + burst CRC) with
+    an on-device carried bit tail, mirroring the host assembly of
+    frame.batch.BatchedFrameDecoder exactly (same tail length, same
+    zero-padded layout), so the host-side selection
+    (``BatchedFrameDecoder.select_and_decode``) consumes the device
+    outputs directly and stays O(hits).
+
+    Used by the offline CLI decode path (cli.cmd_decode_file) to
+    amortize the relay's ~5 ms per-dispatch latency (CLAUDE.md rule 4).
+    """
+
+    def __init__(self, bank, batch, blocks_per_dispatch: int = 16):
+        from tetraear_tpu.dsp import framescan
+        self.bank = bank
+        self.batch = batch
+        self.s = int(blocks_per_dispatch)
+        self.k = bank.k_max
+        self.t2 = 2 * batch.T                 # carried tail bits
+        self._framescan = framescan.frame_scan
+        self._scan = jax.jit(self._scan_impl)
+        self.dispatches = 0
+        self._tail_bits = None         # persists across run() calls
+        # the device tail replicates the host tail; the first-diff-symbol
+        # drop is skipped on both sides (one garbage symbol at the stream
+        # head cannot form a frame)
+        batch._first = False
+
+    def _scan_impl(self, xs_r, state, tail_bits):
+        k2 = 2 * self.k
+
+        def body(carry, x_r):
+            st, tail = carry
+            out, st2 = self.bank._step_impl(x_r, st)
+            hard = out["hard"]
+            valid = out["valid"]
+            n_c = jnp.sum(valid, axis=1)              # (C,), in {K-1, K}
+            h = jnp.where(valid, hard, 0).astype(jnp.uint8)
+            bits_blk = jnp.repeat(h, 2, axis=1)
+            bits_blk = bits_blk.at[:, 0::2].set(h >> 1)
+            bits_blk = bits_blk.at[:, 1::2].set(h & 1)
+            z = jnp.concatenate([tail, bits_blk], axis=1)
+            res = self._framescan(z)
+            # new tail = last 2T VALID bits; per-row start is 2*n_c which
+            # timing_recover bounds to {2K-4, 2K-2, 2K} (K-2 only on the
+            # first block, where next_t starts at TAIL=4): three static
+            # slices + a select chain (no gather)
+            tail2 = jax.lax.slice_in_dim(z, k2 - 4, k2 - 4 + self.t2, 1,
+                                         axis=1)
+            for d in (1, 2):
+                cand = jax.lax.slice_in_dim(
+                    z, k2 - 4 + 2 * d, k2 - 4 + 2 * d + self.t2, 1, axis=1)
+                tail2 = jnp.where((n_c == self.k - 2 + d)[:, None],
+                                  cand, tail2)
+            return (st2, tail2), (out["hard"], out["soft"], out["valid"],
+                                  res["corr"], res["crc_err"])
+
+        (state, tail_bits), ys = jax.lax.scan(body, (state, tail_bits),
+                                              xs_r)
+        return state, tail_bits, ys
+
+    def run(self, iq: np.ndarray, state=None, on_frames=None) -> dict:
+        """Decode a capture; returns {"frames": [...], "state": ...}.
+
+        ``on_frames(list)`` fires per block so callers can stream."""
+        iq = np.asarray(iq, np.complex64)
+        bl = self.bank.block_len
+        state = state if state is not None else self.bank.init_state()
+        if self._tail_bits is None:
+            self._tail_bits = jnp.zeros(
+                (self.bank.n_carriers, self.t2), jnp.uint8)
+        tail_bits = self._tail_bits
+        frames_all = []
+        pos = 0
+        while pos + bl <= len(iq):
+            take = min(self.s, (len(iq) - pos) // bl)
+            xs = iq[pos:pos + take * bl].reshape(take, bl)
+            xs_r = jnp.asarray(kernels.c2r_np(xs))
+            state, tail_bits, ys = self._scan(xs_r, state, tail_bits)
+            self.dispatches += 1
+            hard, soft, valid, corr, crc_err = (np.asarray(y) for y in ys)
+            for b in range(take):
+                syms, softs, n_total, vstart = self.batch.assemble(
+                    hard[b], soft[b], valid[b].astype(bool))
+                frames = self.batch.select_and_decode(
+                    syms, softs, n_total, vstart, corr[b], crc_err[b])
+                self.batch._sym_base = self.batch._sym_base \
+                    + (n_total - self.batch.T)
+                if frames and on_frames:
+                    on_frames(frames)
+                frames_all.extend(frames)
+            pos += take * bl
+        self._tail_bits = tail_bits
+        return {"frames": frames_all, "state": state}
