@@ -1,14 +1,28 @@
 """Benchmark: real-time TETRA carriers per chip.
 
-Measures the steady-state throughput of the carrier-bank demodulator (NCO
-mix -> polyphase channel filter -> RRC -> timing recovery -> DQPSK, the
-full per-carrier receive chain) on whatever backend JAX selects (the real
-TPU chip under the driver; CPU as fallback).
+Headline metric (the JSON line): END-TO-END IQ -> CRC-checked frames.
+The chained device program per block runs the full receive chain — NCO
+mix / FFT channelizer -> polyphase resample -> RRC -> timing recovery ->
+DQPSK -> bits -> sync correlation at every position -> burst CRC-16
+error count at every frame start (dsp.framescan) — with a carried
+on-device bit tail, and reduces to per-block sync-hit / CRC-pass
+counters.  The clock stops after fetching a value that depends on every
+stage of every block, so nothing the label claims is left untimed
+(round-1 weakness: the old bench stopped at hard symbols while the frame
+layer ran untimed on host).  The demod-only number is also measured and
+reported as an extra key + stderr line.
 
-Metric: number of 25 kHz TETRA carriers that can be demodulated in real
-time on one chip.  Baseline = 1: the reference processes exactly one
-carrier per process and must finish each 54 ms chunk within 54 ms on a
-desktop CPU (tetraear/ui/modern.py:1908-1912).
+Baseline = 1: the reference processes exactly one carrier per process
+and must finish each 54 ms chunk within 54 ms on a desktop CPU
+(tetraear/ui/modern.py:1908-1912) — and its frame layer (sync search,
+CRC, MAC parse) is *included* in that 54 ms budget, so the honest
+comparison is the end-to-end number.
+
+Host-side per-hit MAC/SDS parsing is NOT in the loop by design: it is
+O(actual frames), runs concurrently with device dispatches in
+production, and SURVEY.md section 7 assigns it to the host.  What the
+device must sustain densely — and what this measures — is everything up
+to and including the CRC verdict for every candidate position.
 
 Timing methodology: the per-block state is chained through S = STEPS
 sequential jitted steps (a data dependency the runtime cannot reorder or
@@ -16,7 +30,7 @@ overlap), and the clock stops only after a value depending on the final
 state is fetched to the host.  This is robust against async dispatch and
 relay-acknowledged-but-not-executed effects seen on the axon backend.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -43,14 +57,8 @@ def _enable_compile_cache():
         pass
 
 
-def run_bench(n_carriers: int = 256, block: int | None = None,
-              steps: int = 20, frontend: str = "fft") -> dict:
+def _make_bank(n_carriers: int, block, frontend: str):
     import math
-
-    import jax
-    _enable_compile_cache()
-    import jax.numpy as jnp
-    from tetraear_tpu.dsp import kernels
     from tetraear_tpu.dsp.pipeline import CarrierBankDemod
 
     # capture bandwidth scales with the carrier count (25 kHz channel
@@ -62,56 +70,125 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
     fs = 10.24e6 * 2 ** max(0, math.ceil(math.log2(needed / 10.24e6)))
     offsets = [(i - n_carriers // 2) * 25_000 + 12_500
                for i in range(n_carriers)]
-    bank = CarrierBankDemod(fs=fs, freqs_hz=offsets, block_len=block,
-                            frontend=frontend)
+    return CarrierBankDemod(fs=fs, freqs_hz=offsets, block_len=block,
+                            frontend=frontend), fs
+
+
+def _time_chain(chain_j, args_fn, steps: int, fetch) -> float:
+    """Compile/warm once, then time a second run; fetch forces sync."""
+    out = chain_j(*args_fn())
+    fetch(out)
+    t0 = time.time()
+    out = chain_j(*args_fn())
+    fetch(out)
+    return time.time() - t0
+
+
+def run_bench(n_carriers: int = 256, block: int | None = None,
+              steps: int = 20, frontend: str = "fft",
+              mode: str = "both") -> dict:
+    import jax
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from tetraear_tpu.dsp import framescan, kernels
+
+    bank, fs = _make_bank(n_carriers, block, frontend)
     block = bank.block_len
 
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(block)
          + 1j * rng.standard_normal(block)).astype(np.complex64)
     xd = jnp.asarray(kernels.c2r_np(x))
+    k = bank.k_max
+    t2 = 1200                      # carried tail bits (frame.batch TAIL)
 
-    def chain(x_r, state, n):
+    res = {
+        "n_carriers": n_carriers,
+        "backend": jax.default_backend(),
+        "block_s": block / fs,
+        "steps": steps,
+    }
+
+    # ---- demod-only chain (round-1 metric, kept for comparability) ----
+    def chain_demod(x_r, state, n):
         def body(st, _):
             out, st2 = bank._step_impl(x_r, st)
             return st2, out["hard"][:, 0]
         st, tails = jax.lax.scan(body, state, None, length=n)
         return st, tails
 
-    chain_j = jax.jit(chain, static_argnums=2)
+    if mode in ("demod", "both"):
+        chain_j = jax.jit(chain_demod, static_argnums=2)
+        elapsed = _time_chain(
+            chain_j, lambda: (xd, bank.init_state(), steps), steps,
+            lambda out: (np.asarray(out[0]["timing"]["next_t"])[0],
+                         np.asarray(out[1])[-1, 0]))
+        res["demod_rt_factor"] = steps * block / fs / elapsed
+        res["demod_carriers_rt"] = res["demod_rt_factor"] * n_carriers
+        res["demod_elapsed_s"] = elapsed
 
-    # Warmup/compile with the SAME static scan length as the timed run
-    # (a different length is a different executable — timing it would
-    # measure compilation, not throughput).
-    st0 = bank.init_state()
-    st, tails = chain_j(xd, st0, steps)
-    float(np.asarray(tails)[0, 0])          # force full execution
+    # ---- end-to-end chain: IQ -> sync + CRC verdicts everywhere ----
+    def chain_e2e(x_r, state, tail, n):
+        k2 = 2 * k
 
-    t0 = time.time()
-    st, tails = chain_j(xd, bank.init_state(), steps)
-    # fetch a value that depends on every step
-    _ = np.asarray(st["timing"]["next_t"])[0]
-    _ = np.asarray(tails)[-1, 0]
-    elapsed = time.time() - t0
+        def body(carry, _):
+            st, tl, nhit, nok = carry
+            out, st2 = bank._step_impl(x_r, st)
+            hard = out["hard"]
+            valid = out["valid"]
+            n_c = jnp.sum(valid, axis=1)
+            h = jnp.where(valid, hard, 0).astype(jnp.uint8)
+            bits = jnp.repeat(h, 2, axis=1)
+            bits = bits.at[:, 0::2].set(h >> 1)
+            bits = bits.at[:, 1::2].set(h & 1)
+            z = jnp.concatenate([tl, bits], axis=1)
+            scan = framescan.frame_scan(z)
+            hits = scan["corr"] >= 0.90
+            # sync at p <-> frame start p-216: overlap of the two arrays
+            span = min(hits.shape[1] - framescan.TS_OFFSET_BITS,
+                       scan["crc_err"].shape[1])
+            sync_al = jax.lax.slice_in_dim(
+                hits, framescan.TS_OFFSET_BITS,
+                framescan.TS_OFFSET_BITS + span, 1, axis=1)
+            crc_al = jax.lax.slice_in_dim(scan["crc_err"], 0, span, 1,
+                                          axis=1)
+            nhit = nhit + jnp.sum(hits.astype(jnp.int32))
+            nok = nok + jnp.sum((sync_al & (crc_al <= 2)).astype(jnp.int32))
+            tl2 = jax.lax.slice_in_dim(z, k2 - 4, k2 - 4 + t2, 1, axis=1)
+            for d in (1, 2):
+                cand = jax.lax.slice_in_dim(
+                    z, k2 - 4 + 2 * d, k2 - 4 + 2 * d + t2, 1, axis=1)
+                tl2 = jnp.where((n_c == k - 2 + d)[:, None], cand, tl2)
+            return (st2, tl2, nhit, nok), None
 
-    block_seconds = block / fs
-    rt_factor = (steps * block_seconds) / elapsed
-    carriers_rt = rt_factor * n_carriers
-    msps = steps * block / elapsed / 1e6
-    return {
-        "carriers_rt": carriers_rt,
-        "rt_factor": rt_factor,
-        "input_msps": msps,
-        "elapsed_s": elapsed,
-        "n_carriers": n_carriers,
-        "backend": jax.default_backend(),
-    }
+        init = (state, tail, jnp.int32(0), jnp.int32(0))
+        (st, tl, nhit, nok), _ = jax.lax.scan(body, init, None, length=n)
+        return st, nhit, nok
+
+    if mode in ("e2e", "both"):
+        chain_j = jax.jit(chain_e2e, static_argnums=3)
+        tail0 = jnp.zeros((n_carriers, t2), jnp.uint8)
+        elapsed = _time_chain(
+            chain_j, lambda: (xd, bank.init_state(), tail0, steps), steps,
+            lambda out: (np.asarray(out[0]["timing"]["next_t"])[0],
+                         int(out[1]), int(out[2])))
+        res["rt_factor"] = steps * block / fs / elapsed
+        res["carriers_rt"] = res["rt_factor"] * n_carriers
+        res["elapsed_s"] = elapsed
+        res["input_msps"] = steps * block / elapsed / 1e6
+    elif mode == "demod":
+        res["rt_factor"] = res["demod_rt_factor"]
+        res["carriers_rt"] = res["demod_carriers_rt"]
+        res["elapsed_s"] = res["demod_elapsed_s"]
+        res["input_msps"] = steps * block / res["elapsed_s"] / 1e6
+    return res
 
 
 def main():
     n_carriers = int(os.environ.get("BENCH_CARRIERS", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     frontend = os.environ.get("BENCH_FRONTEND", "fft")
+    mode = os.environ.get("BENCH_MODE", "both")
     budget_s = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
 
     # Watchdog: a hung remote compile must not hang the harness; raising
@@ -124,25 +201,34 @@ def main():
 
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(budget_s)
+    unit = ("realtime carriers (25 kHz pi/4-DQPSK, IQ->sync+CRC-checked "
+            "frames on device)")
     try:
-        r = run_bench(n_carriers=n_carriers, steps=steps, frontend=frontend)
+        r = run_bench(n_carriers=n_carriers, steps=steps,
+                      frontend=frontend, mode=mode)
         signal.alarm(0)
         value = r["carriers_rt"]
-        print(json.dumps({
+        line = {
             "metric": "realtime_tetra_carriers_per_chip",
             "value": round(float(value), 1),
-            "unit": "carriers (25 kHz pi/4-DQPSK, full RX chain)",
+            "unit": unit,
             "vs_baseline": round(float(value) / 1.0, 1),
-        }))
+        }
+        if "demod_carriers_rt" in r and mode == "both":
+            line["demod_only_carriers"] = round(
+                float(r["demod_carriers_rt"]), 1)
+        print(json.dumps(line))
+        extra = (f" demod_only={r['demod_carriers_rt']:.0f}"
+                 if "demod_carriers_rt" in r else "")
         print(f"# backend={r['backend']} n_carriers={r['n_carriers']} "
               f"rt_factor={r['rt_factor']:.1f} input={r['input_msps']:.0f} "
-              f"Msps elapsed={r['elapsed_s']:.2f}s steps={steps}",
+              f"Msps elapsed={r['elapsed_s']:.2f}s steps={steps}{extra}",
               file=sys.stderr)
     except Exception as e:
         print(json.dumps({
             "metric": "realtime_tetra_carriers_per_chip",
             "value": 0.0,
-            "unit": "carriers (25 kHz pi/4-DQPSK, full RX chain)",
+            "unit": unit,
             "vs_baseline": 0.0,
         }))
         print(f"# bench failed: {type(e).__name__}: {e}", file=sys.stderr)
