@@ -68,8 +68,14 @@ def init_distributed(coordinator: str | None = None,
 
     if coordinator is None and num_processes is None:
         # Cloud TPU pods self-describe; elsewhere stay single-host.
-        if os.environ.get("TPU_WORKER_HOSTNAMES"):
-            jax.distributed.initialize()
+        if os.environ.get("TPU_WORKER_HOSTNAMES") \
+                and jax.default_backend() == "tpu":
+            try:
+                jax.distributed.initialize()
+            except RuntimeError as e:
+                # single-process TPU attach (e.g. a relay-backed chip)
+                logger.debug("auto distributed init unavailable: %s", e)
+                return False
             _initialized = True
             logger.info("jax.distributed initialized from TPU metadata: "
                         "process %d/%d", jax.process_index(),

@@ -7,8 +7,12 @@
  * gains.  Bad frames (BFI) are concealed by reusing the previous frame's
  * parameters with damped gains.
  *
- * Bit allocation (137 bits, packed MSB-first in this order so the channel
- * codec's sequential class split protects the perceptually critical bits):
+ * Bit allocation (137 bits, packed MSB-first in importance order, then
+ * scattered onto the ETSI EN 300 395-2 frame positions so the
+ * spec-exact channel codec's sensitivity classes protect the
+ * perceptually critical bits: importance ranks 0..29 land on class-2
+ * positions (TAB2), 30..85 on class-1 (TAB1), 86..136 on class-0
+ * (TAB0) — the spec's own protection intent):
  *
  *   LAR1..LAR10          5,5,4,4,3,3,3,3,2,2   = 34
  *   sf0: lag 7, gp 3, gc 3                     = 13
@@ -18,12 +22,26 @@
  */
 
 #include "tetra_codec.h"
+#include "etsi_tables.h"
 
 #include <cmath>
 #include <cstring>
 #include <new>
 
 namespace {
+
+/* importance rank -> 0-based frame position, by descending ETSI
+ * protection class (class 2, class 1, class 0). */
+struct EtsiPerm {
+  int pos[137];
+  EtsiPerm() {
+    int r = 0;
+    for (int i = 0; i < 30; ++i) pos[r++] = ETSI_TAB2[i] - 1;
+    for (int i = 0; i < 56; ++i) pos[r++] = ETSI_TAB1[i] - 1;
+    for (int i = 0; i < 51; ++i) pos[r++] = ETSI_TAB0[i] - 1;
+  }
+};
+const EtsiPerm kPerm;
 
 constexpr int kOrder = 10;
 constexpr int kSub = 4;
@@ -68,7 +86,8 @@ struct FrameParams {
 };
 
 void pack_params(const FrameParams &p, int16_t *bits137) {
-  BitWriter w{bits137};
+  int16_t seq[137];
+  BitWriter w{seq};
   for (int i = 0; i < kOrder; ++i) w.put(p.lar_idx[i], kLarBits[i]);
   w.put(p.lag[0] - kMinLag, 7);
   w.put(p.gp_idx[0], 3);
@@ -88,10 +107,13 @@ void pack_params(const FrameParams &p, int16_t *bits137) {
     w.put(p.p2_sign[s], 1);
   }
   w.put(0, 1);  /* spare */
+  for (int i = 0; i < 137; ++i) bits137[kPerm.pos[i]] = seq[i];
 }
 
 void unpack_params(const int16_t *bits137, FrameParams *p) {
-  BitReader r{bits137};
+  int16_t seq[137];
+  for (int i = 0; i < 137; ++i) seq[i] = bits137[kPerm.pos[i]];
+  BitReader r{seq};
   for (int i = 0; i < kOrder; ++i) p->lar_idx[i] = r.get(kLarBits[i]);
   p->lag[0] = kMinLag + r.get(7);
   if (p->lag[0] > kMaxLag) p->lag[0] = kMaxLag;

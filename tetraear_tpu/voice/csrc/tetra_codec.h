@@ -14,13 +14,14 @@
  * soft bits in [-127,127] laid out per Write_Tetra_File), and the channel
  * decoder emits (BFI + 137 parameter words) x 2 speech frames.
  *
- * The *internal* channel-coding scheme (class partition, convolutional
- * polynomials, interleaver) and the ACELP bit allocation are an original
- * design: the ETSI puncturing/interleaving tables ship only inside the
- * codec source archive the reference downloads at install time
- * (tools/install_tetra_codec.py:27), so bit-compatibility with the ETSI
- * exes is not claimed; the full encode->decode chain is self-consistent
- * and covered by tests/codec.
+ * The channel codec is ETSI EN 300 395-2 TCH/S spec-exact (class
+ * partition, RCPC puncturing, CRC, interleaving — see etsi_tables.h and
+ * channel.cpp; encoder verified bit-exact against the reference
+ * Channel_Encoding binary in tests/codec/test_etsi_oracle.py).  The
+ * ACELP *speech* bit allocation is still an original design: a real
+ * off-air block channel-decodes to the spec's 137-bit frames with a
+ * correct BFI, while speech synthesis from those frames awaits the
+ * ETSI ACELP tables.
  */
 
 #ifndef TETRA_CODEC_H
@@ -47,6 +48,18 @@ int tetra_channel_decode(const int16_t *block, int16_t *out);
 /* Channel encode: params[2*(1+137)] -> block[690] (header + hard +-127
  * soft bits).  Returns 0 on success. */
 int tetra_channel_encode(const int16_t *params, int16_t *block);
+
+/* Raw slot-level API (no .tet block framing), ETSI EN 300 395-2:
+ * two 137-bit frames <-> 432 +-127 soft bits; decode returns 0 on CRC
+ * pass, -1 on BFI (frames still filled with the best-path bits). */
+int tetra_channel_encode_slot(const int16_t *frame_a,
+                              const int16_t *frame_b, int16_t *soft432);
+int tetra_channel_decode_slot(const int16_t *soft432, int16_t *frame_a,
+                              int16_t *frame_b);
+
+/* Frame-stealing half slot: one 137-bit frame <-> 216 soft bits. */
+int tetra_channel_encode_stolen(const int16_t *frame, int16_t *soft216);
+int tetra_channel_decode_stolen(const int16_t *soft216, int16_t *frame);
 
 /* Speech decoder instance (carries LPC/excitation memory). */
 void *tetra_speech_decoder_new(void);
