@@ -75,6 +75,43 @@ def test_voice_through_rf(tmp_path):
     assert abs(peak - 57) <= 3
 
 
+def test_batched_voice_channel_decode_used(tmp_path, monkeypatch):
+    """With multiple voice slots per block the Pipeline must channel-
+    decode them in one device dispatch (jviterbi), producing the same
+    audio as the host path (the two are bit-exact, test_jviterbi)."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.ref import golden
+    from tetraear_tpu.runtime.sources import FileIQSource, write_capture
+    from tetraear_tpu.voice import jviterbi
+
+    calls = []
+    orig = jviterbi.channel_decode_batch
+
+    def counting(soft):
+        calls.append(np.atleast_2d(soft).shape[0])
+        return orig(soft)
+
+    monkeypatch.setattr(jviterbi, "channel_decode_batch", counting)
+
+    pcm = _speech(8)
+    iq = golden.golden_voice_iq(pcm, fs=2.4e6, snr_db=28, seed=9)
+    path = tmp_path / "voice.cfile"
+    write_capture(path, iq)
+    audio_chunks = []
+    cfg = PipelineConfig(sample_rate=2.4e6, detect_gate=False, voice=True,
+                         validate=False, block_len=131_072)
+    pipe = Pipeline(cfg, on_audio=audio_chunks.append)
+    pipe.run(FileIQSource(path, sample_rate=2.4e6))
+
+    assert calls and max(calls) >= 2, f"batched path not used: {calls}"
+    assert pipe.stats.voice_frames >= 6
+    audio = np.concatenate(audio_chunks)
+    seg = audio[240:] - np.mean(audio[240:])
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak = int(np.argmax(ac[40:80])) + 40
+    assert abs(peak - 57) <= 3
+
+
 def test_listen_clear_tool_records_calls(tmp_path):
     """The listen-clear workload end-to-end: synthetic voice carrier ->
     decode -> VoiceAccumulator -> call WAV with the speech pitch."""

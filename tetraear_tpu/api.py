@@ -223,6 +223,7 @@ class Pipeline:
         # TetraDecoder.decode over every carrier here)
         frames_out = self.batch.process(out["hard"], out["soft"],
                                         out["valid"])
+        self._prepare_voice_batch(frames_out)
         for f in frames_out:
             ci = f["carrier"]
             f["carrier_offset_hz"] = float(self.bank.freqs_hz[ci])
@@ -272,27 +273,73 @@ class Pipeline:
         if self.on_frame:
             self.on_frame(frame)
 
-    def _try_voice(self, frame: dict) -> None:
-        """Voice candidate path (modern.py:2088-2228): MAC-FRAG/type-1,
-        clear or successfully decrypted, soft bits -> codec block."""
+    @staticmethod
+    def _is_voice_candidate(frame: dict) -> bool:
+        """MAC-FRAG/type-1, clear or successfully decrypted
+        (modern.py:2088-2100)."""
         pdu_type = str((frame.get("mac_pdu") or {}).get("type", ""))
-        is_candidate = (("FRAG" in pdu_type or frame.get("type") == 1)
-                        and (not frame.get("encrypted")
-                             or frame.get("decrypted")
-                             or frame.get("encryption_suspected")))
-        if not is_candidate:
+        return (("FRAG" in pdu_type or frame.get("type") == 1)
+                and (not frame.get("encrypted")
+                     or frame.get("decrypted")
+                     or frame.get("encryption_suspected")))
+
+    def _prepare_voice_batch(self, frames: list) -> None:
+        """Channel-decode all of a block's voice candidates in ONE device
+        dispatch (voice.jviterbi batched Viterbi, bit-exact vs the C++
+        path); per-frame speech synthesis then runs from the decoded
+        parameters in _try_voice.  With fewer than two candidates the
+        host C++ path is used unchanged."""
+        if self.voice is None:
             return
-        from tetraear_tpu.voice.codec import build_codec_block
-        soft = frame.get("soft_symbols")
-        if soft is None:
+        from tetraear_tpu.voice.codec import (build_codec_block,
+                                              block_soft_bits)
+        cands = []
+        for f in frames:
+            if not self._is_voice_candidate(f):
+                continue
+            soft = f.get("soft_symbols")
+            if soft is None:
+                continue
+            block = build_codec_block(soft)
+            if block is None:
+                continue
+            f["_voice_block"] = block
+            cands.append(f)
+        if len(cands) < 2:
             return
-        block = build_codec_block(soft)
+        from tetraear_tpu.voice import jviterbi
+        softs = np.stack([block_soft_bits(f["_voice_block"])
+                          for f in cands])
+        out = jviterbi.channel_decode_batch(softs)
+        for i, f in enumerate(cands):
+            params = np.zeros((2, 138), np.int16)
+            params[:, 0] = 1 if out["bfi"][i] else 0
+            params[:, 1:] = out["frames"][i]
+            f["_voice_params"] = params
+
+    def _try_voice(self, frame: dict) -> None:
+        """Voice candidate path (modern.py:2088-2228): soft bits ->
+        codec block -> PCM; channel decoding may already have happened
+        batched on device (_prepare_voice_batch)."""
+        block = frame.pop("_voice_block", None)
         if block is None:
-            return
+            if not self._is_voice_candidate(frame):
+                return
+            from tetraear_tpu.voice.codec import build_codec_block
+            soft = frame.get("soft_symbols")
+            if soft is None:
+                return
+            block = build_codec_block(soft)
+            if block is None:
+                return
         if self._records_dir is not None:
             with open(self._records_dir / "tetra_frames.bin", "ab") as fh:
                 fh.write(block)
-        audio = self.voice.decode_frame(block)
+        params = frame.pop("_voice_params", None)
+        if params is not None:
+            audio = self.voice.decode_params(params)
+        else:
+            audio = self.voice.decode_frame(block)
         if len(audio):
             frame["has_voice"] = True
             self.stats.voice_frames += 1

@@ -124,6 +124,18 @@ def bits_to_codec_block(bits: np.ndarray) -> bytes | None:
     return block.tobytes()
 
 
+def block_soft_bits(frame_data: bytes) -> np.ndarray | None:
+    """1380-byte codec block -> (432,) int16 soft bits (the batched
+    device channel decoder's input layout)."""
+    if len(frame_data) != CODEC_BLOCK_BYTES:
+        return None
+    block = np.frombuffer(frame_data, np.int16)
+    if int(block[0]) & 0xFFFF != CODEC_HEADER:
+        return None
+    return np.concatenate([block[1:115], block[116:230],
+                           block[231:345], block[346:436]])[:432]
+
+
 class VoiceProcessor:
     """Decode 1380-byte codec blocks to float32 PCM at 8 kHz.
 
@@ -165,6 +177,29 @@ class VoiceProcessor:
             return None
         return out.reshape(2, 1 + SPEECH_FRAME_PARAMS)
 
+    def decode_params(self, frames: np.ndarray) -> np.ndarray:
+        """(2, 1+137) [BFI, params...] -> float32 PCM (speech synthesis
+        half; channel decoding already done, e.g. on device)."""
+        if not self.working:
+            return np.zeros(0, np.float32)
+        pcm_all = []
+        for fr in np.asarray(frames, np.int16):
+            out = np.zeros(SAMPLES_PER_SPEECH_FRAME, dtype=np.int16)
+            rc = self._lib.tetra_speech_decode(
+                self._dec_state,
+                np.ascontiguousarray(fr).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int16)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            if rc != 0:
+                logger.debug("speech decode failed rc=%d", rc)
+                return np.zeros(0, np.float32)
+            pcm_all.append(out)
+        audio = np.concatenate(pcm_all).astype(np.float32) / 32768.0
+        if audio.size and float(np.max(np.abs(audio))) < 1e-5:
+            # near-silent output == decode failure (voice.py:223-232)
+            return np.zeros(0, np.float32)
+        return audio
+
     def decode_frame(self, frame_data: bytes) -> np.ndarray:
         """1380-byte soft-bit block -> float32 PCM in [-1, 1]
         (voice.py:73-250 semantics, no subprocess, no temp files)."""
@@ -181,21 +216,4 @@ class VoiceProcessor:
         frames = self.channel_decode(frame_data)
         if frames is None:
             return np.zeros(0, np.float32)
-
-        pcm_all = []
-        for fr in frames:
-            out = np.zeros(SAMPLES_PER_SPEECH_FRAME, dtype=np.int16)
-            rc = self._lib.tetra_speech_decode(
-                self._dec_state,
-                np.ascontiguousarray(fr).ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_int16)),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
-            if rc != 0:
-                logger.debug("speech decode failed rc=%d", rc)
-                return np.zeros(0, np.float32)
-            pcm_all.append(out)
-        audio = np.concatenate(pcm_all).astype(np.float32) / 32768.0
-        if audio.size and float(np.max(np.abs(audio))) < 1e-5:
-            # near-silent output == decode failure (voice.py:223-232)
-            return np.zeros(0, np.float32)
-        return audio
+        return self.decode_params(frames)
