@@ -205,6 +205,8 @@ def test_bruteforce_keys_tool(tmp_path, capsys):
     assert bruteforce_keys.main([str(log), "-k", str(keyfile)]) == 0
     out = capsys.readouterr().out
     assert "Status report" in out
+    # the keys x frames product runs on device (one dispatch per family)
+    assert "device search" in out
 
 
 # -- CLI ------------------------------------------------------------------

@@ -122,6 +122,111 @@ def _score_bytes(plain: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("algorithm",))
+def _decrypt_impl(v0, v1, key_words, algorithm):
+    """(B,W) payload words x (K,) keys -> (K, B, L) plaintext bytes."""
+    k = key_words.shape[0]
+    v0b = jnp.broadcast_to(v0[None], (k,) + v0.shape)
+    v1b = jnp.broadcast_to(v1[None], (k,) + v1.shape)
+    if algorithm == "TEA1":
+        p0, p1 = _tea1_rounds(v0b, v1b, key_words)
+    else:
+        p0, p1 = _tea2_rounds(v0b, v1b, key_words)
+    return _words_to_bytes(p0, p1)
+
+
+def tea_decrypt_batch(payloads, keys, algorithm: str = "TEA1") -> np.ndarray:
+    """Decrypt every payload with every key on device.
+
+    payloads: (B, L) uint8 (L % 8 == 0); keys: list/array of key bytes.
+    Returns (K, B, L) uint8 plaintexts — bit-exact vs
+    crypto.tea.TEADecryptor.decrypt (ECB) for each (key, payload) pair.
+    """
+    payloads = np.atleast_2d(np.asarray(payloads, np.uint8))
+    if isinstance(keys, (list, tuple)):
+        keys = np.stack([np.frombuffer(bytes(k), np.uint8) for k in keys])
+    algorithm = algorithm.upper()
+    kw = _keys_to_words_tea1(keys) if algorithm == "TEA1" \
+        else _keys_to_words_tea2(keys)
+    v0, v1 = _payload_to_words(payloads)
+    out = _decrypt_impl(jnp.asarray(v0), jnp.asarray(v1),
+                        jnp.asarray(kw),
+                        "TEA1" if algorithm == "TEA1" else "TEA2")
+    return np.asarray(out)
+
+
+def batch_decrypt_frames(decoders, frames: list) -> None:
+    """Finish deferred decryption for a block's frames with ONE device
+    keys x payloads search per cipher family.
+
+    Each frame's key plan and selection loop are EXACTLY the host
+    _decrypt_frame path (frame.decoder._build_key_plan /
+    _select_decrypt); only the TEA rounds move to device.  Payloads are
+    zero-padded to a common width — harmless for ECB, each frame's
+    plaintext is truncated back to its own length.
+    """
+    pending = []
+    for f in frames:
+        if not f.pop("decryption_pending", False):
+            continue
+        dec = decoders[f.get("carrier", 0)]
+        plan = dec._build_key_plan(f)
+        if plan is None:
+            continue
+        pending.append((f, dec, plan))
+    if not pending:
+        return
+    if len(pending) == 1:
+        # a lone frame is cheaper on host than one relay dispatch
+        f, dec, (payload, keys_to_try) = pending[0]
+        dec._select_decrypt(f, payload, keys_to_try)
+        dec._post_decrypt_sds(f)
+        return
+
+    # collect unique keys per cipher family (TEA1 10-byte; TEA2/3/4
+    # share the classic-TEA structure, crypto.tea semantics)
+    fam_keys = {"TEA1": [], "TEA2": []}
+    fam_index = {"TEA1": {}, "TEA2": {}}
+    max_len = 0
+    for _, _, (payload, keys_to_try) in pending:
+        max_len = max(max_len, len(payload))
+        for key, _desc, alg in keys_to_try:
+            if key is None:
+                continue
+            fam = "TEA1" if alg == "TEA1" else "TEA2"
+            want = 10 if fam == "TEA1" else 16
+            if len(key) != want:
+                continue               # host loop would raise+skip too
+            if key not in fam_index[fam]:
+                fam_index[fam][key] = len(fam_keys[fam])
+                fam_keys[fam].append(key)
+
+    payload_mat = np.zeros((len(pending), max_len), np.uint8)
+    for bi, (_, _, (payload, _)) in enumerate(pending):
+        payload_mat[bi, :len(payload)] = np.frombuffer(payload, np.uint8)
+
+    plains = {}
+    for fam in ("TEA1", "TEA2"):
+        if fam_keys[fam]:
+            plains[fam] = tea_decrypt_batch(payload_mat, fam_keys[fam],
+                                            fam)
+
+    for bi, (f, dec, (payload, keys_to_try)) in enumerate(pending):
+
+        def plaintext_at(i, _bi=bi, _payload=payload,
+                         _keys=keys_to_try):
+            key, _desc, alg = _keys[i]
+            fam = "TEA1" if alg == "TEA1" else "TEA2"
+            ki = fam_index[fam].get(key)
+            if ki is None:             # invalid combo: host semantics
+                from tetraear_tpu.crypto.tea import TEADecryptor
+                return TEADecryptor(key, alg).decrypt(_payload)
+            return plains[fam][ki, _bi, :len(_payload)].tobytes()
+
+        dec._select_decrypt(f, payload, keys_to_try, plaintext_at)
+        dec._post_decrypt_sds(f)
+
+
+@partial(jax.jit, static_argnames=("algorithm",))
 def _search_impl(v0, v1, key_words, algorithm):
     # broadcast to (K, B, W)
     k = key_words.shape[0]

@@ -43,6 +43,10 @@ class BatchedFrameDecoder:
         self.decoders = decoders if decoders is not None else [
             TetraDecoder(key_manager=key_manager, auto_decrypt=auto_decrypt)
             for _ in range(n_carriers)]
+        for d in self.decoders:
+            # decryption is deferred per block and finished with one
+            # device keys x frames search (crypto.batch)
+            d.defer_decrypt = True
         self.T = int(tail_syms)
         self.kernel = FrameScanKernel()
         c = n_carriers
@@ -103,6 +107,11 @@ class BatchedFrameDecoder:
                 frame["soft_symbols"] = softs[ci, start // 2:
                                               start // 2 + 255]
                 frames_out.append(frame)
+        # finish deferred decryption: one device keys x payloads search
+        # for the whole block (exact host-loop semantics, crypto.batch)
+        if any(f.get("decryption_pending") for f in frames_out):
+            from tetraear_tpu.crypto.batch import batch_decrypt_frames
+            batch_decrypt_frames(self.decoders, frames_out)
         return frames_out
 
     # -- per-block entry (standalone device dispatch) ----------------------

@@ -164,7 +164,8 @@ class TetraDecoder:
                  auto_decrypt: bool = True):
         self.key_manager = key_manager
         self.auto_decrypt = auto_decrypt
-        self.protocol_parser = MacParser()
+        self.defer_decrypt = False     # batched layer sets True (see
+        self.protocol_parser = MacParser()  # frame.batch / crypto.batch)
         self.common_keys = common_keys()
         self.user_keys: list = []
         self.SYNC_PATTERN = SCANNER_SYNC_PATTERN.tolist()
@@ -402,18 +403,29 @@ class TetraDecoder:
             and not str(frame_data["sds_message"]).startswith("[BIN"))
         if (frame_data.get("encrypted") and not readable_clear
                 and (self.key_manager or self.auto_decrypt)):
-            frame_data = self._decrypt_frame(frame_data)
-            if frame_data.get("decrypted") and "decrypted_bytes" in frame_data:
-                try:
-                    dec = bytes.fromhex(frame_data["decrypted_bytes"])
-                    sds_text = self.protocol_parser.parse_sds_data(dec)
-                    if sds_text:
-                        frame_data["sds_message"] = sds_text
-                        frame_data["decoded_text"] = sds_text
-                        additional_info["sds_text"] = sds_text[:50]
-                except ValueError:
-                    pass
+            if self.defer_decrypt:
+                # the batched frame layer collects this block's pending
+                # frames and runs ONE keys x frames device search
+                # (crypto.batch), then finishes via finish_decrypt()
+                frame_data["decryption_pending"] = True
+            else:
+                frame_data = self._decrypt_frame(frame_data)
+                self._post_decrypt_sds(frame_data)
         return frame_data
+
+    def _post_decrypt_sds(self, frame_data: dict) -> None:
+        """SDS extraction from a successful decrypt (decoder.py:1106-1117)."""
+        if frame_data.get("decrypted") and "decrypted_bytes" in frame_data:
+            try:
+                dec = bytes.fromhex(frame_data["decrypted_bytes"])
+                sds_text = self.protocol_parser.parse_sds_data(dec)
+                if sds_text:
+                    frame_data["sds_message"] = sds_text
+                    frame_data["decoded_text"] = sds_text
+                    frame_data.setdefault("additional_info", {})[
+                        "sds_text"] = sds_text[:50]
+            except ValueError:
+                pass
 
     # -- display -----------------------------------------------------------
 
@@ -501,9 +513,11 @@ class TetraDecoder:
             pass
         return score
 
-    def _decrypt_frame(self, frame_data: dict) -> dict:
-        """Aggressive multi-key bruteforce with plaintext scoring
-        (decoder.py:576-833)."""
+    def _build_key_plan(self, frame_data: dict):
+        """Payload extraction + ordered key list (decoder.py:596-666).
+
+        Returns (payload_bytes, keys_to_try) or None when the payload is
+        too short (error fields already set)."""
         algorithm = frame_data.get("encryption_algorithm") or "TEA1"
         key_id = frame_data.get("key_id", "0")
         frame_data["decryption_attempted"] = True
@@ -529,7 +543,7 @@ class TetraDecoder:
         if len(payload_bytes) < 8:
             frame_data["decrypted"] = False
             frame_data["decryption_error"] = "Payload too short for decryption"
-            return frame_data
+            return None
         if len(payload_bytes) % 8:
             payload_bytes += b"\x00" * (8 - len(payload_bytes) % 8)
 
@@ -554,13 +568,24 @@ class TetraDecoder:
                 for i, ck in enumerate(self.common_keys.get(other, [])[:5]):
                     keys_to_try.append(
                         (ck, f"{other} common_key_{i} (cross-try)", other))
+        return payload_bytes, keys_to_try
 
+    def _select_decrypt(self, frame_data: dict, payload_bytes: bytes,
+                        keys_to_try: list, plaintext_at=None) -> dict:
+        """Score/select loop + result application (decoder.py:690-833).
+
+        ``plaintext_at(i)`` supplies the i-th key's plaintext — device-
+        precomputed in the batched path, host TEA otherwise.  The loop
+        order, scoring and early-exit are identical either way, so both
+        paths pick the same key."""
         frame_data["keys_tried"] = len(keys_to_try)
         best_result, best_score = None, 0
-        for key, desc, alg in keys_to_try:
+        for i, (key, desc, alg) in enumerate(keys_to_try):
             try:
                 if key is None:
                     plain = payload_bytes
+                elif plaintext_at is not None:
+                    plain = plaintext_at(i)
                 else:
                     plain = TEADecryptor(key, alg).decrypt(payload_bytes)
                 score = self._score_decrypt(plain)
@@ -604,3 +629,14 @@ class TetraDecoder:
                 f"Tried {len(keys_to_try)} key(s), best score: {best_score}")
             frame_data["best_score"] = best_score
         return frame_data
+
+    def _decrypt_frame(self, frame_data: dict) -> dict:
+        """Aggressive multi-key bruteforce with plaintext scoring
+        (decoder.py:576-833).  Host path: per-key TEA on CPU; the batched
+        pipeline instead precomputes every plaintext on device
+        (crypto.batch.batch_decrypt_frames) and shares _select_decrypt."""
+        plan = self._build_key_plan(frame_data)
+        if plan is None:
+            return frame_data
+        payload_bytes, keys_to_try = plan
+        return self._select_decrypt(frame_data, payload_bytes, keys_to_try)

@@ -1,10 +1,11 @@
 """Offline key bruteforce over recorded JSONL frames.
 
 Equivalent of the reference's bruteforce_keys.py: load a key list + a
-continuous-capture JSONL, try every key against every encrypted frame's MAC
-payload, and rank decryptions by text plausibility.  The inner loop uses
-the vectorized TEA block decryptors, so the full key x frame product runs
-as batched uint32 array ops.
+continuous-capture JSONL, try every key against every encrypted frame's
+MAC payload, and rank decryptions by text plausibility.  The full
+keys x frames product decrypts on device in one dispatch per cipher
+family (crypto.batch.tea_decrypt_batch — bit-exact vs the host TEA);
+only the text scoring of the resulting plaintexts runs on host.
 """
 
 from __future__ import annotations
@@ -55,7 +56,6 @@ def main(argv=None) -> int:
     ap.add_argument("--top", type=int, default=10)
     args = ap.parse_args(argv)
 
-    from tetraear_tpu.crypto.tea import TEADecryptor
     from tetraear_tpu.frame import sds
 
     keys = load_keys(args.keys)
@@ -89,10 +89,13 @@ def main(argv=None) -> int:
         if len(pb) >= 8:
             payloads.append(pb)
 
-    results = []
-    for ki, (alg, hex_key) in enumerate(keys):
-        if ki % 50 == 0:
-            print(f"[*] {ki}/{len(keys)} keys...")
+    # expand (alg, key) combos and group by cipher family; each family's
+    # full keys x frames product is ONE device dispatch
+    import numpy as np
+    from tetraear_tpu.crypto.batch import tea_decrypt_batch
+
+    combos = []                       # (alg_label, key_bytes, hex)
+    for alg, hex_key in keys:
         try:
             kb = bytes.fromhex(hex_key)
         except ValueError:
@@ -100,29 +103,51 @@ def main(argv=None) -> int:
         algs = [alg] if alg else (
             ["TEA1"] if len(kb) == 10 else ["TEA2", "TEA3"])
         for a in algs:
+            want = 10 if a == "TEA1" else 16
+            if len(kb) == want:
+                combos.append((a, kb, hex_key))
+
+    lmax = max(len(pb) for pb in payloads)
+    payload_mat = np.zeros((len(payloads), lmax), np.uint8)
+    for fi, pb in enumerate(payloads):
+        payload_mat[fi, :len(pb)] = np.frombuffer(pb, np.uint8)
+
+    plains = {}                       # family -> (key -> row of matrix)
+    for fam in ("TEA1", "TEA2"):
+        fam_keys = []
+        index = {}
+        for a, kb, _ in combos:
+            f = "TEA1" if a == "TEA1" else "TEA2"
+            if f == fam and kb not in index:
+                index[kb] = len(fam_keys)
+                fam_keys.append(kb)
+        if fam_keys:
+            print(f"[*] device search: {len(fam_keys)} {fam}-family "
+                  f"keys x {len(payloads)} frames")
+            plains[fam] = (tea_decrypt_batch(payload_mat, fam_keys, fam),
+                           index)
+
+    results = []
+    for a, kb, hex_key in combos:
+        fam = "TEA1" if a == "TEA1" else "TEA2"
+        mat, index = plains[fam]
+        ki = index[kb]
+        for fi, pb in enumerate(payloads):
+            plain = mat[ki, fi, :len(pb)].tobytes()
+            text = sds.unpack_gsm7(plain[:40])
+            s = score_text(text)
             try:
-                dec = TEADecryptor(kb, a)
-            except ValueError:
-                continue
-            for fi, pb in enumerate(payloads):
-                try:
-                    plain = dec.decrypt(pb)
-                except Exception:
-                    continue
-                text = sds.unpack_gsm7(plain[:40])
-                s = score_text(text)
-                try:
-                    ascii_text = plain.decode("ascii")
-                    s = max(s, score_text(ascii_text) + 0.2)
-                    text = ascii_text if score_text(ascii_text) > \
-                        score_text(text) else text
-                except UnicodeDecodeError:
-                    pass
-                if s >= args.min_score:
-                    results.append({"key": f"{a}:{hex_key}", "frame": fi,
-                                    "text": text[:100], "score": s})
-                    print(f"[+] candidate score={s:.2f} key={a}:"
-                          f"{hex_key[:20]}... text={text[:60]!r}")
+                ascii_text = plain.decode("ascii")
+                s = max(s, score_text(ascii_text) + 0.2)
+                text = ascii_text if score_text(ascii_text) > \
+                    score_text(text) else text
+            except UnicodeDecodeError:
+                pass
+            if s >= args.min_score:
+                results.append({"key": f"{a}:{hex_key}", "frame": fi,
+                                "text": text[:100], "score": s})
+                print(f"[+] candidate score={s:.2f} key={a}:"
+                      f"{hex_key[:20]}... text={text[:60]!r}")
 
     results.sort(key=lambda r: -r["score"])
     print(f"\n[*] complete: {len(results)} candidates")
