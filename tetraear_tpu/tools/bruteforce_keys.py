@@ -143,6 +143,14 @@ def main(argv=None) -> int:
                     score_text(text) else text
             except UnicodeDecodeError:
                 pass
+            # SDS payloads carry a protocol-ID byte (e.g. 0x82) before
+            # the text and zero padding after it: a printable-stripped
+            # latin-1 view catches those
+            lat = "".join(c for c in plain.decode("latin-1")
+                          if c.isprintable())
+            if len(lat) >= 4 and score_text(lat) + 0.2 > s:
+                s = score_text(lat) + 0.2
+                text = lat
             if s >= args.min_score:
                 results.append({"key": f"{a}:{hex_key}", "frame": fi,
                                 "text": text[:100], "score": s})
