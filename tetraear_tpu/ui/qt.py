@@ -21,13 +21,13 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 try:
-    from PyQt6.QtCore import QThread, pyqtSignal
+    from PyQt6.QtCore import Qt, QThread, pyqtSignal
     from PyQt6.QtGui import QImage, QPixmap
     from PyQt6.QtWidgets import (QApplication, QCheckBox, QComboBox,
                                  QDoubleSpinBox, QHBoxLayout, QLabel,
-                                 QMainWindow, QPushButton, QTableWidget,
-                                 QTableWidgetItem, QTabWidget, QVBoxLayout,
-                                 QWidget)
+                                 QMainWindow, QPushButton, QSlider,
+                                 QTableWidget, QTableWidgetItem, QTabWidget,
+                                 QVBoxLayout, QWidget)
     QT_AVAILABLE = True
 except ImportError:  # pragma: no cover - headless environments
     QT_AVAILABLE = False
@@ -192,11 +192,21 @@ if QT_AVAILABLE:
 
         def __init__(self, settings=None):
             super().__init__()
+            from tetraear_tpu.frame.sdsstore import SDSMessageStore
+            from tetraear_tpu.ui.filters import FrameFilter
+            from tetraear_tpu.ui.recording import RecordingController
             from tetraear_tpu.utils.settings import (FrequencyManager,
                                                      SettingsManager)
             self.settings = settings or SettingsManager()
             self.freqs = FrequencyManager()
             self.thread = None
+            self.frame_filter = FrameFilter()
+            self.sds_store = SDSMessageStore()
+            self.recorder = RecordingController(
+                records_dir=self.settings.get("records_dir") or "records",
+                export_mp3=bool(self.settings.get("export_mp3", False)),
+                delete_silent=not self.settings.get("save_silence", False))
+            self._all_frames = []
             self.setWindowTitle("tetraear-tpu")
             self.setStyleSheet(DARK_QSS)
             self._build_ui()
@@ -235,15 +245,70 @@ if QT_AVAILABLE:
             self.stop_btn.setObjectName("stop")
             self.stop_btn.clicked.connect(self.on_stop)
             panel.addWidget(self.stop_btn)
+            self.rec_btn = QPushButton("REC")
+            self.rec_btn.setCheckable(True)
+            self.rec_btn.toggled.connect(self.on_rec_toggled)
+            panel.addWidget(self.rec_btn)
+            self.monitor_chk = QCheckBox("Monitor Audio")
+            self.monitor_chk.toggled.connect(
+                lambda on: self.recorder.set_monitor(on))
+            panel.addWidget(self.monitor_chk)
             panel.addStretch(1)
             self.status = QLabel("idle")
             panel.addWidget(self.status)
             layout.addLayout(panel)
 
+            # gain + sample-rate controls (modern.py:2817-3167)
+            hw = QHBoxLayout()
+            hw.addWidget(QLabel("Gain"))
+            self.gain_slider = QSlider(Qt.Orientation.Horizontal)
+            self.gain_slider.setRange(0, 50)
+            gain = self.settings.get("gain", "auto")
+            self.gain_auto = QCheckBox("auto")
+            self.gain_auto.setChecked(gain == "auto")
+            self.gain_slider.setValue(
+                0 if gain == "auto" else int(float(gain)))
+            self.gain_slider.valueChanged.connect(self.on_gain_changed)
+            self.gain_auto.toggled.connect(
+                lambda _on: self.on_gain_changed(self.gain_slider.value()))
+            hw.addWidget(self.gain_slider)
+            hw.addWidget(self.gain_auto)
+            self.gain_label = QLabel(str(gain))
+            hw.addWidget(self.gain_label)
+            hw.addWidget(QLabel("Rate"))
+            self.rate_box = QComboBox()
+            from tetraear_tpu.runtime.sources import RTL_VALID_RATES
+            for r in RTL_VALID_RATES:
+                self.rate_box.addItem(f"{r / 1e6:.3f} Msps", r)
+            cur = self.settings.get("sample_rate", 2.4e6)
+            for i in range(self.rate_box.count()):
+                if abs(self.rate_box.itemData(i) - cur) < 1:
+                    self.rate_box.setCurrentIndex(i)
+            self.rate_box.currentIndexChanged.connect(self.on_rate_changed)
+            hw.addWidget(self.rate_box)
+            hw.addStretch(1)
+            layout.addLayout(hw)
+
             self.waterfall = WaterfallWidget(
                 fs=self.settings.get("sample_rate", 2.4e6))
             self.waterfall.clicked_freq.connect(self._tune_offset)
             layout.addWidget(self.waterfall)
+
+            # frames-table filters (modern.py:4326-4473)
+            from tetraear_tpu.ui.filters import (ENC_CHOICES, READ_CHOICES,
+                                                 TYPE_CHOICES)
+            fl = QHBoxLayout()
+            self.type_filter = QComboBox()
+            self.type_filter.addItems(list(TYPE_CHOICES))
+            self.enc_filter = QComboBox()
+            self.enc_filter.addItems(list(ENC_CHOICES))
+            self.read_filter = QComboBox()
+            self.read_filter.addItems(list(READ_CHOICES))
+            for b in (self.type_filter, self.enc_filter, self.read_filter):
+                b.currentIndexChanged.connect(self._filters_changed)
+                fl.addWidget(b)
+            fl.addStretch(1)
+            layout.addLayout(fl)
 
             # tabs
             self.tabs = QTabWidget()
@@ -255,6 +320,8 @@ if QT_AVAILABLE:
                  "Frames"])
             self.groups_table = self._table(["TG", "Frames", "Last seen"])
             self.users_table = self._table(["SSI", "Frames", "Last seen"])
+            self.sds_table = self._table(
+                ["Source", "TG", "Carrier", "Flags", "Message"])
             self.stats_label = QLabel("")
             stats_w = QWidget()
             QVBoxLayout(stats_w).addWidget(self.stats_label)
@@ -262,6 +329,7 @@ if QT_AVAILABLE:
             self.tabs.addTab(self.calls_table, "Calls")
             self.tabs.addTab(self.groups_table, "Groups")
             self.tabs.addTab(self.users_table, "Users")
+            self.tabs.addTab(self.sds_table, "SDS")
             self.tabs.addTab(stats_w, "Stats")
             layout.addWidget(self.tabs)
             self.setCentralWidget(root)
@@ -276,6 +344,48 @@ if QT_AVAILABLE:
             f = self.preset_box.currentData()
             if f:
                 self.freq_spin.setValue(f / 1e6)
+
+        # -- controls -----------------------------------------------------
+
+        def on_rec_toggled(self, on: bool):
+            """REC button (modern.py:4049-4194): continuous WAV with
+            silent-delete + optional MP3 on stop."""
+            if on:
+                path = self.recorder.start()
+                self.status.setText(f"recording {path.name}")
+            else:
+                kept = self.recorder.stop()
+                self.status.setText(
+                    f"saved {kept.name}" if kept else "recording silent"
+                    " — discarded")
+
+        def on_gain_changed(self, value: int):
+            gain = "auto" if self.gain_auto.isChecked() else float(value)
+            self.gain_label.setText(str(gain))
+            self.settings.set("gain", gain)
+            src = getattr(self.thread, "source", None)
+            if src is not None and hasattr(src, "set_gain"):
+                try:
+                    src.set_gain(gain)
+                except Exception as e:
+                    logger.debug("live gain change failed: %s", e)
+
+        def on_rate_changed(self, _idx: int):
+            rate = self.rate_box.currentData()
+            if rate:
+                self.settings.set("sample_rate", float(rate))
+                self.status.setText(
+                    f"rate {rate / 1e6:.3f} Msps (takes effect on START)")
+
+        def _filters_changed(self, _idx: int = 0):
+            """Re-apply the dropdowns to the retained frame history."""
+            self.frame_filter.type_choice = self.type_filter.currentText()
+            self.frame_filter.enc_choice = self.enc_filter.currentText()
+            self.frame_filter.read_choice = self.read_filter.currentText()
+            self.frames_table.setRowCount(0)
+            for f in self._all_frames:
+                if self.frame_filter.accepts(f):
+                    self._append_frame_row(f)
 
         def _tune_offset(self, offset_hz):
             self.freq_spin.setValue(self.freq_spin.value() + offset_hz / 1e6)
@@ -301,6 +411,7 @@ if QT_AVAILABLE:
             self.thread.frame_decoded.connect(self.on_frame)
             self.thread.spectrum_update.connect(self.waterfall.push)
             self.thread.status_update.connect(self.status.setText)
+            self.thread.voice_audio.connect(self.recorder.feed)
             self.thread.finished.connect(self._thread_done)
             self.thread.start()
             self.status.setText("running")
@@ -313,7 +424,7 @@ if QT_AVAILABLE:
             self.thread = None
             self.status.setText("stopped")
 
-        def on_frame(self, frame: dict):
+        def _append_frame_row(self, frame: dict):
             from tetraear_tpu.frame import mcc_mnc
             t = self.frames_table
             row = t.rowCount()
@@ -335,6 +446,26 @@ if QT_AVAILABLE:
             for c, v in enumerate(vals):
                 t.setItem(row, c, QTableWidgetItem(v))
             t.scrollToBottom()
+
+        def _refresh_sds(self):
+            t = self.sds_table
+            rows = self.sds_store.snapshot()
+            t.setRowCount(len(rows))
+            for r, m in enumerate(rows):
+                vals = [str(m["source"]), str(m["talkgroup"]),
+                        str(m["carrier"]), m["flags"], m["text"]]
+                for c, v in enumerate(vals):
+                    t.setItem(r, c, QTableWidgetItem(v))
+
+        def on_frame(self, frame: dict):
+            meta = frame.get("call_metadata") or {}
+            self._all_frames.append(frame)
+            if len(self._all_frames) > 2000:
+                del self._all_frames[:1000]
+            if self.frame_filter.accepts(frame):
+                self._append_frame_row(frame)
+            if self.sds_store.add_frame(frame) is not None:
+                self._refresh_sds()
             # aggregate tables
             tg = meta.get("talkgroup_id")
             if tg:
