@@ -65,26 +65,31 @@ _DATA_OFFSETS = np.concatenate([np.arange(0, 108), np.arange(122, 230)])
 def _crc_conv_kernel() -> tuple:
     """(kernel (33, 1, 230) float32, c0 (16,) uint8).
 
-    Channels 0..15: forward CRC of the 200-bit payload, as taps at the
-    payload bits' frame offsets.  Channels 16..31: CRC of the reversed
-    payload.  Channel 32: ones count over the 216-bit data view (for the
-    degenerate-row rejection in crc.soft_crc_check).
+    SYNDROME formulation: channels 0..15 carry the forward-CRC parity
+    taps PLUS a tap on the received CRC bit itself (data-view offset
+    200+j -> frame offset 214+j), so (conv mod 2) xor c0 IS the
+    syndrome bit — no separate received-bit extraction or XOR pass.
+    Channels 16..31: same for the reversed payload.  Channel 32: ones
+    count over the 216-bit data view (degenerate-row rejection in
+    crc.soft_crc_check).
     """
     m, c0 = crc_mod.crc16_matrix(DATA_BITS - 16)       # (16, 200)
     payload_off = _DATA_OFFSETS[:DATA_BITS - 16]       # frame offsets
+    recv_off = _DATA_OFFSETS[DATA_BITS - 16:]          # frame 214..229
     k = np.zeros((33, 1, CRC_SPAN), np.float32)
     for i, off in enumerate(payload_off):
         k[0:16, 0, off] = m[:, i]
         # reversed payload: column i of M multiplies payload[199 - i]
         k[16:32, 0, payload_off[len(payload_off) - 1 - i]] = m[:, i]
+    for j, off in enumerate(recv_off):
+        k[j, 0, off] += 1.0
+        k[16 + j, 0, off] += 1.0
     for off in _DATA_OFFSETS:
         k[32, 0, off] += 1.0
     return k, c0
 
 
 _CRC_KERNEL, _CRC_C0 = _crc_conv_kernel()
-# received-CRC bit offsets within the frame (data view bits 200..215)
-_RECV_OFFSETS = _DATA_OFFSETS[DATA_BITS - 16:]
 
 
 def sync_corr(bits: jnp.ndarray) -> jnp.ndarray:
@@ -116,20 +121,12 @@ def crc_err_all(bits: jnp.ndarray) -> jnp.ndarray:
         x[:, None, :], jnp.asarray(_CRC_KERNEL), window_strides=(1,),
         padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
     out_i = jnp.round(out).astype(jnp.int32)           # exact small ints
-    crc_fwd = (out_i[:, 0:16] & 1).astype(jnp.uint8) \
-        ^ jnp.asarray(_CRC_C0, jnp.uint8)[None, :, None]
-    crc_rev = (out_i[:, 16:32] & 1).astype(jnp.uint8) \
-        ^ jnp.asarray(_CRC_C0, jnp.uint8)[None, :, None]
+    # syndrome bits: (parity of taps incl. the received bit) xor c0
+    c0_2 = jnp.concatenate([jnp.asarray(_CRC_C0, jnp.int32)] * 2)
+    syn = (out_i[:, 0:32] & 1) ^ c0_2[None, :, None]
+    e_fwd = jnp.sum(syn[:, 0:16], axis=1)
+    e_rev = jnp.sum(syn[:, 16:32], axis=1)
     ones = out_i[:, 32]                                # (C, P)
-
-    # received CRC bits at the 16 tail offsets of the data view: 16
-    # static slices of the bit matrix (no gather)
-    p = out_i.shape[2]
-    recv = jnp.stack(
-        [jax.lax.slice_in_dim(bits, int(off), int(off) + p, 1, axis=1)
-         for off in _RECV_OFFSETS], axis=1).astype(jnp.uint8)  # (C, 16, P)
-    e_fwd = jnp.sum((crc_fwd ^ recv).astype(jnp.int32), axis=1)
-    e_rev = jnp.sum((crc_rev ^ recv).astype(jnp.int32), axis=1)
     err = jnp.minimum(e_fwd, e_rev)
     degenerate = (ones == 0) | (ones == DATA_BITS)
     return jnp.where(degenerate, jnp.int32(99), err)

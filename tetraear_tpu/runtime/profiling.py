@@ -97,9 +97,53 @@ def roofline_estimate(n_carriers: int, fs: float, frontend: str = "fft",
     # timing (~30 flops/sym), demod (~10)
     back_flops = c * (out72 * (64 + 41) * 2 + 18_000.0 * 40)
     back_bytes = c * out72 * 8.0 * 4
+    # dense frame scan (dsp.framescan): per bit position, a 2x22 sync
+    # conv and a 33x230 GF(2)-CRC conv; 36 kbit/s per carrier
+    bits_per_s = 36_000.0
+    scan_flops = c * bits_per_s * 2.0 * (2 * 22 + 33 * 230)
+    scan_bytes = c * bits_per_s * (4.0 + 33 * 4.0 + 4.0)
     return {
-        "flops_per_s": front_flops + back_flops,
-        "hbm_bytes_per_s": front_bytes + back_bytes,
+        "flops_per_s": front_flops + back_flops + scan_flops,
+        "hbm_bytes_per_s": front_bytes + back_bytes + scan_bytes,
         "front_flops_per_s": front_flops,
+        "scan_flops_per_s": scan_flops,
         "frontend": frontend,
+    }
+
+
+def roofline_fraction(n_carriers: int, fs: float, rt_factor: float,
+                      frontend: str = "fft",
+                      peak_flops: float | None = None,
+                      peak_bw: float | None = None,
+                      include_scan: bool = True) -> dict:
+    """Fraction of the chip roofline the measured run achieves.
+
+    rt_factor: measured realtime multiple (input seconds per wall
+    second).  Peaks default to TPU v5e-class figures (197 TFLOP/s bf16
+    matmul, 819 GB/s HBM) and can be overridden via arguments or the
+    TETRAEAR_PEAK_TFLOPS / TETRAEAR_PEAK_GBS environment variables —
+    note most of this chain runs f32, whose MXU peak is lower, so the
+    reported fraction is a conservative floor.
+    """
+    import os
+    peak_flops = peak_flops or float(os.environ.get(
+        "TETRAEAR_PEAK_TFLOPS", "197")) * 1e12
+    peak_bw = peak_bw or float(os.environ.get(
+        "TETRAEAR_PEAK_GBS", "819")) * 1e9
+    est = roofline_estimate(n_carriers, fs, frontend=frontend)
+    flops = est["flops_per_s"]
+    bbytes = est["hbm_bytes_per_s"]
+    if not include_scan:
+        flops -= est["scan_flops_per_s"]
+    achieved_flops = flops * rt_factor
+    achieved_bw = bbytes * rt_factor
+    frac = max(achieved_flops / peak_flops, achieved_bw / peak_bw)
+    return {
+        "roofline_pct": 100.0 * frac,
+        "achieved_tflops": achieved_flops / 1e12,
+        "achieved_gbs": achieved_bw / 1e9,
+        "bound": ("compute" if achieved_flops / peak_flops
+                  >= achieved_bw / peak_bw else "memory"),
+        "model_flops_per_input_s": flops,
+        "model_bytes_per_input_s": bbytes,
     }
