@@ -33,3 +33,12 @@ def test_sharded_deployment_example():
     assert r.returncode == 0, r.stderr
     assert "8 devices" in r.stdout
     assert "sync hits" in r.stdout
+
+
+@pytest.mark.slow
+def test_offair_fixture_example():
+    r = _run("offair_fixture.py")
+    assert r.returncode == 0, r.stderr
+    assert "FIXTURE CAPTURE OK" in r.stdout
+    assert "SECRET FIX MSG" in r.stdout
+    assert "decrypted" in r.stdout
