@@ -138,6 +138,63 @@ def test_bits2prm_matches_reference(acelp):
 
 
 @pytest.mark.codec
+def test_our_encoder_decodes_on_reference_decoder(acelp):
+    """Interop: speech encoded by OUR ETSI-format encoder must decode to
+    the same samples on our decoder and the reference sdecoder, and the
+    reference's output must preserve the transmitted pitch — i.e. a real
+    TETRA radio would play our transmissions as speech."""
+    o = Oracle("sdecoder.exe")
+    o("Init_Decod_Tetra")
+    acelp.tetra_etsi_encoder_new.restype = ctypes.c_void_p
+    acelp.tetra_etsi_encode_frame.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16)]
+    enc = acelp.tetra_etsi_encoder_new()
+    dec = acelp.tetra_etsi_decoder_new()
+
+    rng = np.random.default_rng(8)
+    pitch = 57
+    n = 12 * 240
+    e = np.zeros(n)
+    e[::pitch] = 1.0
+    e += 0.05 * rng.standard_normal(n)
+    y = np.zeros(n)
+    for i in range(n):
+        y[i] = e[i]
+        if i > 0:
+            y[i] += 1.2 * y[i - 1]
+        if i > 1:
+            y[i] += -0.8 * y[i - 2]
+        if i > 2:
+            y[i] += 0.3 * y[i - 3]
+    pcm = (y / np.max(np.abs(y)) * 8000).astype(np.int16)
+
+    ref_out, my_out = [], []
+    for f in range(12):
+        prm = np.zeros(24, np.int16)
+        seg = np.ascontiguousarray(pcm[f * 240:(f + 1) * 240])
+        acelp.tetra_etsi_encode_frame(
+            enc, seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            prm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        syn_r = np.zeros(240, np.int16)
+        o("Decod_Tetra", prm.copy(), syn_r)
+        ref_out.append(syn_r.copy())
+        syn_m = np.zeros(240, np.int16)
+        acelp.tetra_etsi_decode_frame(
+            dec, prm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            syn_m.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        my_out.append(syn_m.copy())
+    ref = np.concatenate(ref_out).astype(np.float64)
+    mine = np.concatenate(my_out).astype(np.float64)
+    assert np.array_equal(ref, mine)          # decoders agree on our TX
+    assert np.sqrt(np.mean(ref[240:] ** 2)) > 100   # audible energy
+    seg = ref[480:] - ref[480:].mean()
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak = int(np.argmax(ac[40:80])) + 40
+    assert abs(peak - pitch) <= 3
+
+
+@pytest.mark.codec
 def test_decoder_bit_exact_long_sequence(acelp):
     """120 frames of random parameters with interleaved BFI frames:
     every synthesized sample must match the reference decoder (state

@@ -32,8 +32,6 @@ namespace etsi {
 int Overflow = 0;
 int Carry = 0;
 
-namespace {
-
 constexpr int L_FRAME = 240;
 constexpr int L_SUBFR = 60;
 constexpr int PIT_MAX = 143;
@@ -261,9 +259,87 @@ void D_D4i60(Word16 index, Word16 sign, Word16 shift, const Word16 *F,
   }
 }
 
-}  // namespace
+
+/* ---- gain decoding (split for reuse by the encoder's AbS search) ----- */
+
+void Ener_Measure(const Word16 *a, const Word16 *prd_lt,
+                  const Word16 *code, Word16 l_subfr, Word16 *ener_pit,
+                  Word16 *ener_cod) {
+  Word16 exp_lpc, g_lpc, exp_plt, tmp16, e16, frac;
+  Word32 L;
+  L = Lpc_Gain(a);
+  exp_lpc = norm_l(L);
+  g_lpc = extract_h(L_shl(L, exp_lpc));
+
+  L = 1;
+  for (Word16 i = 0; i < l_subfr; i++)
+    L = L_mac0(L, prd_lt[i], prd_lt[i]);
+  exp_plt = norm_l(L);
+  tmp16 = extract_h(L_shl(L, exp_plt));
+  L = L_mult0(tmp16, g_lpc);
+  exp_plt = add(exp_plt, exp_lpc);
+  Log2_(L, &e16, &frac);
+  L = Load_sh16(e16);
+  L = add_sh(L, frac, 1);
+  L = sub_sh16(L, exp_plt);
+  L = add_sh(L, 0x6ae, 8);
+  L = L_shr(L, 8);
+  *ener_pit = extract_l(L);
+
+  L = 0;
+  for (Word16 i = 0; i < l_subfr; i++)
+    L = L_mac0(L, code[i], code[i]);
+  tmp16 = extract_h(L);
+  L = L_mult0(tmp16, g_lpc);
+  Log2_(L, &e16, &frac);
+  L = Load_sh16(e16);
+  L = add_sh(L, frac, 1);
+  L = sub_sh16(L, exp_lpc);
+  L = sub_sh(L, 0x1152, 8);
+  L = L_shr(L, 8);
+  *ener_cod = extract_l(L);
+}
+
+void Ener_Update(Word16 index, Word16 *last_pit, Word16 *last_cod) {
+  Word32 L;
+  Word16 pred_pit, pred_cod, j;
+  L = Load_sh(*last_pit, 8);
+  L = add_sh(L, *last_cod, 7);
+  L = sub_sh(L, 0x300, 9);
+  if (L < 0) L = 0;
+  pred_pit = store_hi(L, 7);
+  L = Load_sh(*last_cod, 8);
+  L = add_sh(L, *last_pit, 7);
+  L = sub_sh(L, 0x300, 9);
+  if (L < 0) L = 0;
+  pred_cod = store_hi(L, 7);
+  j = shl(index, 1);
+  *last_pit = add(ETSI_T_QUA_ENER[j], pred_pit);
+  *last_cod = add(ETSI_T_QUA_ENER[j + 1], pred_cod);
+  if (sub(*last_pit, 0x1b00) > 0) *last_pit = 0x1b00;
+  if (sub(*last_cod, 0x1900) > 0) *last_cod = 0x1900;
+}
+
+void Ener_Gains(Word16 last_pit, Word16 last_cod, Word16 ener_pit,
+                Word16 ener_cod, Word16 *gain_pit, Word16 *gain_cod) {
+  Word16 e16, frac;
+  Word32 L;
+  L = Load_sh(last_pit, 6);
+  L = sub_sh(L, ener_pit, 6);
+  L = add_sh(L, 12, 15);
+  L_extract(L, &e16, &frac);
+  L = Pow2_(e16, frac);
+  if (L_sub(L, 0x1333) > 0) L = 0x1333;
+  *gain_pit = extract_l(L);
+  L = Load_sh(last_cod, 6);
+  L = sub_sh(L, ener_cod, 6);
+  L_extract(L, &e16, &frac);
+  L = Pow2_(e16, frac);
+  *gain_cod = extract_l(L);
+}
 
 /* ---- decoder state ---------------------------------------------------- */
+
 
 struct EtsiDecoder {
   Word16 old_exc[EXC_OFF + L_FRAME + L_SUBFR];   /* history + frame */
@@ -297,76 +373,18 @@ struct EtsiDecoder {
   Word16 dec_ener(Word16 index, Word16 bfi, const Word16 *a,
                   const Word16 *prd_lt, const Word16 *code,
                   Word16 l_subfr, Word16 *gain_pit, Word16 *gain_cod) {
-    Word16 exp_lpc, g_lpc, exp_plt, tmp16, ener_pit, ener_cod;
-    Word16 pred_pit = 0, pred_cod = 0, e16, frac, j;
-    Word32 L;
-
-    L = Lpc_Gain(a);
-    exp_lpc = norm_l(L);
-    g_lpc = extract_h(L_shl(L, exp_lpc));
-
-    L = 1;
-    for (Word16 i = 0; i < l_subfr; i++)
-      L = L_mac0(L, prd_lt[i], prd_lt[i]);
-    exp_plt = norm_l(L);
-    tmp16 = extract_h(L_shl(L, exp_plt));
-    L = L_mult0(tmp16, g_lpc);
-    exp_plt = add(exp_plt, exp_lpc);
-    Log2_(L, &e16, &frac);
-    L = Load_sh16(e16);
-    L = add_sh(L, frac, 1);
-    L = sub_sh16(L, exp_plt);
-    L = add_sh(L, 0x6ae, 8);
-    L = L_shr(L, 8);
-    ener_pit = extract_l(L);
-
-    L = 0;
-    for (Word16 i = 0; i < l_subfr; i++)
-      L = L_mac0(L, code[i], code[i]);
-    tmp16 = extract_h(L);
-    L = L_mult0(tmp16, g_lpc);
-    Log2_(L, &e16, &frac);
-    L = Load_sh16(e16);
-    L = add_sh(L, frac, 1);
-    L = sub_sh16(L, exp_lpc);
-    L = sub_sh(L, 0x1152, 8);
-    L = L_shr(L, 8);
-    ener_cod = extract_l(L);
-
+    Word16 ener_pit, ener_cod;
+    Ener_Measure(a, prd_lt, code, l_subfr, &ener_pit, &ener_cod);
     if (bfi != 0) {
       last_ener_pit = sub(last_ener_pit, 128);
       if (last_ener_pit < 0) last_ener_pit = 0;
       last_ener_cod = sub(last_ener_cod, 128);
       if (last_ener_cod < 0) last_ener_cod = 0;
     } else {
-      L = Load_sh(last_ener_pit, 8);
-      L = add_sh(L, last_ener_cod, 7);
-      L = sub_sh(L, 0x300, 9);
-      if (L < 0) L = 0;
-      pred_pit = store_hi(L, 7);
-      L = Load_sh(last_ener_cod, 8);
-      L = add_sh(L, last_ener_pit, 7);
-      L = sub_sh(L, 0x300, 9);
-      if (L < 0) L = 0;
-      pred_cod = store_hi(L, 7);
-      j = shl(index, 1);
-      last_ener_pit = add(ETSI_T_QUA_ENER[j], pred_pit);
-      last_ener_cod = add(ETSI_T_QUA_ENER[j + 1], pred_cod);
-      if (sub(last_ener_pit, 0x1b00) > 0) last_ener_pit = 0x1b00;
-      if (sub(last_ener_cod, 0x1900) > 0) last_ener_cod = 0x1900;
+      Ener_Update(index, &last_ener_pit, &last_ener_cod);
     }
-    L = Load_sh(last_ener_pit, 6);
-    L = sub_sh(L, ener_pit, 6);
-    L = add_sh(L, 12, 15);
-    L_extract(L, &e16, &frac);
-    L = Pow2_(e16, frac);
-    if (L_sub(L, 0x1333) > 0) L = 0x1333;
-    *gain_pit = extract_l(L);
-    L = Load_sh(last_ener_cod, 6);
-    L = sub_sh(L, ener_cod, 6);
-    L_extract(L, &e16, &frac);
-    L = Pow2_(e16, frac);
-    *gain_cod = extract_l(L);
+    Ener_Gains(last_ener_pit, last_ener_cod, ener_pit, ener_cod,
+               gain_pit, gain_cod);
     return index;
   }
 
