@@ -52,7 +52,8 @@ def dsp():
 @pytest.fixture(scope="module")
 def acelp():
     _need()
-    lib = _build(ACELP_LIB, [str(CSRC / "etsi_acelp_dec.cpp")])
+    lib = _build(ACELP_LIB, [str(CSRC / "etsi_acelp_dec.cpp"),
+                             str(CSRC / "etsi_acelp_enc.cpp")])
     lib.tetra_etsi_decoder_new.restype = ctypes.c_void_p
     lib.tetra_etsi_decode_frame.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
