@@ -176,6 +176,9 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         res["carriers_rt"] = res["rt_factor"] * n_carriers
         res["elapsed_s"] = elapsed
         res["input_msps"] = steps * block / elapsed / 1e6
+        from tetraear_tpu.runtime.profiling import roofline_fraction
+        res["roofline"] = roofline_fraction(
+            n_carriers, fs, res["rt_factor"], frontend=frontend)
     elif mode == "demod":
         res["rt_factor"] = res["demod_rt_factor"]
         res["carriers_rt"] = res["demod_carriers_rt"]
@@ -217,9 +220,17 @@ def main():
         if "demod_carriers_rt" in r and mode == "both":
             line["demod_only_carriers"] = round(
                 float(r["demod_carriers_rt"]), 1)
+        if "roofline" in r:
+            line["roofline_pct"] = round(r["roofline"]["roofline_pct"], 2)
         print(json.dumps(line))
         extra = (f" demod_only={r['demod_carriers_rt']:.0f}"
                  if "demod_carriers_rt" in r else "")
+        if "roofline" in r:
+            rl = r["roofline"]
+            extra += (f" roofline={rl['roofline_pct']:.1f}%"
+                      f" ({rl['bound']}-bound model:"
+                      f" {rl['achieved_tflops']:.2f} TF/s,"
+                      f" {rl['achieved_gbs']:.0f} GB/s)")
         print(f"# backend={r['backend']} n_carriers={r['n_carriers']} "
               f"rt_factor={r['rt_factor']:.1f} input={r['input_msps']:.0f} "
               f"Msps elapsed={r['elapsed_s']:.2f}s steps={steps}{extra}",
