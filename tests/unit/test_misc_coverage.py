@@ -84,3 +84,21 @@ def test_cli_scan_step_mode(capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "392.5000" in out
 
+
+
+def test_make_host_mesh_layout():
+    """runtime.distributed.make_host_mesh keeps the time axis inside a
+    host (ICI) and puts carriers on the outer axis."""
+    import jax
+    from tetraear_tpu.runtime import distributed
+    mesh = distributed.make_host_mesh(carriers_per_host=2)
+    n = len(jax.devices())
+    assert mesh.shape["carrier"] * mesh.shape["time"] <= n
+    assert mesh.shape["carrier"] >= 2
+    # usable by the sharded demod
+    from tetraear_tpu.runtime.sharding import ShardedDemod
+    offs = [12_500.0 * (i + 1) for i in range(mesh.shape["carrier"])]
+    sd = ShardedDemod(fs=2.4e6, freqs_hz=offs, mesh=mesh,
+                      seg_len=4_800 * mesh.shape["time"] //
+                      mesh.shape["time"])
+    assert sd.n_carriers == mesh.shape["carrier"]
