@@ -223,3 +223,69 @@ def test_codec_block_builders():
     words2 = np.frombuffer(block2, np.int16)
     assert words2[1] == 127
     assert codec.bits_to_codec_block(np.ones(10)) is None
+
+
+# -- encoder quality regression -------------------------------------------
+
+def test_lpc_to_lsp_exact_roots(vp):
+    """The encoder's LPC->LSP conversion recovers known LSP roots to
+    within a few Q15 LSBs, including clustered-root cases (the round-2
+    bug: a missing Chebyshev f[5]/2 plus a grid scan that dropped roots
+    sharing one grid interval, derailing the whole spectral envelope)."""
+    lib = vp._lib
+    lib.tetra_etsi_lpc_to_lsp.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16)]
+
+    def poly_from_roots(ws):
+        p = np.array([1.0])
+        for wi in ws:
+            p = np.convolve(p, [1, -2 * np.cos(wi), 1])
+        return p
+
+    rng2 = np.random.default_rng(42)
+    worst = 0.0
+    for trial in range(50):
+        w = np.sort(rng2.uniform(0.03, 0.97, 10)) * np.pi
+        if trial % 5 == 0:      # force a tight cluster every 5th trial
+            w[4] = w[3] + 2e-3
+            w[5] = w[4] + 2e-3
+        P = np.convolve(poly_from_roots(w[0::2]), [1, 1])
+        Q = np.convolve(poly_from_roots(w[1::2]), [1, -1])
+        a = (0.5 * (P + Q))[:11].astype(np.float32)
+        lsp = np.zeros(10, np.int16)
+        lib.tetra_etsi_lpc_to_lsp(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lsp.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        want = np.sort(np.cos(w) * 32768)[::-1]
+        worst = max(worst, float(np.abs(want - lsp.astype(float)).max()))
+    assert worst <= 8.0, f"LSP root recovery error {worst} Q15"
+
+
+def test_encoder_snr_floor(vp):
+    """End-to-end encode->decode SNR floor on a harmonic vowel.  With
+    the round-2 LSP fix this measures ~9 dB; the floor catches any
+    regression back toward the broken-envelope ~0 dB regime."""
+    fs = 8000
+    rng2 = np.random.default_rng(3)
+    t = np.arange(fs) / fs
+    sig = np.zeros_like(t)
+    for h in range(1, 25):
+        f = h * 110.0
+        amp = (1.0 / (1 + ((f - 700) / 300) ** 2)
+               + 0.7 / (1 + ((f - 1200) / 250) ** 2)
+               + 0.2 / (1 + ((f - 2600) / 400) ** 2))
+        sig += amp * np.sin(2 * np.pi * f * t + rng2.uniform(0, 2 * np.pi))
+    sig = (sig / np.abs(sig).max() * 12000).astype(np.int16)
+
+    fresh = codec.VoiceProcessor()       # suite-order-independent state
+    frames = _encode_speech(fresh, sig)
+    prm = np.zeros((len(frames), 138), np.int16)
+    prm[:] = frames
+    dec = fresh.decode_params(prm)       # float PCM in [-1, 1]
+    assert dec.size
+    a = sig.astype(float) / 32768.0
+    b = dec[:len(a)].astype(float)
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    snr = 10 * np.log10((a ** 2).sum() / ((a - b) ** 2).sum())
+    assert snr >= 6.0, f"encode->decode SNR {snr:.2f} dB below floor"

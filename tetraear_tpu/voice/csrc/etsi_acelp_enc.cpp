@@ -71,58 +71,105 @@ void lpc_analysis(const int16_t *pcm, const float *hist10,
 /* LPC -> LSP in the TETRA cosine domain (Q15 of cos(w), decreasing).
  * Chebyshev-grid sign-change search on the sum/difference polys. */
 
-float cheb_eval(const float *f, float x) {
-  /* f[0..5]: coefficients of F(z) in the x = cos(w) domain */
-  float b2 = f[0], b1 = f[1] + 2.0f * x * b2, t;
+double cheb_eval(const double *f, double x) {
+  /* f[0..5]: coefficients of F(z) in the x = cos(w) domain.  Double
+   * precision: near-coincident LSP triples (gap ~2e-3 rad) put the
+   * polynomial values inside float32 cancellation noise, which flips
+   * signs and derails the alternating search. */
+  double b2 = f[0], b1 = f[1] + 2.0 * x * b2, t;
   for (int i = 2; i <= 4; i++) {
-    t = f[i] + 2.0f * x * b1 - b2;
+    t = f[i] + 2.0 * x * b1 - b2;
     b2 = b1;
     b1 = t;
   }
-  return f[5] + x * b1 - b2;
+  /* the recurrence accumulates 2*sum(f[i] cos((5-i)w)); the constant
+   * term enters once, hence the 0.5 (same as ITU Chebps' f[n]/2) */
+  return 0.5 * f[5] + x * b1 - b2;
 }
 
 void lpc_to_lsp(const float a[11], Word16 lsp[10]) {
-  float f1[6], f2[6];
-  f1[0] = 1.0f;
-  f2[0] = 1.0f;
+  double f1[6], f2[6];
+  f1[0] = 1.0;
+  f2[0] = 1.0;
   for (int i = 1; i <= 5; i++) {
-    f1[i] = a[i] + a[11 - i] - f1[i - 1];
-    f2[i] = a[i] - a[11 - i] + f2[i - 1];
+    f1[i] = (double)a[i] + a[11 - i] - f1[i - 1];
+    f2[i] = (double)a[i] - a[11 - i] + f2[i - 1];
   }
-  float found[10];
+  double found[10];
   int n_found = 0;
   const int GRID = 240;
-  float prev1 = cheb_eval(f1, 1.0f), prev2 = cheb_eval(f2, 1.0f);
-  float xprev = 1.0f;
   bool use_f1 = true;
-  for (int g = 1; g <= GRID && n_found < 10; g++) {
-    float x = std::cos(3.14159265f * g / GRID);
-    float v = use_f1 ? cheb_eval(f1, x) : cheb_eval(f2, x);
-    float pv = use_f1 ? prev1 : prev2;
-    if (v * pv <= 0.0f) {
-      /* refine by bisection */
-      float lo = x, hi = xprev;
-      for (int it = 0; it < 20; it++) {
-        float mid = 0.5f * (lo + hi);
-        float vm = use_f1 ? cheb_eval(f1, mid) : cheb_eval(f2, mid);
-        if (vm * pv <= 0.0f) lo = mid; else hi = mid;
+  double xprev = 1.0;
+  double y1prev = cheb_eval(f1, xprev);
+  double y2prev = cheb_eval(f2, xprev);
+  /* Robust alternating scan.  Two subtleties beyond the naive grid
+   * search, both hit by near-coincident LSP clusters:
+   *  (a) after a root of the active polynomial is found, the scan
+   *      RESUMES FROM THAT ROOT with the other polynomial, so two
+   *      interlaced roots sharing one grid interval are both caught;
+   *  (b) a near-coincident PAIR of active-poly roots inside one grid
+   *      interval leaves the active endpoint signs unchanged (the
+   *      crossings cancel) — but interlacing places one root of the
+   *      OTHER polynomial between them, whose endpoint sign change IS
+   *      visible.  When that happens, bisect the other poly first and
+   *      split the interval at its root to recover the hidden pair. */
+  for (int g = 1; g <= GRID && n_found < 10;) {
+    double x = std::cos(3.14159265358979 * g / GRID);
+    double v1 = cheb_eval(f1, x), v2 = cheb_eval(f2, x);
+    double va = use_f1 ? v1 : v2, ya = use_f1 ? y1prev : y2prev;
+    const double *fa = use_f1 ? f1 : f2;
+    const double *fo = use_f1 ? f2 : f1;
+    auto bisect = [](const double *f, double lo, double hi, double yhi) {
+      for (int it = 0; it < 40; it++) {
+        double mid = 0.5 * (lo + hi);
+        if (cheb_eval(f, mid) * yhi <= 0.0) lo = mid; else hi = mid;
       }
-      found[n_found++] = 0.5f * (lo + hi);
+      return 0.5 * (lo + hi);
+    };
+    if (va * ya <= 0.0) {
+      double root = bisect(fa, x, xprev, ya);
+      found[n_found++] = root;
       use_f1 = !use_f1;        /* roots of F1/F2 interlace */
+      xprev = root;
+      y1prev = cheb_eval(f1, root);
+      y2prev = cheb_eval(f2, root);
+      /* g unchanged: re-examine [x, root] with the new polynomial */
+      continue;
     }
-    prev1 = cheb_eval(f1, x);
-    prev2 = cheb_eval(f2, x);
+    double vo = use_f1 ? v2 : v1, yo = use_f1 ? y2prev : y1prev;
+    if (vo * yo <= 0.0 && n_found <= 7) {
+      double rna = bisect(fo, x, xprev, yo);
+      double a_mid = cheb_eval(fa, rna);
+      if (a_mid * ya < 0.0) {        /* genuine hidden active pair */
+        found[n_found++] = bisect(fa, rna, xprev, ya);
+        found[n_found++] = rna;
+        found[n_found++] = bisect(fa, x, rna, a_mid);
+        use_f1 = !use_f1;            /* net parity after 3 roots */
+        xprev = found[n_found - 1];
+        y1prev = cheb_eval(f1, xprev);
+        y2prev = cheb_eval(f2, xprev);
+        continue;                    /* re-examine [x, lowest root] */
+      }
+    }
     xprev = x;
+    y1prev = v1;
+    y2prev = v2;
+    g++;
   }
-  /* fall back to a stable spread if the search degenerates */
-  if (n_found < 10)
+  /* If the search degenerates (sub-noise root cluster), fill the
+   * remainder with an even spread from the last found root down to
+   * cos(pi*10/11) — monotonic by construction, one-frame impact. */
+  if (n_found < 10) {
+    double top = n_found ? found[n_found - 1] : 1.0;
+    double bot = std::cos(3.14159265358979 * 10.0 / 11.0);
+    if (bot >= top) bot = top - 0.05 * (10 - n_found);
     for (int i = n_found; i < 10; i++)
-      found[i] = std::cos(3.14159265f * (i + 1) / 11.0f);
+      found[i] = top + (bot - top) * (i - n_found + 1) / (10 - n_found);
+  }
   for (int i = 0; i < 10; i++) {
-    float v = found[i] * 32768.0f;
-    if (v > 32767.0f) v = 32767.0f;
-    if (v < -32768.0f) v = -32768.0f;
+    double v = found[i] * 32768.0;
+    if (v > 32767.0) v = 32767.0;
+    if (v < -32768.0) v = -32768.0;
     lsp[i] = (Word16)v;
   }
 }
@@ -159,6 +206,12 @@ void quant_lsp(const Word16 lsp[10], Word16 idx[3]) {
 }
 
 }  // namespace
+
+void lpc_to_lsp_export(const float *a, Word16 *lsp) {
+  float af[11];
+  for (int i = 0; i <= 10; i++) af[i] = a[i];
+  lpc_to_lsp(af, lsp);
+}
 
 /* ---- encoder state ---------------------------------------------------- */
 
@@ -544,4 +597,9 @@ void tetra_etsi_ener_gains_for(int16_t index, int16_t last_pit,
   etsi::Ener_Gains(lp, lc, ep, ec, &gp, &gc);
   out[0] = gp; out[1] = gc; out[2] = lp; out[3] = lc;
 }
+}
+
+/* test export: float LPC -> TETRA cosine-domain LSPs */
+extern "C" void tetra_etsi_lpc_to_lsp(const float *a, int16_t *lsp) {
+  etsi::lpc_to_lsp_export(a, lsp);
 }
