@@ -288,4 +288,5 @@ def test_encoder_snr_floor(vp):
     n = min(len(a), len(b))
     a, b = a[:n], b[:n]
     snr = 10 * np.log10((a ** 2).sum() / ((a - b) ** 2).sum())
-    assert snr >= 6.0, f"encode->decode SNR {snr:.2f} dB below floor"
+    # ~9.7 dB with fractional-lag search; 8.0 floor catches regressions
+    assert snr >= 8.0, f"encode->decode SNR {snr:.2f} dB below floor"

@@ -35,8 +35,10 @@ int Carry = 0;
 constexpr int L_FRAME = 240;
 constexpr int L_SUBFR = 60;
 constexpr int PIT_MAX = 143;
-constexpr int L_INTER = 15;
-constexpr int EXC_OFF = PIT_MAX + L_INTER;   /* 158: exc history */
+constexpr int L_INTER = 16;                  /* Inter32_1_3 taps x[i-16] */
+constexpr int EXC_OFF = PIT_MAX + L_INTER;   /* 159: exc history.  The
+ * reference allots 158 and reads one word out of bounds on a t0=143,
+ * frac=+1 stream; the extra word is semantics-preserving otherwise. */
 
 /* ---- table-driven transcendentals (tetra_op semantics) -------------- */
 

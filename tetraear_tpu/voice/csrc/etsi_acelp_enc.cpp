@@ -334,38 +334,53 @@ struct EtsiEncoder {
         lo = t0_min;
         hi = t0_max;
       }
-      int best_lag = lo;
+      int best_lag = lo, best_frac = 0;
       double best_score = -1e30, gp_f = 0.0;
       float y[kSubfrLen];
+      /* 1/3-resolution closed loop: every (lag, frac) candidate's
+       * adaptive vector is built DECODER-EXACTLY by running Pred_Lt on
+       * a scratch copy of the excitation history, then scored in the
+       * synthesis domain.  frac index validity follows the decoder's
+       * lag coding (etsi_acelp_dec.cpp:421-453): subframe 1 needs
+       * 0 <= 3*t0-58+frac <= 196 (integer-only above 85); frac=+1
+       * reads back t0+16 so lags above 142 stay integer. */
+      Word16 scratch[kExcOff + kSubfrLen];
       for (int lag = lo; lag <= hi; lag++) {
-        /* y = conv(adaptive vector, hs); adaptive vector for integer
-         * lags repeats the excitation history */
-        float v[kSubfrLen];
-        for (int n = 0; n < kSubfrLen; n++) {
-          int k = i_subfr + n - lag;
-          v[n] = (float)((k < i_subfr) ? exc[k] : v[n - lag]);
-        }
-        double num = 0.0, den = 1e-6;
-        float yy;
-        for (int n = 0; n < kSubfrLen; n++) {
-          yy = 0.0f;
-          for (int j = 0; j <= n; j++) yy += v[j] * hs[n - j];
-          num += (double)x[n] * yy;
-          den += (double)yy * yy;
-        }
-        double score = num * num / den;
-        if (score > best_score) {
-          best_score = score;
-          best_lag = lag;
-          gp_f = num / den;
+        for (int fr = -1; fr <= 1; fr++) {
+          if (fr != 0 && lag > 142) continue;
+          if (s == 0 && fr != 0) {
+            if (lag > 85) continue;
+            int idx0 = 3 * lag - 58 + fr;
+            if (idx0 < 0 || idx0 > 196) continue;
+          }
+          std::memcpy(scratch, &old_exc[i_subfr],
+                      kExcOff * sizeof(Word16));
+          Pred_Lt(&scratch[kExcOff], (Word16)lag, (Word16)fr,
+                  kSubfrLen);
+          double num = 0.0, den = 1e-6;
+          for (int n = 0; n < kSubfrLen; n++) {
+            float yy = 0.0f;
+            for (int j = 0; j <= n; j++)
+              yy += (float)scratch[kExcOff + j] * hs[n - j];
+            num += (double)x[n] * yy;
+            den += (double)yy * yy;
+          }
+          double score = num * num / den;
+          if (score > best_score) {
+            best_score = score;
+            best_lag = lag;
+            best_frac = fr;
+            gp_f = num / den;
+          }
         }
       }
       t0 = (Word16)best_lag;
+      Word16 frac = (Word16)best_frac;
       if (gp_f < 0.0) gp_f = 0.0;
       if (gp_f > 1.2) gp_f = 1.2;
 
       if (s == 0) {
-        prm[1 + prm_i++] = (t0 <= 85) ? (Word16)(3 * t0 - 58)
+        prm[1 + prm_i++] = (t0 <= 85) ? (Word16)(3 * t0 - 58 + frac)
                                       : (Word16)(t0 + 112);
         t0_min = sub(t0, 5);
         if (sub(t0_min, 19) <= 0) t0_min = 20;
@@ -379,11 +394,11 @@ struct EtsiEncoder {
         if (d < 0) d = 0;
         if (d > 9) d = 9;
         t0 = (Word16)(t0_min + d);
-        prm[1 + prm_i++] = (Word16)(3 * d + 2);
+        prm[1 + prm_i++] = (Word16)(3 * d + 2 + frac);
       }
 
       /* decoder-exact adaptive vector + its synthesis-domain image */
-      Pred_Lt(&exc[i_subfr], t0, 0, kSubfrLen);
+      Pred_Lt(&exc[i_subfr], t0, frac, kSubfrLen);
       for (int n = 0; n < kSubfrLen; n++) {
         float yy = 0.0f;
         for (int j = 0; j <= n; j++)

@@ -12,7 +12,12 @@ constexpr int kFrameLen = 240;
 constexpr int kSubfrLen = 60;
 constexpr int kPitMax = 143;
 constexpr int kPitMin = 20;
-constexpr int kExcOff = 143 + 15;
+/* Excitation history depth.  Pred_Lt with frac=+1 reads back t0+16
+ * samples (Inter32_1_3 taps x[i-16]); 143+15 would under-allocate by
+ * one word for the t0=143, frac=+1 corner, an out-of-bounds read the
+ * reference build shares (sdec_tet.c equivalent).  One extra history
+ * word is semantics-preserving for every in-range stream. */
+constexpr int kExcOff = 143 + 16;
 
 void Log2_(Word32 L_x, Word16 *exponent, Word16 *fraction);
 Word32 Pow2_(Word16 exponent, Word16 fraction);
