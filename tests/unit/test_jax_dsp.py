@@ -50,6 +50,27 @@ def test_stage_apply_matches_oracle(rng):
     assert np.max(np.abs(np.asarray(h2[0]) - x[-len(hist_np):])) == 0
 
 
+def test_fused_polyphase_matches_oracle_all_shapes(rng):
+    """The fused multi-channel polyphase conv (kernels.stage_apply L>1
+    path) must match the NumPy oracle for every (L, M) shape in use,
+    including the 80->72 kHz L=9/M=10 stage it was built for."""
+    for L, M, taps_n in [(9, 10, 135), (3, 4, 48), (2, 5, 31),
+                         (5, 2, 25), (4, 3, 40)]:
+        taps = np.asarray(
+            rng.standard_normal(taps_n), np.float32) / taps_n
+        st = design.ResampleStage(up=L, down=M, taps=tuple(taps.tolist()))
+        n = 40 * M * L
+        x = (rng.standard_normal(n)
+             + 1j * rng.standard_normal(n)).astype(np.complex64)
+        hist_np = np.zeros(polyphase.stage_history_len(st), np.complex64)
+        y_ref, _ = polyphase.stage_apply(st, x, hist_np)
+        y_jax, h2 = kernels.stage_apply(
+            st, jnp.asarray(x[None]), jnp.asarray(hist_np[None]))
+        err = np.max(np.abs(np.asarray(y_jax[0]) - y_ref))
+        assert err < 1e-4, f"L={L} M={M}: {err}"
+        assert np.max(np.abs(np.asarray(h2[0]) - x[-len(hist_np):])) == 0
+
+
 def test_fir_apply_matches_oracle(rng):
     taps = design.rrc_taps(sps=4).astype(np.float32)
     x = (rng.standard_normal(500)

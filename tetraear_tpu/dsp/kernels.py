@@ -166,18 +166,38 @@ def stage_apply(stage: ResampleStage, x: jnp.ndarray,
     bank = _phase_bank(stage)                           # (L, P)
     P = bank.shape[1]
 
-    rows = []
-    for m0 in range(L):
-        p = (m0 * M) % L
-        n0 = (m0 * M - p) // L
-        start = H + n0 - (P - 1)
-        taps_rev = jnp.asarray(bank[p][::-1].copy())
-        # windows begin at start + t*M for t = 0..n_out/L-1
-        need = start + (n_out // L - 1) * M + P
+    if L == 1:
+        # plain FIR/decimator: one single-channel strided conv
+        start = H - (P - 1)
+        need = start + (n_out - 1) * M + P
         seg = jax.lax.dynamic_slice_in_dim(xr, start, need - start, axis=1)
-        rows.append(_conv1d_strided(seg, taps_rev, M))  # (2C, n_out/L)
-    stacked = jnp.stack(rows, axis=-1)                  # (2C, n_out/L, L)
-    yr = stacked.reshape(2 * c, n_out)
+        yr = _conv1d_strided(seg, jnp.asarray(bank[0][::-1].copy()), M)
+    else:
+        # All L output phases in ONE multi-channel strided conv: output
+        # channel m0 carries branch p=(m0*M)%L's reversed taps placed at
+        # intra-stride offset n0=floor(m0*M/L) inside a widened kernel,
+        # so every phase shares the same stride-M window walk.  One HBM
+        # read of the input instead of L (the L-separate-conv layout was
+        # the dominant cost of the C=10240 back half, BASELINE.md), and
+        # the (2C, L, P') x window contraction rides the MXU.  The "NHC"
+        # output layout yields (2C, T, L) so phase de-interleaving is a
+        # free reshape, not a transpose pass.
+        deltas = [(m0 * M) // L for m0 in range(L)]
+        P2 = P + max(deltas)
+        rhs_np = np.zeros((L, 1, P2), np.float32)
+        for m0 in range(L):
+            p = (m0 * M) % L
+            d = deltas[m0]
+            rhs_np[m0, 0, d:d + P] = bank[p][::-1]
+        start = H - (P - 1)
+        T = n_out // L
+        need = start + (T - 1) * M + P2
+        seg = jax.lax.dynamic_slice_in_dim(xr, start, need - start, axis=1)
+        out = jax.lax.conv_general_dilated(
+            seg[:, None, :], jnp.asarray(rhs_np),
+            window_strides=(M,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NHC"))   # (2C, T, L)
+        yr = out.reshape(2 * c, n_out)
     y = jax.lax.complex(yr[:c], yr[c:])
     new_hist = xx[:, xx.shape[1] - H:] if H > 0 else xx[:, :0]
     return y.astype(jnp.complex64), new_hist
