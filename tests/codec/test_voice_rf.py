@@ -112,6 +112,46 @@ def test_batched_voice_channel_decode_used(tmp_path, monkeypatch):
     assert abs(peak - 57) <= 3
 
 
+def test_frame_stealing_voice_through_rf(tmp_path):
+    """Frame-stealing slots (normal training sequence 2, EN 300 392-2
+    §9.4.4.3.2) carry one half-slot-coded speech frame in block 2
+    (EN 300 395-2 §5).  The reference DROPS these slots (its codec only
+    consumes full 432-bit blocks); we decode them, concealing the stolen
+    first half via the spec's frame-substitution path."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.ref import golden
+    from tetraear_tpu.runtime.sources import FileIQSource, write_capture
+
+    pcm = _speech(8)
+    iq = golden.golden_voice_iq(pcm, fs=2.4e6, snr_db=28, seed=7,
+                                stolen_every=4)
+    path = tmp_path / "voice_fs.cfile"
+    write_capture(path, iq)
+
+    audio_chunks = []
+    frames = []
+    cfg = PipelineConfig(sample_rate=2.4e6, detect_gate=False, voice=True,
+                         validate=False, block_len=32_000)
+    pipe = Pipeline(cfg, on_frame=frames.append,
+                    on_audio=audio_chunks.append)
+    pipe.run(FileIQSource(path, sample_rate=2.4e6))
+
+    # 8 slots, every 4th stolen -> 2 stolen + 6 full (minus the usual
+    # allowance of one MAC-gated drop among the full slots)
+    assert pipe.stats.stolen_frames == 2
+    assert pipe.stats.voice_frames >= 7
+    stolen_seen = [f for f in frames if f.get("stolen")]
+    assert len(stolen_seen) == 2
+    audio = np.concatenate(audio_chunks)
+    assert len(audio) == pipe.stats.voice_frames * 480
+
+    # pitch must survive, including across the concealed half slots
+    seg = audio[240:] - np.mean(audio[240:])
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak = int(np.argmax(ac[40:80])) + 40
+    assert abs(peak - 57) <= 3
+
+
 def test_listen_clear_tool_records_calls(tmp_path):
     """The listen-clear workload end-to-end: synthetic voice carrier ->
     decode -> VoiceAccumulator -> call WAV with the speech pitch."""

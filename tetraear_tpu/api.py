@@ -70,6 +70,7 @@ class PipelineStats:
     encrypted: int = 0
     decrypted: int = 0
     voice_frames: int = 0
+    stolen_frames: int = 0
     sds_messages: int = 0
     signal_present: bool = False
     afc_offset_hz: float = 0.0
@@ -297,6 +298,10 @@ class Pipeline:
         for f in frames:
             if not self._is_voice_candidate(f):
                 continue
+            if f.get("stolen"):
+                # half-slot voice (frame stealing) decodes per-frame in
+                # _try_voice; stealing is rare so the host C path is fine
+                continue
             soft = f.get("soft_symbols")
             if soft is None:
                 continue
@@ -321,6 +326,9 @@ class Pipeline:
         """Voice candidate path (modern.py:2088-2228): soft bits ->
         codec block -> PCM; channel decoding may already have happened
         batched on device (_prepare_voice_batch)."""
+        if frame.get("stolen"):
+            self._try_voice_stolen(frame)
+            return
         block = frame.pop("_voice_block", None)
         if block is None:
             if not self._is_voice_candidate(frame):
@@ -343,6 +351,31 @@ class Pipeline:
         if len(audio):
             frame["has_voice"] = True
             self.stats.voice_frames += 1
+            if self.on_audio:
+                self.on_audio(audio)
+
+    def _try_voice_stolen(self, frame: dict) -> None:
+        """Frame-stealing slot (normal training sequence 2): block 2 is a
+        half-slot-coded speech frame (EN 300 395-2 §5), block 1 is STCH
+        signalling already parsed by the MAC layer.  The reference drops
+        these slots (its codec only consumes full 432-bit blocks)."""
+        if not self._is_voice_candidate(frame):
+            return
+        from tetraear_tpu.voice.codec import stolen_soft_bits
+        soft = frame.get("soft_symbols")
+        if soft is None:
+            return
+        half = stolen_soft_bits(soft)
+        if half is None:
+            return
+        params = self.voice.channel_decode_stolen(half)
+        if params is None:
+            return
+        audio = self.voice.decode_params(params)
+        if len(audio):
+            frame["has_voice"] = True
+            self.stats.voice_frames += 1
+            self.stats.stolen_frames += 1
             if self.on_audio:
                 self.on_audio(audio)
 

@@ -279,6 +279,18 @@ class TetraDecoder:
             encryption_algorithm = "TEA3"
             additional_info["encryption_mode"] = "Reserved"
 
+        # Frame stealing (ETSI EN 300 392-2 §9.4.4.3.2): the two 22-bit
+        # downlink sync words the reference labels "continuous" /
+        # "discontinuous" (protocol.py:162-163) are in fact normal training
+        # sequences 1 and 2 — NTS2 means block 1 of the slot is STOLEN for
+        # signalling (STCH) and block 2 carries one half-slot-coded speech
+        # frame (EN 300 395-2 §5 frame stealing).  The reference never acts
+        # on this; we route stolen slots to the half-slot voice decoder.
+        ts_win = frame_bits[TS_OFFSET_BITS:TS_OFFSET_BITS + SYNC_LEN]
+        m1 = float(np.mean(ts_win == SYNC_PATTERNS["TS1"]))
+        m2 = float(np.mean(ts_win == SYNC_PATTERNS["TS2"]))
+        stolen = m2 > m1
+
         frame_data = {
             "type": frame_type,
             "type_name": type_name,
@@ -290,6 +302,7 @@ class TetraDecoder:
             "encrypted": encrypted,
             "encryption_algorithm": encryption_algorithm,
             "key_id": "0",
+            "stolen": stolen,
             "additional_info": additional_info,
         }
 

@@ -187,13 +187,43 @@ def build_voice_slot(coded_bits: np.ndarray,
     return slot
 
 
+def build_stolen_voice_slot(coded_bits: np.ndarray,
+                            rng: np.random.Generator | None = None
+                            ) -> np.ndarray:
+    """510-bit frame-stealing slot: STCH block 1 + half-slot voice block 2.
+
+    Normal training sequence 2 (the reference's SYNC_DISCONTINUOUS_DOWNLINK,
+    protocol.py:163) marks block 1 as stolen per ETSI EN 300 392-2
+    §9.4.4.3.2; block 2 (bits 238..453) carries the 216
+    half-slot-channel-coded bits of one speech frame (EN 300 395-2 §5).
+    Block 1 here is filler STCH signalling with a MAC-FRAG clear header so
+    the voice-candidate gate passes.
+    """
+    rng = rng or np.random.default_rng(3)
+    coded_bits = np.asarray(coded_bits, dtype=np.uint8)
+    if len(coded_bits) != 216:
+        raise ValueError("expected 216 half-slot coded bits")
+    slot = rng.integers(0, 2, SLOT_BITS).astype(np.uint8)
+    slot[SYNC_AT:SYNC_AT + 22] = burst_mod.SYNC_DISCONTINUOUS_DOWNLINK
+    slot[238:238 + 216] = coded_bits
+    slot[0:4] = [0, 1, 0, 0]          # MAC-FRAG, clear
+    return slot
+
+
 def golden_voice_iq(pcm_frames: np.ndarray, fs: float = 2.4e6,
                     snr_db: float | None = None, seed: int = 0,
-                    lead_in_bits: int = 64) -> np.ndarray:
+                    lead_in_bits: int = 64,
+                    stolen_every: int = 0) -> np.ndarray:
     """Speech PCM -> ACELP+channel encode -> traffic slots -> IQ.
 
     pcm_frames: int16 array, length a multiple of 480 (two 30 ms speech
     frames per slot).  Requires the native codec library.
+
+    stolen_every > 0 makes every Nth slot a frame-stealing slot: its
+    first speech frame is dropped (stolen for STCH) and the second is
+    transmitted half-slot-coded under normal training sequence 2
+    (EN 300 395-2 §5); the encoder state stays continuous so pitch
+    tracking across stolen slots is exercised.
     """
     import ctypes
 
@@ -217,6 +247,15 @@ def golden_voice_iq(pcm_frames: np.ndarray, fs: float = 2.4e6,
                 lib.tetra_speech_encode(
                     enc, seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                     params[f].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            if stolen_every and si % stolen_every == stolen_every - 1:
+                soft216 = np.zeros(216, np.int16)
+                lib.tetra_channel_encode_stolen(
+                    np.ascontiguousarray(params[1, 1:]).ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int16)),
+                    soft216.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+                coded = (soft216 < 0).astype(np.uint8)
+                slots.append(build_stolen_voice_slot(coded, rng=rng))
+                continue
             block = np.zeros(vcodec.CODEC_BLOCK_WORDS, np.int16)
             lib.tetra_channel_encode(
                 np.ascontiguousarray(params).ctypes.data_as(

@@ -71,6 +71,18 @@ def _load_library():
                     ctypes.POINTER(ctypes.c_int16),   # 240 PCM in
                     ctypes.POINTER(ctypes.c_int16),   # out (1+137) params
                 ]
+                # frame-stealing half slot (EN 300 395-2 §5): one 137-bit
+                # speech frame <-> 216 soft bits
+                lib.tetra_channel_decode_stolen.restype = ctypes.c_int
+                lib.tetra_channel_decode_stolen.argtypes = [
+                    ctypes.POINTER(ctypes.c_int16),   # 216 soft bits
+                    ctypes.POINTER(ctypes.c_int16),   # out: 137 params
+                ]
+                lib.tetra_channel_encode_stolen.restype = ctypes.c_int
+                lib.tetra_channel_encode_stolen.argtypes = [
+                    ctypes.POINTER(ctypes.c_int16),   # 137 params
+                    ctypes.POINTER(ctypes.c_int16),   # out: 216 soft bits
+                ]
                 return lib
             except OSError as e:
                 logger.warning("failed to load %s: %s", p, e)
@@ -104,6 +116,20 @@ def build_codec_block(soft_symbols: np.ndarray) -> bytes | None:
         block[lo:lo + n] = scaled[pos:pos + n]
         pos += n
     return block.tobytes()
+
+
+def stolen_soft_bits(soft_symbols: np.ndarray) -> np.ndarray | None:
+    """255-slot soft symbols -> (216,) int16 soft bits of block 2 only.
+
+    In a stolen slot (normal training sequence 2, frame["stolen"]) block 1
+    carries STCH signalling and block 2 one half-slot-coded speech frame
+    (EN 300 395-2 §5 frame stealing): payload symbols 119..226."""
+    soft_symbols = np.asarray(soft_symbols)
+    if soft_symbols.shape[0] < 227:
+        return None
+    sel = soft_symbols[119:227]                   # (108, 2)
+    soft_bits = sel.reshape(-1)                   # 216 soft bits, msb first
+    return np.clip(np.round(soft_bits * 127.0), -127, 127).astype(np.int16)
 
 
 def bits_to_codec_block(bits: np.ndarray) -> bytes | None:
@@ -176,6 +202,28 @@ class VoiceProcessor:
             logger.debug("channel decode failed rc=%d", rc)
             return None
         return out.reshape(2, 1 + SPEECH_FRAME_PARAMS)
+
+    def channel_decode_stolen(self, soft216: np.ndarray) -> np.ndarray | None:
+        """(216,) soft bits of a stolen slot's block 2 -> (2, 1+137) params.
+
+        Frame 0 (the stolen half) is emitted as BFI=1 all-zero so the
+        speech decoder's frame-substitution concealment keeps the 60 ms
+        slot timing; frame 1 is the half-slot channel decode
+        (tetra_channel_decode_stolen, EN 300 395-2 §5)."""
+        if not self.working:
+            return None
+        soft = np.ascontiguousarray(np.asarray(soft216, np.int16)[:216])
+        if soft.shape[0] != 216:
+            return None
+        params = np.zeros(SPEECH_FRAME_PARAMS, dtype=np.int16)
+        rc = self._lib.tetra_channel_decode_stolen(
+            soft.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            params.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        out = np.zeros((2, 1 + SPEECH_FRAME_PARAMS), np.int16)
+        out[0, 0] = 1                     # stolen frame: conceal
+        out[1, 0] = 1 if rc != 0 else 0   # BFI from the half-slot CRC
+        out[1, 1:] = params
+        return out
 
     def decode_params(self, frames: np.ndarray) -> np.ndarray:
         """(2, 1+137) [BFI, params...] -> float32 PCM (speech synthesis
