@@ -97,11 +97,14 @@ def roofline_estimate(n_carriers: int, fs: float, frontend: str = "fft",
     # timing (~30 flops/sym), demod (~10)
     back_flops = c * (out72 * (64 + 41) * 2 + 18_000.0 * 40)
     back_bytes = c * out72 * 8.0 * 4
-    # dense frame scan (dsp.framescan): per bit position, a 2x22 sync
-    # conv and a 33x230 GF(2)-CRC conv; 36 kbit/s per carrier
+    # frame scan (dsp.framescan.frame_scan_sparse): dense 2x22 sync conv
+    # at 36 kbit/s per carrier + CRC (33x230 matvec) at only the top-K
+    # candidates per ~0.1 s block
     bits_per_s = 36_000.0
-    scan_flops = c * bits_per_s * 2.0 * (2 * 22 + 33 * 230)
-    scan_bytes = c * bits_per_s * (4.0 + 33 * 4.0 + 4.0)
+    k_cand_per_s = 64 / 0.1
+    scan_flops = c * (bits_per_s * 2.0 * 2 * 22
+                      + k_cand_per_s * 2.0 * 33 * 230)
+    scan_bytes = c * (bits_per_s * (4.0 + 4.0) + k_cand_per_s * 230 * 4.0)
     return {
         "flops_per_s": front_flops + back_flops + scan_flops,
         "hbm_bytes_per_s": front_bytes + back_bytes + scan_bytes,
