@@ -4,11 +4,9 @@ Headline metric (the JSON line): END-TO-END IQ -> CRC-checked frames.
 The chained device program per block runs the full receive chain — NCO
 mix / FFT channelizer -> polyphase resample -> RRC -> timing recovery ->
 DQPSK -> bits -> sync correlation at every position -> burst CRC-16
-error count at the top-K sync-candidate frame starts
-(dsp.framescan.frame_scan_sparse; the reference likewise CRC-checks
-only positions that pass the sync threshold) — with a carried
-on-device bit tail, and reduces to per-block sync-hit / CRC-pass
-counters.  The clock stops after fetching a value that depends on every
+error count at every frame start (dsp.framescan.frame_scan_packed, the
+MXU-packed dense conv) — with a carried on-device bit tail, and
+reduces to per-block sync-hit / CRC-pass counters.  The clock stops after fetching a value that depends on every
 stage of every block, so nothing the label claims is left untimed
 (round-1 weakness: the old bench stopped at hard symbols while the frame
 layer ran untimed on host).  The demod-only number is also measured and
@@ -64,12 +62,14 @@ def _make_bank(n_carriers: int, block, frontend: str):
     from tetraear_tpu.dsp.pipeline import CarrierBankDemod
 
     # capture bandwidth scales with the carrier count (25 kHz channel
-    # grid + 15% guard).  fs in the 10.24 MHz * 2^j family puts every
-    # grid carrier on a 128-bin boundary, so band extraction is a pure
-    # row gather (dsp/channelizer.py 'aligned' path) and the channel
-    # rate is 80 kHz (L=9 resample to 72 kHz).
-    needed = max(10.24e6, n_carriers * 25_000 * 1.15)
-    fs = 10.24e6 * 2 ** max(0, math.ceil(math.log2(needed / 10.24e6)))
+    # grid + 15% guard).  fs in the 72 kHz * 2^m family makes the
+    # channel rate exactly 72 kHz — the whole polyphase resample back
+    # half disappears (measured 40.7 ms/block at C=10240 pre-fusion
+    # family 10.24 MHz * 2^j).  The 25 kHz grid is not 128-bin aligned
+    # at these rates; dsp/channelizer.py's quantized row-gather path
+    # (rolled H1 + residual ramp) keeps extraction row-shaped anyway.
+    needed = max(9.216e6, n_carriers * 25_000 * 1.15)
+    fs = 72_000.0 * 2 ** math.ceil(math.log2(needed / 72_000.0))
     offsets = [(i - n_carriers // 2) * 25_000 + 12_500
                for i in range(n_carriers)]
     return CarrierBankDemod(fs=fs, freqs_hz=offsets, block_len=block,
@@ -144,19 +144,18 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
             bits = bits.at[:, 0::2].set(h >> 1)
             bits = bits.at[:, 1::2].set(h & 1)
             z = jnp.concatenate([tl, bits], axis=1)
-            scan = framescan.frame_scan_sparse(z)
+            scan = framescan.frame_scan_packed(z)
             hits = scan["corr"] >= 0.90
-            # every above-threshold candidate's CRC verdict: a sync hit
-            # at corr position p maps to frame start p-216; the sparse
-            # scan carries (start, err) for the top-K correlations, a
-            # strict superset of the >= 0.90 hits at this K
-            cand_corr = jnp.take_along_axis(
-                scan["corr"],
-                jnp.clip(scan["crc_pos"] + framescan.TS_OFFSET_BITS, 0,
-                         scan["corr"].shape[1] - 1), axis=1)
+            # sync at p <-> frame start p-216: overlap of the two arrays
+            span = min(hits.shape[1] - framescan.TS_OFFSET_BITS,
+                       scan["crc_err"].shape[1])
+            sync_al = jax.lax.slice_in_dim(
+                hits, framescan.TS_OFFSET_BITS,
+                framescan.TS_OFFSET_BITS + span, 1, axis=1)
+            crc_al = jax.lax.slice_in_dim(scan["crc_err"], 0, span, 1,
+                                          axis=1)
             nhit = nhit + jnp.sum(hits.astype(jnp.int32))
-            nok = nok + jnp.sum(((cand_corr >= 0.90)
-                                 & (scan["crc_err"] <= 2)).astype(jnp.int32))
+            nok = nok + jnp.sum((sync_al & (crc_al <= 2)).astype(jnp.int32))
             tl2 = jax.lax.slice_in_dim(z, k2 - 4, k2 - 4 + t2, 1, axis=1)
             for d in (1, 2):
                 cand = jax.lax.slice_in_dim(

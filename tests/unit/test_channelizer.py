@@ -237,3 +237,47 @@ def test_multipath_two_ray():
     match = max(float(np.mean(tail == tx[s:s + len(tail)]))
                 for s in range(len(tx) - len(tail)))
     assert match == 1.0
+
+@pytest.mark.integration
+def test_quantized_row_gather_path():
+    """fs in the 72 kHz * 2^m family (no back-half resample) has a bin
+    grid incommensurate with the 25 kHz channel grid, so band starts are
+    NOT 128-lane aligned; the quantized extraction (aligned row gather +
+    rolled H1 + residual-shift ramp) must still decode exactly."""
+    fs = 9.216e6
+    rng = np.random.default_rng(0)
+    hot = [-2_487_500.0, -37_500.0, 12_500.0, 1_512_500.0]
+    bits = [rng.integers(0, 2, 2200).astype(np.uint8) for _ in hot]
+    iq = modulator.generate_multi_carrier(
+        bits, fs=fs, offsets_hz=hot, snr_db=20,
+        rng=np.random.default_rng(1))
+    bank = CarrierBankDemod(fs=fs, freqs_hz=hot, frontend="fft")
+    ch = bank.channelizer
+    assert ch.out_rate == 72_000.0 and not bank.plan.stages
+    assert ch.quantized and not ch.aligned
+    assert np.any(ch.d_shift > 0)
+    iq = _pad_to(iq, 2 * bank.block_len, np.random.default_rng(2))
+    out = bank.run(iq)
+    for i in range(len(hot)):
+        tx = modulator.bits_to_symbols(bits[i])[:600]
+        assert _best(out["symbols"][i], tx) == 1.0, f"carrier {i}"
+
+
+def test_quantized_streaming_continuity():
+    """Phase continuity across blocks on the quantized path: the d-bin
+    ramp restarts each block while the cycle counters advance by k_c *
+    block_len — a long symbol run crossing the boundary must be clean."""
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, 16_000).astype(np.uint8)
+    iq = modulator.generate_carrier(bits, fs=9.216e6,
+                                    freq_offset_hz=137_500.0,
+                                    snr_db=25, rng=np.random.default_rng(4))
+    bank = CarrierBankDemod(fs=9.216e6, freqs_hz=[137_500.0],
+                            frontend="fft")
+    assert bank.channelizer.quantized
+    assert len(iq) > 2 * bank.block_len
+    out = bank.run(iq)
+    tx = modulator.bits_to_symbols(bits)
+    n_blk_syms = bank.block_len // bank.channelizer.decim // 4
+    assert _best(out["symbols"][0],
+                 tx[100:n_blk_syms + 2000]) == 1.0

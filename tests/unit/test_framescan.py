@@ -28,7 +28,7 @@ def test_sync_corr_matches_host():
     from tetraear_tpu.frame.burst import SYNC_DISCONTINUOUS_DOWNLINK as TS2
     bits[0, 300:322] = TS1
     bits[1, 700:722] = TS2
-    dev = framescan.FrameScanKernel(sparse=False).scan(bits)
+    dev = framescan.FrameScanKernel(packed=False).scan(bits)
     for c in range(bits.shape[0]):
         host = dec_mod.sync_correlate(bits[c])
         assert dev["corr"][c].shape == host.shape
@@ -57,7 +57,7 @@ def test_crc_err_matches_soft_crc_check():
     # degenerate all-zero view
     bits[1, 1600:1830] = 0
 
-    dev = framescan.FrameScanKernel(sparse=False).scan(bits)
+    dev = framescan.FrameScanKernel(packed=False).scan(bits)
     assert dev["crc_err"].shape == (c, n - 229)
     for ci in range(c):
         for q in range(0, n - 229, 37):
@@ -88,15 +88,15 @@ def test_crc_err_reversed_payload_accept():
     bits[0, q + 122:q + 230] = data[108:]
     assert crc_mod.soft_crc_check(
         extract_data_bits(bits[0, q:q + 510], BurstType.NormalDownlink))
-    dev = framescan.FrameScanKernel(sparse=False).scan(bits)
+    dev = framescan.FrameScanKernel(packed=False).scan(bits)
     assert dev["crc_err"][0, q] <= 2
 
 @pytest.mark.unit
-def test_sparse_scan_matches_dense_at_candidates():
-    """frame_scan_sparse: every candidate's CRC equals the dense plane
-    at that start, and every position the host cascade would select is
-    covered by the candidate set (the lookup-hit contract of
-    frame.batch.select_and_decode)."""
+def test_packed_scan_matches_reference():
+    """frame_scan_packed (one MXU-packed bf16 280-channel conv) is
+    bit-identical to the plain two-conv formulation: same corr values
+    (integer agreement counts, exact in bf16 since every sum is < 256
+    with f32 accumulation) and same crc_err at every position."""
     c, n = 4, 3000
     bits = _random_bits(c, n, seed=7)
     # plant full golden slots (sync word + CRC-consistent data view —
@@ -105,27 +105,24 @@ def test_sparse_scan_matches_dense_at_candidates():
     plants = [(0, 120), (0, 1400), (1, 600), (2, 2200), (3, 40)]
     for ci, q in plants:
         slot = golden.build_slot(golden.build_mac_resource_data_bits(
-            b"SPARSE", address=0x1000 + 7 * ci + q))
+            b"PACKED", address=0x1000 + 7 * ci + q))
         bits[ci, q:q + 510] = slot
+    # degenerate all-zero region exercises the 99 path
+    bits[1, 2400:2700] = 0
 
-    dense = framescan.FrameScanKernel(sparse=False).scan(bits)
-    sp = framescan.FrameScanKernel(sparse=True).scan(bits)
+    dense = framescan.FrameScanKernel(packed=False).scan(bits)
+    pk = framescan.FrameScanKernel(packed=True).scan(bits)
 
-    np.testing.assert_allclose(sp["corr"], dense["corr"], atol=1e-6)
-    assert sp["crc_pos"].shape == (c, framescan.K_CANDIDATES)
-    for ci in range(c):
-        for kk in range(framescan.K_CANDIDATES):
-            q = int(sp["crc_pos"][ci, kk])
-            assert 0 <= q <= n - framescan.CRC_SPAN
-            assert sp["crc_err"][ci, kk] == dense["crc_err"][ci, q], (ci, q)
-        # coverage: every host-selected position is in the candidate set
-        cand = set(sp["crc_pos"][ci].tolist())
-        for pos in dec_mod.sync_cascade(dense["corr"][ci]):
-            start = pos - framescan.TS_OFFSET_BITS
-            if 0 <= start <= n - framescan.CRC_SPAN:
-                assert start in cand, (ci, pos)
-    # the planted frames are candidates and pass the <=2-error budget
+    assert pk["corr"].shape == dense["corr"].shape
+    assert pk["crc_err"].shape == dense["crc_err"].shape
+    np.testing.assert_allclose(pk["corr"], dense["corr"], atol=1e-6)
+    np.testing.assert_array_equal(pk["crc_err"], dense["crc_err"])
+    # the planted frames pass the <=2-error budget on the packed path
     for ci, q in plants:
-        kk = np.flatnonzero(sp["crc_pos"][ci] == q)
-        assert kk.size == 1
-        assert sp["crc_err"][ci, kk[0]] <= 2
+        assert pk["crc_err"][ci, q] <= 2
+    # odd length (stride-edge coverage): same equality on a ragged n
+    bits2 = _random_bits(2, 2001, seed=9)
+    d2 = framescan.FrameScanKernel(packed=False).scan(bits2)
+    p2 = framescan.FrameScanKernel(packed=True).scan(bits2)
+    np.testing.assert_allclose(p2["corr"], d2["corr"], atol=1e-6)
+    np.testing.assert_array_equal(p2["crc_err"], d2["crc_err"])

@@ -138,10 +138,43 @@ class FFTChannelizer:
         # magnitude cheaper than an element gather on TPU
         self.aligned = bool(np.all(self.band_start % 128 == 0)
                             and self.n_band % 128 == 0)
-        if self.aligned:
+        # QUANTIZED row gather: when starts are NOT lane-aligned (e.g. fs
+        # in the 72 kHz * 2^m family, whose bin grid is incommensurate
+        # with the 25 kHz channel grid for any pow2 nfft), extract from
+        # the aligned start s = 128*floor(start/128) below the band and
+        # repair the d = start - s (in [0,128)) bin shift exactly:
+        #   * the channel-select filter is applied as H1 rolled by d
+        #     (only 128 distinct rolls -> a (128, n_band) host table);
+        #     the d wrap bins fall >= out_rate/2 - 128*bin_hz into the
+        #     filter stopband and are zeroed (the quantized band misses
+        #     them; they carry <= -60 dB energy);
+        #   * extraction centred d bins low leaves the channel modulated
+        #     by +d*bin_hz; a per-d complex ramp exp(-2pi j d D(drop+n)
+        #     / nfft) (again a 128-row table) removes it.  Cross-block
+        #     phase continuity holds because the total per-block phase
+        #     advance (k_c - d)*block + d*block = k_c*block matches the
+        #     existing integer cycle counters, which are unchanged.
+        self.quantized = bool(not self.aligned and self.n_band % 128 == 0)
+        if self.aligned or self.quantized:
             rows = self.n_band // 128
-            self.row_idx = (self.band_start[:, None] // 128
+            start_al = (self.band_start // 128) * 128
+            self.row_idx = (start_al[:, None] // 128
                             + np.arange(rows)[None, :]).astype(np.int32)
+        if self.quantized:
+            self.d_shift = (self.band_start - start_al).astype(np.int32)
+            nb = self.n_band
+            j = np.arange(nb)
+            j_signed = np.where(j < nb // 2, j, j - nb)      # FFT order
+            d_col = np.arange(128)[:, None]
+            rel = j_signed[None, :] - d_col                  # (128, nb)
+            H1 = np.fft.fft(h1, self.nfft)
+            h1_roll = H1[rel % self.nfft]
+            h1_roll[rel < -(nb // 2)] = 0.0                  # missing bins
+            self.h1_roll = h1_roll.astype(np.complex64)
+            ang = (2.0 * np.pi * d_col * self.decim
+                   * (self.drop + np.arange(self.n_out))[None, :]
+                   / self.nfft)
+            self.ramp = np.exp(-1j * ang).astype(np.complex64)
         # Opt-in Pallas DMA extraction (one async copy per carrier on the
         # re/im-plane layout; hardware-validated).  Off by default: the
         # XLA row gather compiles to near-identical DMAs, and keeping the
@@ -187,7 +220,7 @@ class FFTChannelizer:
                 interpret=jax.default_backend() != "tpu")
             nat = jax.lax.complex(got[:, 0], got[:, 1])
             nat = nat.reshape(len(self.k_c), self.n_band)
-        elif self.aligned:
+        elif self.aligned or self.quantized:
             rows = x_ext.reshape(-1, 128)             # (.., 128) lanes
             nat = rows[jnp.asarray(self.row_idx)]     # (C, nb/128, 128)
             nat = nat.reshape(len(self.k_c), self.n_band)
@@ -198,9 +231,16 @@ class FFTChannelizer:
         half = self.n_band // 2
         band = jnp.concatenate([nat[:, half:], nat[:, :half]],
                                axis=1)                # -> FFT order
-        band = band * jnp.asarray(self.h1_band)[None, :]
+        if self.quantized:
+            band = band * jnp.asarray(self.h1_roll)[jnp.asarray(
+                self.d_shift)]
+        else:
+            band = band * jnp.asarray(self.h1_band)[None, :]
         y = jnp.fft.ifft(band, axis=1) / self.decim
         y = y[:, self.drop:self.drop + self.n_out]
+        if self.quantized:
+            # remove the +d-bin modulation left by the aligned extraction
+            y = y * jnp.asarray(self.ramp)[jnp.asarray(self.d_shift)]
 
         # restore global phase continuity (see module docstring)
         nfft_f = jnp.float32(self.nfft)

@@ -141,85 +141,92 @@ def frame_scan(bits: jnp.ndarray) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Sparse scan: CRC only at the top-K sync candidates.
+# Packed dense scan: one MXU-shaped conv for sync + CRC.
 #
-# The host frame layer (frame.batch.select_and_decode) reads crc_err at
-# SYNC-HIT positions only — exactly like the reference, which CRC-checks
-# candidates that pass the sync threshold (core/decoder.py:843-888,
-# protocol.py:292-347) and never CRCs arbitrary positions.  Computing
-# the CRC densely at every position (crc_err_all's 33ch x 230-tap conv)
-# was measured as the single largest e2e stage at C=10240.  Here the
-# dense half is only the cheap 2ch x 22-tap sync correlation; the CRC
-# runs at the K highest-correlation positions per carrier via a gather
-# + one small matmul.  Any host-selected position outside the top-K set
-# (possible only when a block has > K above-threshold positions) falls
-# back to the host CRC in frame.crc — bit-identical, just slower — so
-# selection semantics are unchanged.
+# On-chip measurements (perf/framescan_sparse_probe.py, C=10240):
+#   * the plain 2-output-channel sync conv costs ~150 ms/block — an
+#     implicit GEMM with N=2 of 128 MXU lanes;
+#   * the 33-channel CRC conv adds only ~30 ms (N=33 lanes);
+#   * a take_along_axis window gather (sparse top-K CRC) costs ~2.3 s —
+#     TPU element gathers are the one shape to never emit.
+# So the winning layout is DENSE but packed: stride the conv by 8 and
+# give each stride phase its own copy of all 35 base rows (2 sync rows
+# recast to the {0,1} plane + 33 CRC rows), i.e. one conv with 280
+# output channels and kernel length 237 — identical arithmetic, ~70% of
+# MXU lanes busy instead of 2%.  Inputs/kernels are cast to bfloat16:
+# every value is a sum of at most 237 {0,+-1} products (MXU accumulates
+# in f32), so the integer results are exact.
 # ---------------------------------------------------------------------------
 
-K_CANDIDATES = 64      # >> max cascade selections per block (~P/250)
+PACK_STRIDE = 8
+_KPACK = CRC_SPAN + PACK_STRIDE - 1                  # 237
 
 
-def crc_err_at(bits: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """CRC error counts at explicit frame starts.
+def _packed_kernel() -> tuple:
+    """((280, 1, 237) bf16 kernel, sync zero-counts (2,) f32).
 
-    bits (C, N) {0,1}; q (C, K) int32 frame-start bit offsets, each in
-    [0, N-230].  Returns (C, K) int32 — same values as
-    ``crc_err_all(bits)[c, q[c, k]]``.
+    Channel layout: ch = d * 35 + r for stride phase d in [0,8) and base
+    row r — rows 0..32 the CRC rows of _CRC_KERNEL, rows 33..34 the two
+    sync patterns recast for a {0,1} input: agreement(b, pat) =
+    conv(b, 2*pat - 1) + (# zeros in pat).
     """
-    c = bits.shape[0]
-    k = q.shape[1]
-    idx = (q[:, :, None] + jnp.arange(CRC_SPAN)[None, None, :]
-           ).reshape(c, k * CRC_SPAN)
-    win = jnp.take_along_axis(bits, idx, axis=1).reshape(
-        c, k, CRC_SPAN).astype(jnp.float32)
-    kern = jnp.asarray(_CRC_KERNEL[:, 0, :])            # (33, 230)
-    out = jnp.einsum("cko,mo->ckm", win, kern,
-                     preferred_element_type=jnp.float32)
-    out_i = jnp.round(out).astype(jnp.int32)
+    base = np.zeros((35, _KPACK), np.float32)
+    base[0:33, 0:CRC_SPAN] = _CRC_KERNEL[:, 0, :]
+    base[33:35, 0:SYNC_LEN] = 2.0 * _PATTERNS - 1.0
+    k = np.zeros((35 * PACK_STRIDE, 1, _KPACK), np.float32)
+    for d in range(PACK_STRIDE):
+        k[d * 35:(d + 1) * 35, 0, d:] = base[:, :_KPACK - d]
+    zeros_in_pat = (SYNC_LEN - _PATTERNS.sum(axis=1)).astype(np.float32)
+    return k.astype(jnp.bfloat16), zeros_in_pat
+
+
+_PACKED_KERNEL, _SYNC_ZEROS = _packed_kernel()
+
+
+def frame_scan_packed(bits: jnp.ndarray) -> dict:
+    """Dense frame scan via the packed 280-channel conv (traceable).
+
+    Same contract and bit-identical values as ``frame_scan``:
+    {"corr": (C, N-21) float32, "crc_err": (C, N-229) int32}.
+    """
+    c, n = bits.shape
+    # 256 zero-pad bits: strided-valid coverage past every real position
+    # (J*8 = ((n + 19) // 8 + 1) * 8 >= n + 20 > n - 21); padded-window
+    # outputs are sliced off below
+    x = jnp.pad(bits.astype(jnp.bfloat16), ((0, 0), (0, 256)))
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :], jnp.asarray(_PACKED_KERNEL),
+        window_strides=(PACK_STRIDE,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))     # (C, 280, J)
+    j = out.shape[2]
+    out = out.reshape(c, PACK_STRIDE, 35, j).astype(jnp.float32)
+    out = jnp.transpose(out, (0, 2, 3, 1)).reshape(c, 35, j * PACK_STRIDE)
+    # position p = 8*jj + d is element [.., jj*8 + d] after the reshape
+    sync = out[:, 33:35, :n - SYNC_LEN + 1]
+    corr = (jnp.max(sync + jnp.asarray(_SYNC_ZEROS)[None, :, None],
+                    axis=1)) / jnp.float32(SYNC_LEN)
+    crc = jnp.round(out[:, 0:33, :n - CRC_SPAN + 1]).astype(jnp.int32)
     c0_2 = jnp.concatenate([jnp.asarray(_CRC_C0, jnp.int32)] * 2)
-    syn = (out_i[..., 0:32] & 1) ^ c0_2[None, None, :]
-    e_fwd = jnp.sum(syn[..., 0:16], axis=-1)
-    e_rev = jnp.sum(syn[..., 16:32], axis=-1)
-    ones = out_i[..., 32]
+    syn = (crc[:, 0:32] & 1) ^ c0_2[None, :, None]
+    e_fwd = jnp.sum(syn[:, 0:16], axis=1)
+    e_rev = jnp.sum(syn[:, 16:32], axis=1)
+    ones = crc[:, 32]
     err = jnp.minimum(e_fwd, e_rev)
     degenerate = (ones == 0) | (ones == DATA_BITS)
-    return jnp.where(degenerate, jnp.int32(99), err)
-
-
-def frame_scan_sparse(bits: jnp.ndarray, k: int = K_CANDIDATES) -> dict:
-    """Sync correlation everywhere + CRC at the top-k candidates.
-
-    Returns {"corr": (C, P) float32,
-             "crc_pos": (C, k) int32 frame starts (clamped to valid),
-             "crc_err": (C, k) int32}.
-
-    A sync hit at corr position p maps to frame start p - 216; starts
-    outside [0, N-230] are clamped, so a host lookup for an out-of-range
-    start simply misses and falls back (those frames straddle the block
-    edge and are re-scanned from the carried tail anyway).
-    """
-    corr = sync_corr(bits)
-    n = bits.shape[1]
-    _, p = jax.lax.top_k(corr, k)
-    q = jnp.clip(p - TS_OFFSET_BITS, 0, n - CRC_SPAN)
-    return {"corr": corr, "crc_pos": q, "crc_err": crc_err_at(bits, q)}
+    return {"corr": corr,
+            "crc_err": jnp.where(degenerate, jnp.int32(99), err)}
 
 
 class FrameScanKernel:
     """Jitted standalone wrapper (the Pipeline's per-block dispatch).
 
-    ``sparse=True`` (default) runs the top-K sparse scan; the returned
-    dict then carries (crc_pos, crc_err) candidate pairs instead of the
-    dense crc_err plane.
+    ``packed=True`` (default) uses the MXU-packed 280-channel conv;
+    ``packed=False`` the plain 2-conv reference formulation (same
+    values; kept as the oracle for the packing tests).
     """
 
-    def __init__(self, sparse: bool = True, k: int = K_CANDIDATES):
-        self.sparse = bool(sparse)
-        if self.sparse:
-            self._scan = jax.jit(lambda b: frame_scan_sparse(b, k))
-        else:
-            self._scan = jax.jit(frame_scan)
+    def __init__(self, packed: bool = True):
+        self._scan = jax.jit(frame_scan_packed if packed else frame_scan)
 
     def scan(self, bits: np.ndarray) -> dict:
         out = self._scan(jnp.asarray(np.asarray(bits, np.uint8)))

@@ -62,22 +62,13 @@ class BatchedFrameDecoder:
 
     def select_and_decode(self, syms: np.ndarray, softs: np.ndarray,
                           n_valid: np.ndarray, valid_start_bits: np.ndarray,
-                          corr: np.ndarray, crc_err: np.ndarray,
-                          crc_pos: np.ndarray | None = None) -> list:
+                          corr: np.ndarray, crc_err: np.ndarray) -> list:
         """syms: (C, W) assembled symbol rows (tail + block, zero-padded);
         softs: (C, W, 2); n_valid: (C,) valid symbols per row counted from
         the row start; valid_start_bits: (C,) first real bit per row (the
         zero pad before the stream head on early blocks); corr/crc_err:
         device scan of the rows' bit planes.  Returns decoded frame dicts
-        (with carrier/stream metadata).
-
-        ``crc_pos is None``: crc_err is the DENSE (C, N-229) error plane
-        indexed by frame start.  Otherwise crc_pos/crc_err are the
-        sparse (C, K) candidate pairs from framescan.frame_scan_sparse;
-        a selected start missing from the candidate set (only possible
-        with > K above-threshold positions in one block) gets
-        crc_hint=None and parse_burst computes the CRC on host —
-        bit-identical verdict, just not device-precomputed."""
+        (with carrier/stream metadata)."""
         frames_out = []
         row_max = corr.max(axis=1) if corr.shape[1] else np.zeros(len(corr))
         active = np.flatnonzero(row_max >= 0.75)
@@ -88,9 +79,6 @@ class BatchedFrameDecoder:
                 continue
             dec = self.decoders[ci]
             bits_row = None
-            if crc_pos is not None:
-                hint_of = dict(zip(crc_pos[ci].tolist(),
-                                   crc_err[ci].tolist()))
             for pos in positions:
                 start = pos - TS_OFFSET_BITS
                 if start < valid_start_bits[ci]:
@@ -105,16 +93,11 @@ class BatchedFrameDecoder:
                     bits_row = np.empty(2 * len(s), np.uint8)
                     bits_row[0::2] = (s >> 1) & 1
                     bits_row[1::2] = s & 1
-                if crc_pos is None:
-                    hint = bool(crc_err[ci, start] <= 2)
-                else:
-                    e = hint_of.get(start)
-                    hint = None if e is None else bool(e <= 2)
                 frame = dec.decode_frame(
                     bits_row[start:start + FRAME_LENGTH], 0,
                     syms[ci, start // 2:start // 2 + 255],
                     frame_number=int(abs_sym * 2) // FRAME_LENGTH,
-                    crc_hint=hint)
+                    crc_hint=bool(crc_err[ci, start] <= 2))
                 if frame is None:
                     continue
                 self._emitted_until[ci] = abs_sym + 255
@@ -172,8 +155,7 @@ class BatchedFrameDecoder:
         bits[:, 1::2] = syms & 1
         out = self.kernel.scan(bits)
         frames = self.select_and_decode(syms, softs, n_total, vstart,
-                                        out["corr"], out["crc_err"],
-                                        crc_pos=out.get("crc_pos"))
+                                        out["corr"], out["crc_err"])
         # advance stream bases by the consumed (non-tail) symbols;
         # select_and_decode reads _sym_base as the CURRENT assembly base,
         # so this must happen after selection

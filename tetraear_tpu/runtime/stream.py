@@ -85,9 +85,8 @@ class DecodeRunner:
     """IQ -> CRC-checked frames, S blocks per device dispatch.
 
     One ``lax.scan`` program per S blocks runs the demodulator AND the
-    frame layer (dsp.framescan: dense sync correlation + sparse top-K
-    burst CRC) with an on-device carried bit tail, mirroring the host
-    assembly of
+    dense frame layer (dsp.framescan packed sync + burst CRC conv) with
+    an on-device carried bit tail, mirroring the host assembly of
     frame.batch.BatchedFrameDecoder exactly (same tail length, same
     zero-padded layout), so the host-side selection
     (``BatchedFrameDecoder.select_and_decode``) consumes the device
@@ -104,7 +103,7 @@ class DecodeRunner:
         self.s = int(blocks_per_dispatch)
         self.k = bank.k_max
         self.t2 = 2 * batch.T                 # carried tail bits
-        self._framescan = framescan.frame_scan_sparse
+        self._framescan = framescan.frame_scan_packed
         self._scan = jax.jit(self._scan_impl)
         self.dispatches = 0
         self._tail_bits = None         # persists across run() calls
@@ -140,8 +139,7 @@ class DecodeRunner:
                 tail2 = jnp.where((n_c == self.k - 2 + d)[:, None],
                                   cand, tail2)
             return (st2, tail2), (out["hard"], out["soft"], out["valid"],
-                                  res["corr"], res["crc_pos"],
-                                  res["crc_err"])
+                                  res["corr"], res["crc_err"])
 
         (state, tail_bits), ys = jax.lax.scan(body, (state, tail_bits),
                                               xs_r)
@@ -166,14 +164,12 @@ class DecodeRunner:
             xs_r = jnp.asarray(kernels.c2r_np(xs))
             state, tail_bits, ys = self._scan(xs_r, state, tail_bits)
             self.dispatches += 1
-            hard, soft, valid, corr, crc_pos, crc_err = (
-                np.asarray(y) for y in ys)
+            hard, soft, valid, corr, crc_err = (np.asarray(y) for y in ys)
             for b in range(take):
                 syms, softs, n_total, vstart = self.batch.assemble(
                     hard[b], soft[b], valid[b].astype(bool))
                 frames = self.batch.select_and_decode(
-                    syms, softs, n_total, vstart, corr[b], crc_err[b],
-                    crc_pos=crc_pos[b])
+                    syms, softs, n_total, vstart, corr[b], crc_err[b])
                 self.batch._sym_base = self.batch._sym_base \
                     + (n_total - self.batch.T)
                 if frames and on_frames:
