@@ -1,10 +1,13 @@
-"""Perf breakdown: where does the C=10240 demod block go?
+"""Perf breakdown: where does the C=10240 block go? (72 kHz-family fs)
 
 Scan-chained variants on the real chip:
-  fft      — the 2^25-point wideband forward FFT alone
-  chan     — full channelizer step (FFT + band extract + ifft + phase)
-  demod    — full carrier-bank step (channelizer + back half + timing)
-Run: python tools_perf_channelizer.py
+  fft        — the wideband forward FFT alone
+  chan_al    — channelizer step with the quantized corrections DISABLED
+               (aligned-style row gather; wrong values, right cost)
+  chan       — full channelizer step (+ rolled H1 gather + d ramp)
+  demod      — full carrier-bank step (channelizer + RRC + timing)
+  e2e        — demod + bit interleave + packed frame scan (bench body)
+Run: PYTHONPATH=/root/repo:/root/.axon_site python perf/channelizer_breakdown.py
 """
 
 import json
@@ -28,20 +31,20 @@ def main():
                           os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import math
-    from tetraear_tpu.dsp import kernels
-    from tetraear_tpu.dsp.pipeline import CarrierBankDemod
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _make_bank
+    from tetraear_tpu.dsp import framescan, kernels
 
     C = int(os.environ.get("PERF_CARRIERS", "10240"))
-    STEPS = int(os.environ.get("PERF_STEPS", "4"))
-    needed = max(10.24e6, C * 25_000 * 1.15)
-    fs = 10.24e6 * 2 ** max(0, math.ceil(math.log2(needed / 10.24e6)))
-    offsets = [(i - C // 2) * 25_000 + 12_500 for i in range(C)]
-    bank = CarrierBankDemod(fs=fs, freqs_hz=offsets, frontend="fft")
+    STEPS = int(os.environ.get("PERF_STEPS", "8"))
+    bank, fs = _make_bank(C, None, "fft")
     block = bank.block_len
     ch = bank.channelizer
     print(f"fs={fs/1e6:.2f}M block={block} nfft={ch.nfft} "
-          f"n_band={ch.n_band} decim={ch.decim}", flush=True)
+          f"n_band={ch.n_band} decim={ch.decim} quantized={ch.quantized}",
+          flush=True)
 
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(block)
@@ -50,19 +53,19 @@ def main():
 
     results = {}
 
-    def timed(name, chain_fn, init_state):
+    def timed(name, chain_fn):
         cj = jax.jit(chain_fn, static_argnums=1)
-        out = cj(xd, STEPS, init_state)
+        out = cj(xd, STEPS)
         float(np.asarray(out)[-1])        # fetch: relay-proof sync
         t0 = time.time()
-        out = cj(xd, STEPS, init_state)
+        out = cj(xd, STEPS)
         float(np.asarray(out)[-1])
         dt = (time.time() - t0) / STEPS * 1e3
         results[name] = round(dt, 1)
         print(f"{name}: {dt:.1f} ms/block", flush=True)
 
     # (a) forward FFT alone, scan-chained via a value dependency
-    def chain_fft(x_r, n, _):
+    def chain_fft(x_r, n):
         def body(carry, _2):
             x = kernels.r2c(x_r) + carry
             X = jnp.fft.fft(jnp.concatenate(
@@ -71,22 +74,28 @@ def main():
         c, tails = jax.lax.scan(body, jnp.complex64(0), None, length=n)
         return tails
 
-    timed("fft", chain_fft, None)
+    timed("fft", chain_fft)
 
-    # (b) channelizer step
-    def chain_chan(x_r, n, _):
-        st0 = ch.init_state()
+    # (b) channelizer step, quantized corrections on/off
+    def make_chain_chan():
+        def chain(x_r, n):
+            st0 = ch.init_state()
 
-        def body(st, _2):
-            y, st2 = ch.step(kernels.r2c(x_r), st)
-            return st2, y[0, 0].real
-        st, tails = jax.lax.scan(body, st0, None, length=n)
-        return tails
+            def body(st, _2):
+                y, st2 = ch.step(kernels.r2c(x_r), st)
+                return st2, y[0, 0].real
+            st, tails = jax.lax.scan(body, st0, None, length=n)
+            return tails
+        return chain
 
-    timed("chan", chain_chan, None)
+    if ch.quantized:
+        ch.quantized = False
+        timed("chan_al", make_chain_chan())
+        ch.quantized = True
+    timed("chan", make_chain_chan())
 
     # (c) full demod step
-    def chain_demod(x_r, n, _):
+    def chain_demod(x_r, n):
         st0 = bank.init_state()
 
         def body(st, _2):
@@ -95,7 +104,34 @@ def main():
         st, tails = jax.lax.scan(body, st0, None, length=n)
         return tails
 
-    timed("demod", chain_demod, None)
+    timed("demod", chain_demod)
+
+    # (d) demod + packed frame scan (the bench e2e body, minus counters)
+    k = bank.k_max
+    t2 = 1200
+
+    def chain_e2e(x_r, n):
+        st0 = bank.init_state()
+        tail0 = jnp.zeros((C, t2), jnp.uint8)
+
+        def body(carry, _2):
+            st, tl = carry
+            out, st2 = bank._step_impl(x_r, st)
+            h = jnp.where(out["valid"], out["hard"], 0).astype(jnp.uint8)
+            bits = jnp.repeat(h, 2, axis=1)
+            bits = bits.at[:, 0::2].set(h >> 1)
+            bits = bits.at[:, 1::2].set(h & 1)
+            z = jnp.concatenate([tl, bits], axis=1)
+            scan = framescan.frame_scan_packed(z)
+            nhit = jnp.sum((scan["corr"] >= 0.90).astype(jnp.int32))
+            nok = jnp.sum((scan["crc_err"] <= 2).astype(jnp.int32))
+            tl2 = jax.lax.slice_in_dim(z, 2 * k - 4, 2 * k - 4 + t2, 1,
+                                       axis=1)
+            return (st2, tl2), (nhit + nok).astype(jnp.float32)
+        (st, tl), tails = jax.lax.scan(body, (st0, tail0), None, length=n)
+        return tails
+
+    timed("e2e", chain_e2e)
 
     results["block_ms_realtime"] = round(block / fs * 1e3, 1)
     print(json.dumps({"carriers": C, **results}))

@@ -50,13 +50,16 @@ def main():
     def v_packed(bits):
         return framescan.frame_scan_packed(bits)
 
+    def v_packed_mm(bits):
+        return framescan.frame_scan_packed_mm(bits)
+
     def v_dense(bits):
         return framescan.frame_scan(bits)
 
     results = {}
     for name, fn in (("corr", v_corr), ("topk", v_topk),
                      ("packed", v_packed),
-                     ("dense", v_dense)):
+                     ("packed_mm", v_packed_mm), ("dense", v_dense)):
         def chain(bits, n, _fn=fn):
             def body(b, _):
                 r = _fn(b)

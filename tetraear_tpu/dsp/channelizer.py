@@ -87,7 +87,8 @@ class FFTChannelizer:
 
     def __init__(self, fs: float, freqs_hz: np.ndarray,
                  block_len: int | None = None,
-                 back_granularity: int | None = None):
+                 back_granularity: int | None = None,
+                 fold_fir=None):
         self.fs = float(fs)
         self.freqs_hz = np.asarray(freqs_hz, np.float64)
         self.decim = choose_decim(self.fs)
@@ -101,13 +102,24 @@ class FFTChannelizer:
             13_000.0, self.out_rate / 2.0 - 14_000.0, self.fs,
             atten_db=60.0)
         self.h1_len = len(h1)
+        # optional OUTPUT-rate FIR (the RRC matched filter when the back
+        # half has no resample stage to fold it into) applied in the band
+        # frequency domain: a stride-1 single-in-channel time conv is the
+        # worst MXU shape on this backend, while one more multiply on the
+        # already-extracted spectrum is free.  Exact linear conv provided
+        # the overlap also covers its memory (below).
+        self.fold_fir = None if fold_fir is None else np.asarray(
+            fold_fir, np.float64)
+        fir_mem = (0 if self.fold_fir is None
+                   else (len(self.fold_fir) - 1) * self.decim)
 
-        # overlap: >= h1 memory, and block = nfft - overlap must divide by
-        # decim * back_granularity (the 72 kHz back half's block quantum)
+        # overlap: >= h1 (+ folded output FIR) memory, and block = nfft -
+        # overlap must divide by decim * back_granularity (the 72 kHz
+        # back half's block quantum)
         g = int(back_granularity) if back_granularity else 1
         quantum = self.decim * g
         overlap = self.nfft % quantum
-        while overlap < max(self.h1_len, self.decim):
+        while overlap < max(self.h1_len + fir_mem, self.decim):
             overlap += quantum
         self.overlap = overlap
         self.block_len = self.nfft - overlap
@@ -125,9 +137,12 @@ class FFTChannelizer:
         self.residual_hz = self.freqs_hz - self.k_c * bin_hz
 
         H1 = np.fft.fft(h1, self.nfft)
+        firF = (np.ones(self.n_band) if self.fold_fir is None
+                else np.fft.fft(self.fold_fir, self.n_band))
         j = np.arange(self.n_band)
         j_signed = np.where(j < self.n_band // 2, j, j - self.n_band)
-        self.h1_band = H1[j_signed % self.nfft].astype(np.complex64)
+        self.h1_band = (H1[j_signed % self.nfft]
+                        * firF[j % self.n_band]).astype(np.complex64)
         # per-carrier band start in the wrap-extended spectrum (each band
         # is one contiguous slice of length n_band in natural order)
         self.band_start = ((self.k_c - self.n_band // 2)
@@ -167,8 +182,7 @@ class FFTChannelizer:
             j_signed = np.where(j < nb // 2, j, j - nb)      # FFT order
             d_col = np.arange(128)[:, None]
             rel = j_signed[None, :] - d_col                  # (128, nb)
-            H1 = np.fft.fft(h1, self.nfft)
-            h1_roll = H1[rel % self.nfft]
+            h1_roll = H1[rel % self.nfft] * firF[rel % nb]
             h1_roll[rel < -(nb // 2)] = 0.0                  # missing bins
             self.h1_roll = h1_roll.astype(np.complex64)
             ang = (2.0 * np.pi * d_col * self.decim

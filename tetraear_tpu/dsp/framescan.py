@@ -217,6 +217,41 @@ def frame_scan_packed(bits: jnp.ndarray) -> dict:
             "crc_err": jnp.where(degenerate, jnp.int32(99), err)}
 
 
+def frame_scan_packed_mm(bits: jnp.ndarray) -> dict:
+    """frame_scan_packed with the conv hand-rolled as an explicit
+    im2col GEMM: 30 shifted (C, J, 8) slices stacked to (C, J, 240),
+    then one (C*J, 240) x (240, 280) bf16 matmul.  Same values; kept to
+    A/B the backend's strided-conv lowering (perf probe)."""
+    c, n = bits.shape
+    x = jnp.pad(bits.astype(jnp.bfloat16), ((0, 0), (0, 256)))
+    npad = x.shape[1] - (x.shape[1] % PACK_STRIDE)
+    x8 = x[:, :npad].reshape(c, -1, PACK_STRIDE)        # (C, JJ, 8)
+    j = (npad - _KPACK) // PACK_STRIDE + 1
+    groups = _KPACK // PACK_STRIDE + 1                  # 30
+    cols = jnp.concatenate(
+        [x8[:, g:g + j, :] for g in range(groups)], axis=2)  # (C, J, 240)
+    kmat = np.zeros((35 * PACK_STRIDE, groups * PACK_STRIDE), np.float32)
+    kmat[:, :_KPACK] = _PACKED_KERNEL[:, 0, :].astype(np.float32)
+    out = jnp.einsum("cjk,ok->coj", cols,
+                     jnp.asarray(kmat, jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(c, PACK_STRIDE, 35, j).astype(jnp.float32)
+    out = jnp.transpose(out, (0, 2, 3, 1)).reshape(c, 35, j * PACK_STRIDE)
+    sync = out[:, 33:35, :n - SYNC_LEN + 1]
+    corr = (jnp.max(sync + jnp.asarray(_SYNC_ZEROS)[None, :, None],
+                    axis=1)) / jnp.float32(SYNC_LEN)
+    crc = jnp.round(out[:, 0:33, :n - CRC_SPAN + 1]).astype(jnp.int32)
+    c0_2 = jnp.concatenate([jnp.asarray(_CRC_C0, jnp.int32)] * 2)
+    syn = (crc[:, 0:32] & 1) ^ c0_2[None, :, None]
+    e_fwd = jnp.sum(syn[:, 0:16], axis=1)
+    e_rev = jnp.sum(syn[:, 16:32], axis=1)
+    ones = crc[:, 32]
+    err = jnp.minimum(e_fwd, e_rev)
+    degenerate = (ones == 0) | (ones == DATA_BITS)
+    return {"corr": corr,
+            "crc_err": jnp.where(degenerate, jnp.int32(99), err)}
+
+
 class FrameScanKernel:
     """Jitted standalone wrapper (the Pipeline's per-block dispatch).
 

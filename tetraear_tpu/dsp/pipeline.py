@@ -57,19 +57,26 @@ class CarrierBankDemod:
             self.plan = design.build_resample_plan(
                 self.fs / decim, design.SYMBOL_RATE * sps)
             # fold the RRC matched filter into the final resample stage
-            # (noble identity): one fewer pass over every carrier stream
-            self._rrc_folded = bool(self.plan.stages)
-            if self._rrc_folded:
+            # (noble identity): one fewer pass over every carrier stream.
+            # With NO resample stage (72 kHz-family fs: channel rate ==
+            # symbol-grid rate) fold it into the channelizer's band
+            # spectrum instead — a stride-1 single-channel time conv is
+            # the worst MXU shape on this backend (see dsp/framescan).
+            self._rrc_folded = True
+            chan_fir = None
+            if self.plan.stages:
                 stages = list(self.plan.stages)
                 stages[-1] = design.fold_fir_into_stage(stages[-1],
                                                         self.rrc)
                 self.plan = design.ResamplePlan(
                     in_rate=self.plan.in_rate, out_rate=self.plan.out_rate,
                     stages=tuple(stages))
+            else:
+                chan_fir = self.rrc
             g_back = self._granularity()
             self.channelizer = chan_mod.FFTChannelizer(
                 self.fs, self.freqs_hz, block_len,
-                back_granularity=g_back)
+                back_granularity=g_back, fold_fir=chan_fir)
             self.granularity = g_back * self.channelizer.decim
             self.block_len = self.channelizer.block_len
             self.nco = None
