@@ -88,7 +88,7 @@ def main():
             return tails
         return chain
 
-    if ch.quantized:
+    if ch.quantized and os.environ.get("PERF_CHAN_AL"):
         ch.quantized = False
         timed("chan_al", make_chain_chan())
         ch.quantized = True
@@ -106,32 +106,79 @@ def main():
 
     timed("demod", chain_demod)
 
-    # (d) demod + packed frame scan (the bench e2e body, minus counters)
+    # (c2) channelizer + timing recovery only (no DQPSK): isolates the
+    # interpolator from the differential demod inside the back half
+    def chain_tim(x_r, n):
+        from tetraear_tpu.dsp import timing as tmod
+        st0 = {"channelizer": ch.init_state(),
+               "tail": jnp.zeros((C, tmod.TAIL), jnp.complex64),
+               "next_t": jnp.full((C,), float(tmod.TAIL), jnp.float32),
+               "acc": jnp.zeros((C,), jnp.complex64)}
+
+        def body(st, _2):
+            y, cst = ch.step(kernels.r2c(x_r), st["channelizer"])
+            syms, valid, ts = tmod.timing_recover(
+                y, {"tail": st["tail"], "next_t": st["next_t"],
+                    "acc": st["acc"]})
+            st2 = {"channelizer": cst, **ts}
+            return st2, syms[0, 0].real
+        st, tails = jax.lax.scan(body, st0, None, length=n)
+        return tails
+
+    timed("tim", chain_tim)
+
+    # (d) demod + bit interleave + frame scan, in isolation-peeling
+    # variants: interleave only (scatter vs stack/reshape), then + scan
+    # (strided conv vs im2col GEMM).  The delta between each pair
+    # localizes the cost inside the bench's e2e body.
     k = bank.k_max
     t2 = 1200
 
-    def chain_e2e(x_r, n):
-        st0 = bank.init_state()
-        tail0 = jnp.zeros((C, t2), jnp.uint8)
+    def interleave_scatter(h):
+        bits = jnp.repeat(h, 2, axis=1)
+        bits = bits.at[:, 0::2].set(h >> 1)
+        bits = bits.at[:, 1::2].set(h & 1)
+        return bits
 
-        def body(carry, _2):
-            st, tl = carry
-            out, st2 = bank._step_impl(x_r, st)
-            h = jnp.where(out["valid"], out["hard"], 0).astype(jnp.uint8)
-            bits = jnp.repeat(h, 2, axis=1)
-            bits = bits.at[:, 0::2].set(h >> 1)
-            bits = bits.at[:, 1::2].set(h & 1)
-            z = jnp.concatenate([tl, bits], axis=1)
-            scan = framescan.frame_scan_packed(z)
-            nhit = jnp.sum((scan["corr"] >= 0.90).astype(jnp.int32))
-            nok = jnp.sum((scan["crc_err"] <= 2).astype(jnp.int32))
-            tl2 = jax.lax.slice_in_dim(z, 2 * k - 4, 2 * k - 4 + t2, 1,
-                                       axis=1)
-            return (st2, tl2), (nhit + nok).astype(jnp.float32)
-        (st, tl), tails = jax.lax.scan(body, (st0, tail0), None, length=n)
-        return tails
+    def interleave_stack(h):
+        return jnp.stack([h >> 1, h & 1], axis=2).reshape(h.shape[0], -1)
 
-    timed("e2e", chain_e2e)
+    def make_chain_e2e(interleave, scan_fn):
+        def chain(x_r, n):
+            st0 = bank.init_state()
+            tail0 = jnp.zeros((C, t2), jnp.uint8)
+
+            def body(carry, _2):
+                st, tl = carry
+                out, st2 = bank._step_impl(x_r, st)
+                h = jnp.where(out["valid"], out["hard"],
+                              0).astype(jnp.uint8)
+                z = jnp.concatenate([tl, interleave(h)], axis=1)
+                if scan_fn is None:
+                    acc = jnp.sum(z.astype(jnp.int32)).astype(jnp.float32)
+                else:
+                    scan = scan_fn(z)
+                    nhit = jnp.sum((scan["corr"] >= 0.90)
+                                   .astype(jnp.int32))
+                    nok = jnp.sum((scan["crc_err"] <= 2)
+                                  .astype(jnp.int32))
+                    acc = (nhit + nok).astype(jnp.float32)
+                tl2 = jax.lax.slice_in_dim(z, 2 * k - 4, 2 * k - 4 + t2,
+                                           1, axis=1)
+                return (st2, tl2), acc
+            (st, tl), tails = jax.lax.scan(body, (st0, tail0), None,
+                                           length=n)
+            return tails
+        return chain
+
+    if os.environ.get("PERF_IL"):
+        timed("il_scat", make_chain_e2e(interleave_scatter, None))
+        timed("il_stk", make_chain_e2e(interleave_stack, None))
+    timed("e2e", make_chain_e2e(interleave_scatter,
+                                framescan.frame_scan_packed))
+    if os.environ.get("PERF_MM"):
+        timed("e2e_mm", make_chain_e2e(interleave_stack,
+                                       framescan.frame_scan_packed_mm))
 
     results["block_ms_realtime"] = round(block / fs * 1e3, 1)
     print(json.dumps({"carriers": C, **results}))

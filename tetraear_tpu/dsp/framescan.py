@@ -188,6 +188,18 @@ def frame_scan_packed(bits: jnp.ndarray) -> dict:
 
     Same contract and bit-identical values as ``frame_scan``:
     {"corr": (C, N-21) float32, "crc_err": (C, N-229) int32}.
+
+    The syndrome/corr reductions run in the conv's NATIVE packed layout
+    (C, 8, 35, J): elementwise ops + a 16-element channel reduction fuse
+    into the single pass that reads the bf16 conv output, and only the
+    small (C, 8, J) results are transposed to linear-position order.
+    The first formulation transposed the full 280-channel tensor to
+    (C, 35, P) and switched to int32 before reducing — ~25 GB of HBM
+    round trips that dominated the e2e block at C=10240 (measured +108
+    ms/block vs +12 ms for this layout; perf/channelizer_breakdown.py).
+    Exactness: every conv output is an integer <= 237, exact in bf16
+    (8 mantissa bits cover ints to 256) and in f32; parity is
+    v - 2*floor(v/2) and XOR of {0,1} values is |a - b|.
     """
     c, n = bits.shape
     # 256 zero-pad bits: strided-valid coverage past every real position
@@ -199,22 +211,34 @@ def frame_scan_packed(bits: jnp.ndarray) -> dict:
         window_strides=(PACK_STRIDE,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"))     # (C, 280, J)
     j = out.shape[2]
-    out = out.reshape(c, PACK_STRIDE, 35, j).astype(jnp.float32)
-    out = jnp.transpose(out, (0, 2, 3, 1)).reshape(c, 35, j * PACK_STRIDE)
-    # position p = 8*jj + d is element [.., jj*8 + d] after the reshape
-    sync = out[:, 33:35, :n - SYNC_LEN + 1]
-    corr = (jnp.max(sync + jnp.asarray(_SYNC_ZEROS)[None, :, None],
-                    axis=1)) / jnp.float32(SYNC_LEN)
-    crc = jnp.round(out[:, 0:33, :n - CRC_SPAN + 1]).astype(jnp.int32)
-    c0_2 = jnp.concatenate([jnp.asarray(_CRC_C0, jnp.int32)] * 2)
-    syn = (crc[:, 0:32] & 1) ^ c0_2[None, :, None]
-    e_fwd = jnp.sum(syn[:, 0:16], axis=1)
-    e_rev = jnp.sum(syn[:, 16:32], axis=1)
-    ones = crc[:, 32]
+    # keep the big tensor bf16 end to end: slice (free) THEN cast per
+    # branch, so each consumer fuses its elementwise work + channel
+    # reduction into its read of the conv output — an up-front
+    # astype(f32) of the whole tensor was measured to cost ~50 ms/block
+    # at C=10240 in extra HBM round trips.  All values are integers
+    # <= 237, exact in bf16, so parity/min/compare stay exact.
+    g = out.reshape(c, PACK_STRIDE, 35, j)
+    # position p = 8*jj + d is packed element [d, jj]
+    sync = g[:, :, 33:35, :]                              # (C, 8, 2, J)
+    corr_p = jnp.max(
+        sync + jnp.asarray(_SYNC_ZEROS, jnp.bfloat16)[None, None, :, None],
+        axis=2)                                           # (C, 8, J)
+    crc = g[:, :, 0:32, :]
+    par = crc - 2.0 * jnp.floor(crc * 0.5)                # v mod 2
+    c0f = jnp.asarray(np.concatenate([_CRC_C0] * 2), jnp.bfloat16)
+    syn = jnp.abs(par - c0f[None, None, :, None])         # xor on {0,1}
+    e_fwd = jnp.sum(syn[:, :, 0:16], axis=2)              # (C, 8, J)
+    e_rev = jnp.sum(syn[:, :, 16:32], axis=2)
+    ones = g[:, :, 32, :]
     err = jnp.minimum(e_fwd, e_rev)
-    degenerate = (ones == 0) | (ones == DATA_BITS)
-    return {"corr": corr,
-            "crc_err": jnp.where(degenerate, jnp.int32(99), err)}
+    degenerate = (ones == 0.0) | (ones == float(DATA_BITS))
+    err = jnp.where(degenerate, jnp.bfloat16(99), err)
+    # linearize the small per-phase planes: (C, 8, J) -> (C, J*8)
+    corr = jnp.transpose(corr_p, (0, 2, 1)).reshape(c, j * PACK_STRIDE)
+    errl = jnp.transpose(err, (0, 2, 1)).reshape(c, j * PACK_STRIDE)
+    corr = corr.astype(jnp.float32) / jnp.float32(SYNC_LEN)
+    return {"corr": corr[:, :n - SYNC_LEN + 1],
+            "crc_err": errl[:, :n - CRC_SPAN + 1].astype(jnp.int32)}
 
 
 def frame_scan_packed_mm(bits: jnp.ndarray) -> dict:

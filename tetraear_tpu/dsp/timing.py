@@ -100,15 +100,22 @@ def timing_recover(y: jnp.ndarray, state: dict,
 
     z_p = jnp.concatenate(
         [z, jnp.zeros((c, SPS + 4), z.dtype)], axis=1)
-    # taps[j] = z[:, b + j + 4k]; build all 4 base candidates per tap via
-    # static strided slices, then one-hot select on b
+    # taps[j] = z[:, b + j + 4k] for b in {0..3}: ONE phase-major
+    # transpose (C, L) -> (C, 4, L/4) turns every (b, j) candidate into
+    # a contiguous slice of plane (b+j) % 4 at offset (b+j) // 4 — the
+    # earlier 16 stride-4 minor-dim slices each forced a full-array
+    # relayout and made the interpolator the whole back-half cost
+    # (~45 ms/block at C=10240, perf/channelizer_breakdown.py "tim").
+    L = z_p.shape[1]
+    zr = jnp.transpose(z_p.reshape(c, L // SPS, SPS), (0, 2, 1))
     taps = []
     for j in range(4):
         cands = []
         for bb in range(SPS):
-            sl = jax.lax.slice_in_dim(z_p, bb + j, bb + j + SPS * k_max, 1,
-                                      axis=1)
-            cands.append(sl[:, ::SPS])                     # (C, K)
+            q = bb + j
+            sl = jax.lax.slice_in_dim(zr[:, q % SPS], q // SPS,
+                                      q // SPS + k_max, 1, axis=1)
+            cands.append(sl)                               # (C, K)
         sel = cands[0]
         for bb in range(1, SPS):
             sel = jnp.where((b == bb)[:, None], cands[bb], sel)
