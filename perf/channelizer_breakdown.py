@@ -175,7 +175,10 @@ def main():
         timed("il_scat", make_chain_e2e(interleave_scatter, None))
         timed("il_stk", make_chain_e2e(interleave_stack, None))
     timed("e2e", make_chain_e2e(interleave_scatter,
-                                framescan.frame_scan_packed))
+                                framescan.frame_scan_packed_even))
+    if os.environ.get("PERF_E2E_DENSE"):
+        timed("e2e_dense", make_chain_e2e(interleave_scatter,
+                                          framescan.frame_scan_packed))
     if os.environ.get("PERF_MM"):
         timed("e2e_mm", make_chain_e2e(interleave_stack,
                                        framescan.frame_scan_packed_mm))

@@ -126,3 +126,53 @@ def test_packed_scan_matches_reference():
     p2 = framescan.FrameScanKernel(packed=True).scan(bits2)
     np.testing.assert_allclose(p2["corr"], d2["corr"], atol=1e-6)
     np.testing.assert_array_equal(p2["crc_err"], d2["crc_err"])
+
+
+@pytest.mark.unit
+def test_even_scan_matches_dense_even_positions():
+    """frame_scan_packed_even == frame_scan at every EVEN position:
+    same corr values, same crc_err, with element pe <-> bit 2*pe."""
+    c, n = 3, 3000
+    bits = _random_bits(c, n, seed=11)
+    from tetraear_tpu.ref import golden
+    plants = [(0, 120), (1, 602), (2, 2200)]       # even starts only
+    for ci, q in plants:
+        slot = golden.build_slot(golden.build_mac_resource_data_bits(
+            b"EVENSCAN", address=0x2000 + ci))
+        bits[ci, q:q + 510] = slot
+    dense = framescan.FrameScanKernel(packed=False).scan(bits)
+    ev = framescan.FrameScanKernel(even_only=True).scan(bits)
+    assert ev["corr"].shape[1] == (n - framescan.SYNC_LEN) // 2 + 1
+    assert ev["crc_err"].shape[1] == (n - framescan.CRC_SPAN) // 2 + 1
+    np.testing.assert_allclose(ev["corr"],
+                               dense["corr"][:, ::2][:, :ev["corr"]
+                                                     .shape[1]],
+                               atol=1e-6)
+    np.testing.assert_array_equal(
+        ev["crc_err"],
+        dense["crc_err"][:, ::2][:, :ev["crc_err"].shape[1]])
+    for ci, q in plants:
+        assert ev["crc_err"][ci, q // 2] <= 2
+        # the sync hit lands at bit q+216 -> even element (q+216)//2
+        assert ev["corr"][ci, (q + framescan.TS_OFFSET_BITS) // 2] >= 0.999
+    # odd length
+    bits2 = _random_bits(2, 2001, seed=12)
+    d2 = framescan.FrameScanKernel(packed=False).scan(bits2)
+    e2 = framescan.FrameScanKernel(even_only=True).scan(bits2)
+    np.testing.assert_allclose(
+        e2["corr"], d2["corr"][:, ::2][:, :e2["corr"].shape[1]],
+        atol=1e-6)
+    np.testing.assert_array_equal(
+        e2["crc_err"], d2["crc_err"][:, ::2][:, :e2["crc_err"].shape[1]])
+
+
+@pytest.mark.unit
+def test_sync_cascade_stride():
+    """sync_cascade on an even-subsampled corr returns the same BIT
+    positions as on the dense array when all hits are even-aligned."""
+    corr = np.zeros(4000, np.float32)
+    for p in (300, 1400, 1404, 2900):              # 1404 deduped (gap)
+        corr[p] = 0.95
+    dense_pos = dec_mod.sync_cascade(corr)
+    even_pos = dec_mod.sync_cascade(corr[::2], stride=2)
+    assert dense_pos == even_pos == [300, 1400, 2900]

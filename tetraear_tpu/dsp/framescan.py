@@ -162,25 +162,29 @@ PACK_STRIDE = 8
 _KPACK = CRC_SPAN + PACK_STRIDE - 1                  # 237
 
 
-def _packed_kernel() -> tuple:
-    """((280, 1, 237) bf16 kernel, sync zero-counts (2,) f32).
+def _packed_kernel(step: int = 1) -> tuple:
+    """((35 * 8/step, 1, 237) bf16 kernel, sync zero-counts (2,) f32).
 
-    Channel layout: ch = d * 35 + r for stride phase d in [0,8) and base
-    row r — rows 0..32 the CRC rows of _CRC_KERNEL, rows 33..34 the two
-    sync patterns recast for a {0,1} input: agreement(b, pat) =
-    conv(b, 2*pat - 1) + (# zeros in pat).
+    Channel layout: ch = i * 35 + r for stride phase d = step * i in
+    [0,8) and base row r — rows 0..32 the CRC rows of _CRC_KERNEL, rows
+    33..34 the two sync patterns recast for a {0,1} input:
+    agreement(b, pat) = conv(b, 2*pat - 1) + (# zeros in pat).
+    ``step=2`` keeps only the even stride phases (symbol-aligned
+    positions — see frame_scan_packed_even).
     """
     base = np.zeros((35, _KPACK), np.float32)
     base[0:33, 0:CRC_SPAN] = _CRC_KERNEL[:, 0, :]
     base[33:35, 0:SYNC_LEN] = 2.0 * _PATTERNS - 1.0
-    k = np.zeros((35 * PACK_STRIDE, 1, _KPACK), np.float32)
-    for d in range(PACK_STRIDE):
-        k[d * 35:(d + 1) * 35, 0, d:] = base[:, :_KPACK - d]
+    phases = range(0, PACK_STRIDE, step)
+    k = np.zeros((35 * len(phases), 1, _KPACK), np.float32)
+    for i, d in enumerate(phases):
+        k[i * 35:(i + 1) * 35, 0, d:] = base[:, :_KPACK - d]
     zeros_in_pat = (SYNC_LEN - _PATTERNS.sum(axis=1)).astype(np.float32)
     return k.astype(jnp.bfloat16), zeros_in_pat
 
 
 _PACKED_KERNEL, _SYNC_ZEROS = _packed_kernel()
+_PACKED_KERNEL_EVEN, _ = _packed_kernel(step=2)
 
 
 def frame_scan_packed(bits: jnp.ndarray) -> dict:
@@ -201,15 +205,57 @@ def frame_scan_packed(bits: jnp.ndarray) -> dict:
     (8 mantissa bits cover ints to 256) and in f32; parity is
     v - 2*floor(v/2) and XOR of {0,1} values is |a - b|.
     """
+    corr, errl = _conv_and_reduce(bits, _PACKED_KERNEL, PACK_STRIDE)
+    n = bits.shape[1]
+    return {"corr": corr[:, :n - SYNC_LEN + 1],
+            "crc_err": errl[:, :n - CRC_SPAN + 1].astype(jnp.int32)}
+
+
+def frame_scan_packed_even(bits: jnp.ndarray) -> dict:
+    """Dense frame scan restricted to EVEN bit positions (traceable).
+
+    The demod emits two bits per pi/4-DQPSK symbol and every assembly
+    step (tail carry, first-block drop, realignment) moves in whole
+    symbols, so a real frame start — hence a real sync hit — can only
+    sit at an even bit index.  Scanning only those positions halves the
+    conv channels and the reduction traffic.  Deliberate deviation from
+    the reference, which slides its host sync search one BIT at a time
+    (tetraear/core/decoder.py:231-259): on its own symbol-aligned bit
+    stream the extra odd positions can only produce false candidates
+    (noise correlations that a symbol-aligned transmission cannot
+    generate), so dropping them is a bug fix, not a capability loss.
+
+    Returns {"corr": (C, (N-22)//2 + 1) float32,
+             "crc_err": (C, (N-230)//2 + 1) int32} where element pe
+    describes bit position p = 2 * pe; values equal
+    frame_scan(bits)[...][:, ::2] exactly.
+    """
+    corr, errl = _conv_and_reduce(bits, _PACKED_KERNEL_EVEN,
+                                  PACK_STRIDE // 2)
+    n = bits.shape[1]
+    return {"corr": corr[:, :(n - SYNC_LEN) // 2 + 1],
+            "crc_err": errl[:, :(n - CRC_SPAN) // 2 + 1]
+            .astype(jnp.int32)}
+
+
+def _conv_and_reduce(bits: jnp.ndarray, kernel: np.ndarray,
+                     nph: int) -> tuple:
+    """Shared packed-conv + native-layout reduction.
+
+    kernel: (nph * 35, 1, 237) stride-phase-packed taps (phase of
+    channel i*35+r is d = i * (8 // nph)).  Returns (corr, err) as
+    (C, J * nph) arrays linear in phase-index space: element
+    jj * nph + i is bit position 8 * jj + i * (8 // nph).
+    """
     c, n = bits.shape
     # 256 zero-pad bits: strided-valid coverage past every real position
     # (J*8 = ((n + 19) // 8 + 1) * 8 >= n + 20 > n - 21); padded-window
-    # outputs are sliced off below
+    # outputs are sliced off by the callers
     x = jnp.pad(bits.astype(jnp.bfloat16), ((0, 0), (0, 256)))
     out = jax.lax.conv_general_dilated(
-        x[:, None, :], jnp.asarray(_PACKED_KERNEL),
+        x[:, None, :], jnp.asarray(kernel),
         window_strides=(PACK_STRIDE,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))     # (C, 280, J)
+        dimension_numbers=("NCH", "OIH", "NCH"))     # (C, nph*35, J)
     j = out.shape[2]
     # keep the big tensor bf16 end to end: slice (free) THEN cast per
     # branch, so each consumer fuses its elementwise work + channel
@@ -217,28 +263,26 @@ def frame_scan_packed(bits: jnp.ndarray) -> dict:
     # astype(f32) of the whole tensor was measured to cost ~50 ms/block
     # at C=10240 in extra HBM round trips.  All values are integers
     # <= 237, exact in bf16, so parity/min/compare stay exact.
-    g = out.reshape(c, PACK_STRIDE, 35, j)
-    # position p = 8*jj + d is packed element [d, jj]
-    sync = g[:, :, 33:35, :]                              # (C, 8, 2, J)
+    g = out.reshape(c, nph, 35, j)
+    sync = g[:, :, 33:35, :]                              # (C, nph, 2, J)
     corr_p = jnp.max(
         sync + jnp.asarray(_SYNC_ZEROS, jnp.bfloat16)[None, None, :, None],
-        axis=2)                                           # (C, 8, J)
+        axis=2)                                           # (C, nph, J)
     crc = g[:, :, 0:32, :]
     par = crc - 2.0 * jnp.floor(crc * 0.5)                # v mod 2
     c0f = jnp.asarray(np.concatenate([_CRC_C0] * 2), jnp.bfloat16)
     syn = jnp.abs(par - c0f[None, None, :, None])         # xor on {0,1}
-    e_fwd = jnp.sum(syn[:, :, 0:16], axis=2)              # (C, 8, J)
+    e_fwd = jnp.sum(syn[:, :, 0:16], axis=2)              # (C, nph, J)
     e_rev = jnp.sum(syn[:, :, 16:32], axis=2)
     ones = g[:, :, 32, :]
     err = jnp.minimum(e_fwd, e_rev)
     degenerate = (ones == 0.0) | (ones == float(DATA_BITS))
     err = jnp.where(degenerate, jnp.bfloat16(99), err)
-    # linearize the small per-phase planes: (C, 8, J) -> (C, J*8)
-    corr = jnp.transpose(corr_p, (0, 2, 1)).reshape(c, j * PACK_STRIDE)
-    errl = jnp.transpose(err, (0, 2, 1)).reshape(c, j * PACK_STRIDE)
+    # linearize the small per-phase planes: (C, nph, J) -> (C, J*nph)
+    corr = jnp.transpose(corr_p, (0, 2, 1)).reshape(c, j * nph)
+    errl = jnp.transpose(err, (0, 2, 1)).reshape(c, j * nph)
     corr = corr.astype(jnp.float32) / jnp.float32(SYNC_LEN)
-    return {"corr": corr[:, :n - SYNC_LEN + 1],
-            "crc_err": errl[:, :n - CRC_SPAN + 1].astype(jnp.int32)}
+    return corr, errl
 
 
 def frame_scan_packed_mm(bits: jnp.ndarray) -> dict:
@@ -279,13 +323,19 @@ def frame_scan_packed_mm(bits: jnp.ndarray) -> dict:
 class FrameScanKernel:
     """Jitted standalone wrapper (the Pipeline's per-block dispatch).
 
-    ``packed=True`` (default) uses the MXU-packed 280-channel conv;
+    ``packed=True`` (default) uses the MXU-packed conv;
     ``packed=False`` the plain 2-conv reference formulation (same
     values; kept as the oracle for the packing tests).
+    ``even_only=True`` scans only symbol-aligned (even) bit positions
+    (frame_scan_packed_even; outputs indexed by p // 2 — callers must
+    scale, e.g. frame.batch with scan_stride=2).
     """
 
-    def __init__(self, packed: bool = True):
-        self._scan = jax.jit(frame_scan_packed if packed else frame_scan)
+    def __init__(self, packed: bool = True, even_only: bool = False):
+        self.stride = 2 if even_only else 1
+        self._scan = jax.jit(
+            frame_scan_packed_even if even_only
+            else frame_scan_packed if packed else frame_scan)
 
     def scan(self, bits: np.ndarray) -> dict:
         out = self._scan(jnp.asarray(np.asarray(bits, np.uint8)))

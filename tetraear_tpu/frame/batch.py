@@ -48,7 +48,13 @@ class BatchedFrameDecoder:
             # device keys x frames search (crypto.batch)
             d.defer_decrypt = True
         self.T = int(tail_syms)
-        self.kernel = FrameScanKernel()
+        # even-position scan: frame starts are symbol-aligned in the
+        # assembled rows (all carries/drops move whole symbols), so odd
+        # bit positions cannot hold a real frame (framescan
+        # .frame_scan_packed_even).  scan_stride maps device array
+        # indices to bit positions.
+        self.kernel = FrameScanKernel(even_only=True)
+        self.scan_stride = self.kernel.stride
         c = n_carriers
         self._tail_hard = np.zeros((c, self.T), np.uint8)
         self._tail_soft = np.zeros((c, self.T, 2), np.float32)
@@ -67,14 +73,15 @@ class BatchedFrameDecoder:
         softs: (C, W, 2); n_valid: (C,) valid symbols per row counted from
         the row start; valid_start_bits: (C,) first real bit per row (the
         zero pad before the stream head on early blocks); corr/crc_err:
-        device scan of the rows' bit planes.  Returns decoded frame dicts
-        (with carrier/stream metadata)."""
+        device scan of the rows' bit planes, with self.scan_stride bits
+        between adjacent elements.  Returns decoded frame dicts (with
+        carrier/stream metadata)."""
         frames_out = []
         row_max = corr.max(axis=1) if corr.shape[1] else np.zeros(len(corr))
         active = np.flatnonzero(row_max >= 0.75)
         valid_bits = 2 * n_valid
         for ci in active:
-            positions = sync_cascade(corr[ci])
+            positions = sync_cascade(corr[ci], stride=self.scan_stride)
             if not positions:
                 continue
             dec = self.decoders[ci]
@@ -97,7 +104,8 @@ class BatchedFrameDecoder:
                     bits_row[start:start + FRAME_LENGTH], 0,
                     syms[ci, start // 2:start // 2 + 255],
                     frame_number=int(abs_sym * 2) // FRAME_LENGTH,
-                    crc_hint=bool(crc_err[ci, start] <= 2))
+                    crc_hint=bool(crc_err[ci, start // self.scan_stride]
+                                  <= 2))
                 if frame is None:
                     continue
                 self._emitted_until[ci] = abs_sym + 255

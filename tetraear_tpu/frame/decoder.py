@@ -102,10 +102,14 @@ def sync_correlate(bits: np.ndarray) -> np.ndarray:
 
 
 def greedy_positions(corr: np.ndarray, threshold: float,
-                     min_gap: int = SYNC_SKIP) -> list:
+                     min_gap: int = SYNC_SKIP, stride: int = 1) -> list:
     """Ascending greedy hit selection with skip-ahead dedup
-    (decoder.py:231-259 / 270-281 semantics)."""
-    hits = np.flatnonzero(corr >= threshold)
+    (decoder.py:231-259 / 270-281 semantics).
+
+    ``stride``: bit distance between adjacent ``corr`` elements (2 for
+    the even-position device scan).  Returned positions are always BIT
+    positions; the dedup gap is applied in bit units."""
+    hits = np.flatnonzero(corr >= threshold) * stride
     out: list = []
     last = -min_gap
     for pos in hits:
@@ -115,17 +119,18 @@ def greedy_positions(corr: np.ndarray, threshold: float,
     return out
 
 
-def find_sync_in_corr(corr: np.ndarray, threshold: float = 0.85) -> tuple:
+def find_sync_in_corr(corr: np.ndarray, threshold: float = 0.85,
+                      stride: int = 1) -> tuple:
     """Threshold + adaptive-fallback selection on a precomputed
     correlation array; returns (positions, max_corr)."""
     if len(corr) == 0:
         return [], 0.0
     max_corr = float(corr.max())
-    positions = greedy_positions(corr, threshold)
+    positions = greedy_positions(corr, threshold, stride=stride)
     if not positions and max_corr > 0.75 and max_corr >= threshold - 0.15:
         adaptive = max(0.75, max_corr - 0.02)
         if adaptive < threshold:
-            positions = greedy_positions(corr, adaptive)
+            positions = greedy_positions(corr, adaptive, stride=stride)
     return positions, max_corr
 
 
@@ -138,20 +143,22 @@ def find_sync(bits: np.ndarray, threshold: float = 0.85,
     return positions
 
 
-def sync_cascade(corr: np.ndarray) -> list:
+def sync_cascade(corr: np.ndarray, stride: int = 1) -> list:
     """The full multi-threshold sync cascade of TetraDecoder.decode
     (reference decoder.py:843-857), on a precomputed correlation array.
 
     Shared by the host decode path and the batched device frame layer
-    (frame.batch) so both select identical positions."""
-    positions, max_corr = find_sync_in_corr(corr, 0.90)
+    (frame.batch) so both select identical positions.  ``stride`` is
+    the bit distance between corr elements (2 for the even-position
+    scan); returned positions are bit positions."""
+    positions, max_corr = find_sync_in_corr(corr, 0.90, stride=stride)
     if not positions:
-        positions, max_corr = find_sync_in_corr(corr, 0.85)
+        positions, max_corr = find_sync_in_corr(corr, 0.85, stride=stride)
     if not positions:
-        positions, max_corr = find_sync_in_corr(corr, 0.80)
+        positions, max_corr = find_sync_in_corr(corr, 0.80, stride=stride)
     if not positions and max_corr >= 0.75:
         adaptive = max(0.75, max_corr - 0.02)
-        positions = greedy_positions(corr, adaptive)
+        positions = greedy_positions(corr, adaptive, stride=stride)
     return positions
 
 

@@ -103,7 +103,11 @@ class DecodeRunner:
         self.s = int(blocks_per_dispatch)
         self.k = bank.k_max
         self.t2 = 2 * batch.T                 # carried tail bits
-        self._framescan = framescan.frame_scan_packed
+        # even-position scan; batch.select_and_decode maps indices via
+        # its scan_stride (frame starts are symbol-aligned — framescan
+        # .frame_scan_packed_even)
+        self._framescan = framescan.frame_scan_packed_even
+        assert batch.scan_stride == 2
         self._scan = jax.jit(self._scan_impl)
         self.dispatches = 0
         self._tail_bits = None         # persists across run() calls

@@ -34,6 +34,12 @@ def main(argv=None) -> int:
     found: dict = {}
 
     def on_frame(frame):
+        # CRC gate: the adaptive sync cascade also emits frames from
+        # noise (reference-compatible), and their MAC parse can yield
+        # plausible-looking SDS strings (e.g. "[GPS] ..." hex dumps) —
+        # only a CRC-verified burst counts as a find
+        if not frame.get("burst_crc"):
+            return
         text = frame.get("sds_message") or frame.get("decoded_text")
         if (text and not text.startswith("[BIN")
                 and len(text) >= args.min_text_len):
