@@ -94,6 +94,45 @@ def main():
         ch.quantized = True
     timed("chan", make_chain_chan())
 
+    # (b2) channelizer sub-stages: fft+extract+H1 multiply (no ifft),
+    # then + ifft — the deltas localize gather/multiply vs transform
+    def chain_x1(x_r, n):
+        def body(carry, _2):
+            x = kernels.r2c(x_r) + carry
+            xx = jnp.concatenate([jnp.zeros(ch.overlap, jnp.complex64), x])
+            X = jnp.fft.fft(xx)
+            x_ext = jnp.concatenate([X, X[:ch.n_band]])
+            rows = x_ext.reshape(-1, 128)
+            nat = rows[jnp.asarray(ch.row_idx)].reshape(
+                len(ch.k_c), ch.n_band)
+            half = ch.n_band // 2
+            band = jnp.concatenate([nat[:, half:], nat[:, :half]], axis=1)
+            band = band * jnp.asarray(ch.h1_roll)[jnp.asarray(ch.d_shift)]
+            return band[0, 0] * 1e-30, band[0, 1].real
+        c2, tails = jax.lax.scan(body, jnp.complex64(0), None, length=n)
+        return tails
+
+    def chain_x2(x_r, n):
+        def body(carry, _2):
+            x = kernels.r2c(x_r) + carry
+            xx = jnp.concatenate([jnp.zeros(ch.overlap, jnp.complex64), x])
+            X = jnp.fft.fft(xx)
+            x_ext = jnp.concatenate([X, X[:ch.n_band]])
+            rows = x_ext.reshape(-1, 128)
+            nat = rows[jnp.asarray(ch.row_idx)].reshape(
+                len(ch.k_c), ch.n_band)
+            half = ch.n_band // 2
+            band = jnp.concatenate([nat[:, half:], nat[:, :half]], axis=1)
+            band = band * jnp.asarray(ch.h1_roll)[jnp.asarray(ch.d_shift)]
+            y = jnp.fft.ifft(band, axis=1)
+            return y[0, 0] * 1e-30, y[0, 1].real
+        c2, tails = jax.lax.scan(body, jnp.complex64(0), None, length=n)
+        return tails
+
+    if os.environ.get("PERF_CHAN_SUB"):
+        timed("x1", chain_x1)
+        timed("x2", chain_x2)
+
     # (c) full demod step
     def chain_demod(x_r, n):
         st0 = bank.init_state()

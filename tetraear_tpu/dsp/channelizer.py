@@ -189,6 +189,50 @@ class FFTChannelizer:
                    * (self.drop + np.arange(self.n_out))[None, :]
                    / self.nfft)
             self.ramp = np.exp(-1j * ang).astype(np.complex64)
+
+        # NATURAL-ORDER synthesis: the per-block fftshift (rolling every
+        # extracted band by n_band/2 to FFT order) was a full-array
+        # shuffle costing its own HBM round trip at fleet scale.  Roll
+        # the FILTER tables once at build time instead and feed the
+        # natural-order product straight to the inverse transform:
+        #   ifft(roll(B, -half))[k] = (-1)^k * ifft(B)[k],
+        # so the only runtime cost is a (-1)^k sign on the synthesis
+        # output — folded into the quantized ramp table, or one fused
+        # broadcast multiply on the other paths.
+        half = self.n_band // 2
+        self.h1_band = np.roll(self.h1_band, -half)
+        if self.quantized:
+            self.h1_roll = np.roll(self.h1_roll, -half, axis=1)
+        self.sign = np.where(
+            (self.drop + np.arange(self.n_out)) % 2 == 0,
+            np.float32(1.0), np.float32(-1.0))
+        if self.quantized:
+            # fold the sign into the ramp table (one fewer multiply);
+            # step() then skips the standalone sign pass on this path
+            self.ramp = (self.ramp
+                         * self.sign[None, :]).astype(np.complex64)
+
+        # MXU synthesis: XLA's batched pow2 ifft measured ~9x off the
+        # HBM roofline at (10240, 8192) (17.5 ms/block,
+        # perf/channelizer_breakdown.py x1/x2); a two-stage Cooley-Tukey
+        # split n_band = P * 128 runs as three einsums (two complex
+        # matmuls + a twiddle) on the MXU instead.  Exact same math to
+        # f32 rounding; symbol-decision exactness is pinned by the
+        # oracle tests.
+        self.mxu_synth = self.n_band % 128 == 0 and self.n_band >= 256
+        if self.mxu_synth:
+            qq = 128
+            pp = self.n_band // qq
+            self.synth_p = pp
+            qv = np.arange(qq)
+            self._m1 = np.exp(2j * np.pi * np.outer(qv, qv)
+                              / qq).astype(np.complex64)
+            pv = np.arange(pp)
+            self._tw = (np.exp(2j * np.pi * np.outer(pv, np.arange(qq))
+                               / self.n_band)
+                        / self.n_band).astype(np.complex64)
+            self._m2 = np.exp(2j * np.pi * np.outer(pv, pv)
+                              / pp).astype(np.complex64)
         # Opt-in Pallas DMA extraction (one async copy per carrier on the
         # re/im-plane layout; hardware-validated).  Off by default: the
         # XLA row gather compiles to near-identical DMAs, and keeping the
@@ -212,6 +256,27 @@ class FFTChannelizer:
             "tail": jnp.zeros((self.overlap, 2), jnp.float32),
             "cycles": jnp.zeros((len(self.k_c),), jnp.float32),
         }
+
+    def _synth(self, band: jnp.ndarray) -> jnp.ndarray:
+        """(C, n_band) spectra -> (C, n_band) time samples; equals
+        jnp.fft.ifft(band, axis=1) to f32 rounding.
+
+        MXU path: Cooley-Tukey n_band = P * 128 with i = p + P*q,
+        k = r + 128*s:
+          T[p, r] = sum_q B[p + P q] e^{2 pi j q r / 128}
+          y[r + 128 s] = sum_p (T[p, r] tw[p, r]) e^{2 pi j p s / P}
+        i.e. two complex matmuls + one elementwise twiddle — MXU work
+        instead of XLA's multi-pass batched FFT (measured 17.5 ->
+        ~matmul cost at (10240, 8192))."""
+        if not self.mxu_synth:
+            return jnp.fft.ifft(band, axis=1)
+        c = band.shape[0]
+        pp = self.synth_p
+        bq = band.reshape(c, 128, pp)                 # [q, p] = B[p+P*q]
+        t = jnp.einsum("cqp,qr->cpr", bq, jnp.asarray(self._m1))
+        u = t * jnp.asarray(self._tw)[None, :, :]
+        y = jnp.einsum("sp,cpr->csr", jnp.asarray(self._m2), u)
+        return y.reshape(c, self.n_band)
 
     def step(self, x: jnp.ndarray, state: dict) -> tuple:
         """x: (block_len,) complex64 new wideband samples.
@@ -242,19 +307,21 @@ class FFTChannelizer:
             idx = (jnp.asarray(self.band_start)[:, None]
                    + jnp.arange(self.n_band, dtype=jnp.int32)[None, :])
             nat = x_ext[idx]                          # (C, n_band) centred
-        half = self.n_band // 2
-        band = jnp.concatenate([nat[:, half:], nat[:, :half]],
-                               axis=1)                # -> FFT order
+        # natural-order band product (the fftshift lives in the rolled
+        # filter tables + the (-1)^k sign on the synthesis output)
         if self.quantized:
-            band = band * jnp.asarray(self.h1_roll)[jnp.asarray(
+            band = nat * jnp.asarray(self.h1_roll)[jnp.asarray(
                 self.d_shift)]
         else:
-            band = band * jnp.asarray(self.h1_band)[None, :]
-        y = jnp.fft.ifft(band, axis=1) / self.decim
+            band = nat * jnp.asarray(self.h1_band)[None, :]
+        y = self._synth(band) * jnp.float32(1.0 / self.decim)
         y = y[:, self.drop:self.drop + self.n_out]
         if self.quantized:
-            # remove the +d-bin modulation left by the aligned extraction
+            # remove the +d-bin modulation left by the aligned
+            # extraction (ramp table carries the (-1)^k sign)
             y = y * jnp.asarray(self.ramp)[jnp.asarray(self.d_shift)]
+        else:
+            y = y * jnp.asarray(self.sign)[None, :]
 
         # restore global phase continuity (see module docstring)
         nfft_f = jnp.float32(self.nfft)

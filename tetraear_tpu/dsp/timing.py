@@ -82,14 +82,13 @@ def timing_recover(y: jnp.ndarray, state: dict,
     acc = acc_decay * state["acc"] + _om_phasor(y)
     mu = jnp.mod(-jnp.angle(acc) / TWO_PI * SPS, SPS)     # (C,)
 
-    z = jnp.concatenate([state["tail"], y], axis=1)        # (C, TAIL+N)
     next_t = state["next_t"]
     cur_frac = jnp.mod(next_t - TAIL, SPS)
     delta = jnp.mod(mu - cur_frac + SPS / 2.0, SPS) - SPS / 2.0
     next_t = next_t + delta
     next_t = jnp.where(next_t < 1.0, next_t + SPS, next_t)
 
-    t_max = jnp.float32(z.shape[1] - 3)
+    t_max = jnp.float32(TAIL + n - 3)
     t_k = next_t[:, None] + SPS * jnp.arange(k_max, dtype=jnp.float32)[None]
     valid = t_k <= t_max                                   # (C, K)
 
@@ -98,27 +97,28 @@ def timing_recover(y: jnp.ndarray, state: dict,
     b = i0 - 1                                             # (C,)
     f = (next_t - i0.astype(jnp.float32))[:, None]         # (C, 1)
 
+    # one fused concat (tail + block + pad) — a separate z then z_p
+    # costs an extra full-array round trip per block
     z_p = jnp.concatenate(
-        [z, jnp.zeros((c, SPS + 4), z.dtype)], axis=1)
+        [state["tail"], y, jnp.zeros((c, SPS + 4), y.dtype)], axis=1)
     # taps[j] = z[:, b + j + 4k] for b in {0..3}: ONE phase-major
     # transpose (C, L) -> (C, 4, L/4) turns every (b, j) candidate into
     # a contiguous slice of plane (b+j) % 4 at offset (b+j) // 4 — the
     # earlier 16 stride-4 minor-dim slices each forced a full-array
     # relayout and made the interpolator the whole back-half cost
     # (~45 ms/block at C=10240, perf/channelizer_breakdown.py "tim").
+    # Only q = b + j in [0, 6] distinct plane slices exist — build the 7
+    # once and select per tap.
     L = z_p.shape[1]
     zr = jnp.transpose(z_p.reshape(c, L // SPS, SPS), (0, 2, 1))
+    u = [jax.lax.slice_in_dim(zr[:, q % SPS], q // SPS,
+                              q // SPS + k_max, 1, axis=1)
+         for q in range(2 * SPS - 1)]                      # (C, K) each
     taps = []
     for j in range(4):
-        cands = []
-        for bb in range(SPS):
-            q = bb + j
-            sl = jax.lax.slice_in_dim(zr[:, q % SPS], q // SPS,
-                                      q // SPS + k_max, 1, axis=1)
-            cands.append(sl)                               # (C, K)
-        sel = cands[0]
+        sel = u[j]
         for bb in range(1, SPS):
-            sel = jnp.where((b == bb)[:, None], cands[bb], sel)
+            sel = jnp.where((b == bb)[:, None], u[bb + j], sel)
         taps.append(sel)
     p0, p1, p2, p3 = taps
 
@@ -130,10 +130,9 @@ def timing_recover(y: jnp.ndarray, state: dict,
                    + (3.0 * (p1 - p2) + p3 - p0) * f3)).astype(jnp.complex64)
     n_valid = jnp.sum(valid, axis=1)                       # (C,)
 
-    shift = jnp.float32(z.shape[1] - TAIL)
-    new_next = next_t + SPS * n_valid.astype(jnp.float32) - shift
+    new_next = next_t + SPS * n_valid.astype(jnp.float32) - jnp.float32(n)
     new_state = {
-        "tail": z[:, z.shape[1] - TAIL:],
+        "tail": y[:, n - TAIL:],
         "next_t": new_next,
         "acc": acc,
     }

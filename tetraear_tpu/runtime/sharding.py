@@ -336,11 +336,13 @@ class ShardedFFTDemod:
             idx = (starts[:, None]
                    + jnp.arange(ch.n_band, dtype=jnp.int32)[None, :])
             nat = x_ext[idx]
-        half = ch.n_band // 2
-        band = jnp.concatenate([nat[:, half:], nat[:, :half]], axis=1)
-        band = band * jnp.asarray(ch.h1_band)[None, :]
-        y = jnp.fft.ifft(band, axis=1) / ch.decim
+        # natural-order synthesis: ch.h1_band is a rolled table and
+        # ch._synth + the (-1)^k sign replace the per-block fftshift
+        # (see FFTChannelizer.step)
+        band = nat * jnp.asarray(ch.h1_band)[None, :]
+        y = ch._synth(band) * jnp.float32(1.0 / ch.decim)
         y = y[:, ch.drop:ch.drop + ch.n_out]
+        y = y * jnp.asarray(ch.sign)[None, :]
         ang = cycles.astype(jnp.float32) * jnp.float32(
             2.0 * np.pi / ch.nfft)
         y = y * jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))[:, None]
