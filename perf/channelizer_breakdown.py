@@ -53,7 +53,11 @@ def main():
 
     results = {}
 
+    only = [s for s in os.environ.get("PERF_ONLY", "").split(",") if s]
+
     def timed(name, chain_fn):
+        if only and name not in only:
+            return
         cj = jax.jit(chain_fn, static_argnums=1)
         out = cj(xd, STEPS)
         float(np.asarray(out)[-1])        # fetch: relay-proof sync
@@ -94,44 +98,42 @@ def main():
         ch.quantized = True
     timed("chan", make_chain_chan())
 
-    # (b2) channelizer sub-stages: fft+extract+H1 multiply (no ifft),
-    # then + ifft — the deltas localize gather/multiply vs transform
-    def chain_x1(x_r, n):
-        def body(carry, _2):
-            x = kernels.r2c(x_r) + carry
-            xx = jnp.concatenate([jnp.zeros(ch.overlap, jnp.complex64), x])
-            X = jnp.fft.fft(xx)
-            x_ext = jnp.concatenate([X, X[:ch.n_band]])
-            rows = x_ext.reshape(-1, 128)
-            nat = rows[jnp.asarray(ch.row_idx)].reshape(
-                len(ch.k_c), ch.n_band)
-            half = ch.n_band // 2
-            band = jnp.concatenate([nat[:, half:], nat[:, :half]], axis=1)
-            band = band * jnp.asarray(ch.h1_roll)[jnp.asarray(ch.d_shift)]
-            return band[0, 0] * 1e-30, band[0, 1].real
-        c2, tails = jax.lax.scan(body, jnp.complex64(0), None, length=n)
-        return tails
-
-    def chain_x2(x_r, n):
-        def body(carry, _2):
-            x = kernels.r2c(x_r) + carry
-            xx = jnp.concatenate([jnp.zeros(ch.overlap, jnp.complex64), x])
-            X = jnp.fft.fft(xx)
-            x_ext = jnp.concatenate([X, X[:ch.n_band]])
-            rows = x_ext.reshape(-1, 128)
-            nat = rows[jnp.asarray(ch.row_idx)].reshape(
-                len(ch.k_c), ch.n_band)
-            half = ch.n_band // 2
-            band = jnp.concatenate([nat[:, half:], nat[:, :half]], axis=1)
-            band = band * jnp.asarray(ch.h1_roll)[jnp.asarray(ch.d_shift)]
-            y = jnp.fft.ifft(band, axis=1)
-            return y[0, 0] * 1e-30, y[0, 1].real
-        c2, tails = jax.lax.scan(body, jnp.complex64(0), None, length=n)
-        return tails
+    # (b2) channelizer sub-stages (mirrors the CURRENT step): fft +
+    # extract + natural-order H1 multiply, then + synthesis (MXU
+    # matmul-ifft or jnp.fft per synth=...) — deltas localize
+    # gather/multiply vs transform
+    def make_chain_x(with_synth, use_fft=False):
+        def chain(x_r, n):
+            def body(carry, _2):
+                x = kernels.r2c(x_r) + carry
+                xx = jnp.concatenate(
+                    [jnp.zeros(ch.overlap, jnp.complex64), x])
+                X = jnp.fft.fft(xx)
+                x_ext = jnp.concatenate([X, X[:ch.n_band]])
+                rows = x_ext.reshape(-1, 128)
+                nat = rows[jnp.asarray(ch.row_idx)].reshape(
+                    len(ch.k_c), ch.n_band)
+                if ch.quantized:
+                    band = nat * jnp.asarray(ch.h1_roll)[jnp.asarray(
+                        ch.d_shift)]
+                else:
+                    band = nat * jnp.asarray(ch.h1_band)[None, :]
+                if not with_synth:
+                    return band[0, 0] * 1e-30, band[0, 1].real
+                if use_fft:
+                    y = jnp.fft.ifft(band, axis=1)
+                else:
+                    y = ch._synth(band)
+                return y[0, 0] * 1e-30, y[0, 1].real
+            c2, tails = jax.lax.scan(body, jnp.complex64(0), None,
+                                     length=n)
+            return tails
+        return chain
 
     if os.environ.get("PERF_CHAN_SUB"):
-        timed("x1", chain_x1)
-        timed("x2", chain_x2)
+        timed("x1", make_chain_x(False))
+        timed("x2", make_chain_x(True))
+        timed("x2f", make_chain_x(True, use_fft=True))
 
     # (c) full demod step
     def chain_demod(x_r, n):

@@ -221,18 +221,21 @@ class FFTChannelizer:
         # oracle tests.
         self.mxu_synth = self.n_band % 128 == 0 and self.n_band >= 256
         if self.mxu_synth:
-            qq = 128
-            pp = self.n_band // qq
+            # layout-native split i = l + 128*r, k = s + P*t: the input
+            # reshape (C, P, 128) and output reshape (C, 128, P) are
+            # free minor-dim splits of the natural band/time orders, so
+            # neither matmul needs a relayout of the big tensor
+            pp = self.n_band // 128
             self.synth_p = pp
-            qv = np.arange(qq)
-            self._m1 = np.exp(2j * np.pi * np.outer(qv, qv)
-                              / qq).astype(np.complex64)
-            pv = np.arange(pp)
-            self._tw = (np.exp(2j * np.pi * np.outer(pv, np.arange(qq))
+            rv = np.arange(pp)
+            self._m1 = np.exp(2j * np.pi * np.outer(rv, rv)
+                              / pp).astype(np.complex64)       # [r, s]
+            lv = np.arange(128)
+            self._tw = (np.exp(2j * np.pi * np.outer(lv, rv)
                                / self.n_band)
-                        / self.n_band).astype(np.complex64)
-            self._m2 = np.exp(2j * np.pi * np.outer(pv, pv)
-                              / pp).astype(np.complex64)
+                        / self.n_band).astype(np.complex64)    # [l, s]
+            self._m2 = np.exp(2j * np.pi * np.outer(lv, lv)
+                              / 128).astype(np.complex64)      # [t, l]
         # Opt-in Pallas DMA extraction (one async copy per carrier on the
         # re/im-plane layout; hardware-validated).  Off by default: the
         # XLA row gather compiles to near-identical DMAs, and keeping the
@@ -261,21 +264,21 @@ class FFTChannelizer:
         """(C, n_band) spectra -> (C, n_band) time samples; equals
         jnp.fft.ifft(band, axis=1) to f32 rounding.
 
-        MXU path: Cooley-Tukey n_band = P * 128 with i = p + P*q,
-        k = r + 128*s:
-          T[p, r] = sum_q B[p + P q] e^{2 pi j q r / 128}
-          y[r + 128 s] = sum_p (T[p, r] tw[p, r]) e^{2 pi j p s / P}
-        i.e. two complex matmuls + one elementwise twiddle — MXU work
-        instead of XLA's multi-pass batched FFT (measured 17.5 ->
-        ~matmul cost at (10240, 8192))."""
+        MXU path: Cooley-Tukey n_band = P * 128 with the LAYOUT-NATIVE
+        split i = l + 128*r (l the 128-lane index), k = s + P*t:
+          T[l, s] = sum_r B[l + 128 r] e^{2 pi j r s / P}
+          y[s + P t] = sum_l (T[l, s] tw[l, s]) e^{2 pi j l t / 128}
+        Input (C, P, 128) and output (C, 128, P) are free minor-dim
+        reshapes of the natural orders, so the two complex matmuls run
+        without relayouts of the big tensor — MXU work instead of XLA's
+        multi-pass batched FFT (measured 17.5 ms at (10240, 8192))."""
         if not self.mxu_synth:
             return jnp.fft.ifft(band, axis=1)
         c = band.shape[0]
-        pp = self.synth_p
-        bq = band.reshape(c, 128, pp)                 # [q, p] = B[p+P*q]
-        t = jnp.einsum("cqp,qr->cpr", bq, jnp.asarray(self._m1))
+        br = band.reshape(c, self.synth_p, 128)       # [r, l] = B[l+128r]
+        t = jnp.einsum("crl,rs->cls", br, jnp.asarray(self._m1))
         u = t * jnp.asarray(self._tw)[None, :, :]
-        y = jnp.einsum("sp,cpr->csr", jnp.asarray(self._m2), u)
+        y = jnp.einsum("tl,cls->cts", jnp.asarray(self._m2), u)
         return y.reshape(c, self.n_band)
 
     def step(self, x: jnp.ndarray, state: dict) -> tuple:
