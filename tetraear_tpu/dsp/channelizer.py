@@ -248,6 +248,43 @@ class FFTChannelizer:
         if self.use_pallas:
             self.row_start = (self.band_start // 128).astype(np.int32)
 
+        # FUSED Pallas band back end (extract + H1 + synthesis in one
+        # VMEM trip per carrier): default ON for the row-gatherable
+        # paths — the XLA formulation pays three full-tensor HBM round
+        # trips (~30 ms of the 113 ms block at C=10240); see
+        # pallas_kernels.band_synth.  TETRAEAR_NO_PALLAS_SYNTH=1 falls
+        # back to the XLA gather + einsum path.
+        self.use_pallas_synth = (
+            (self.aligned or self.quantized)
+            and self.n_band % 128 == 0 and self.n_band >= 256
+            and os.environ.get("TETRAEAR_NO_PALLAS_SYNTH") != "1")
+        if self.use_pallas_synth:
+            pp = self.n_band // 128
+            self.synth_rows = pp
+            self.row_start = (self.band_start // 128).astype(np.int32)
+            if self.quantized:
+                h1t = self.h1_roll                     # (128, n_band)
+            else:
+                h1t = self.h1_band[None, :]            # (1, n_band)
+                self.d_shift = np.zeros(len(self.k_c), np.int32)
+            # natural band order minor-split by i = l + 128 r
+            h1g = h1t.reshape(h1t.shape[0], pp, 128)
+            self.h1_planes = np.stack(
+                [h1g.real, h1g.imag]).astype(np.float32)  # (2, D, P, 128)
+            rv = np.arange(pp)
+            m1 = np.exp(2j * np.pi * np.outer(rv, rv) / pp)
+            self.m1c = np.block(
+                [[m1.real, m1.imag],
+                 [-m1.imag, m1.real]]).astype(np.float32)  # (2P, 2P)
+            lv = np.arange(128)
+            m2 = np.exp(2j * np.pi * np.outer(lv, lv) / 128)
+            self.m2re = m2.real.astype(np.float32)
+            self.m2im = m2.imag.astype(np.float32)
+            tw = (np.exp(2j * np.pi * np.outer(lv, rv) / self.n_band)
+                  / self.n_band)                          # (128 l, P s)
+            self.twre = tw.real.astype(np.float32)
+            self.twim = tw.imag.astype(np.float32)
+
         # per-block phase-correction step: (k_c * block_len) mod nfft,
         # exact integers < nfft <= 2^22 (float32-exact below 2^24)
         self.cycle_step = ((self.k_c % self.nfft)
@@ -293,6 +330,20 @@ class FFTChannelizer:
         X = jnp.fft.fft(xx)
         # wrap-extend so every band is one contiguous slice
         x_ext = jnp.concatenate([X, X[:self.n_band]])
+        if self.use_pallas_synth:
+            from tetraear_tpu.dsp import pallas_kernels as pk
+            planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
+            planes = planes.reshape(2, -1, 128)
+            got = pk.band_synth(
+                planes, jnp.asarray(self.h1_planes),
+                jnp.asarray(self.row_start), jnp.asarray(self.d_shift),
+                jnp.asarray(self.m1c), jnp.asarray(self.m2re),
+                jnp.asarray(self.m2im), jnp.asarray(self.twre),
+                jnp.asarray(self.twim), self.synth_rows,
+                interpret=jax.default_backend() != "tpu")
+            y = jax.lax.complex(got[:, 0], got[:, 1]).reshape(
+                len(self.k_c), self.n_band)
+            return self._finish(y, state, xx)
         if self.use_pallas:
             from tetraear_tpu.dsp import pallas_kernels as pk
             planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
@@ -317,7 +368,14 @@ class FFTChannelizer:
                 self.d_shift)]
         else:
             band = nat * jnp.asarray(self.h1_band)[None, :]
-        y = self._synth(band) * jnp.float32(1.0 / self.decim)
+        return self._finish(self._synth(band), state, xx)
+
+    def _finish(self, y: jnp.ndarray, state: dict, xx: jnp.ndarray):
+        """Shared step tail: scale, slice, ramp/sign, phase, new state."""
+        from tetraear_tpu.dsp import kernels
+        import jax
+
+        y = y * jnp.float32(1.0 / self.decim)
         y = y[:, self.drop:self.drop + self.n_out]
         if self.quantized:
             # remove the +d-bin modulation left by the aligned
