@@ -281,3 +281,21 @@ def test_quantized_streaming_continuity():
     n_blk_syms = bank.block_len // bank.channelizer.decim // 4
     assert _best(out["symbols"][0],
                  tx[100:n_blk_syms + 2000]) == 1.0
+
+
+@pytest.mark.unit
+def test_fourstep_wideband_fft_matches_fft():
+    """_wideband_fft's four-step decomposition (fft4) must equal the
+    monolithic FFT to f32 rounding at any pow2 size; production enables
+    it above 2^20, here it is forced on at a test-scale nfft."""
+    import jax.numpy as jnp
+    ch = CarrierBankDemod(fs=9.216e6, freqs_hz=[12_500.0],
+                          frontend="fft").channelizer
+    assert ch.fft4                       # on at this nfft already
+    rng = np.random.default_rng(5)
+    xx = (rng.standard_normal(ch.nfft)
+          + 1j * rng.standard_normal(ch.nfft)).astype(np.complex64)
+    got = np.asarray(ch._wideband_fft(jnp.asarray(xx)))
+    want = np.fft.fft(xx)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 1e-5, rel

@@ -327,7 +327,7 @@ class ShardedFFTDemod:
                 jnp.asarray(ch.band_start), c0, c_local, 0)
 
         xx = jnp.concatenate([kernels.r2c(left), x])
-        X = jnp.fft.fft(xx)
+        X = ch._wideband_fft(xx)
         x_ext = jnp.concatenate([X, X[:ch.n_band]])
         if ch.aligned:
             rows = x_ext.reshape(-1, 128)
