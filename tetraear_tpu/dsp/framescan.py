@@ -211,7 +211,67 @@ def frame_scan_packed(bits: jnp.ndarray) -> dict:
             "crc_err": errl[:, :n - CRC_SPAN + 1].astype(jnp.int32)}
 
 
+def _pallas_scan_tables() -> tuple:
+    """(k3 (384, 2624) bf16, rsyn (2624, 128) bf16, c0 (1, 2624) f32)
+    for pallas_kernels.frame_scan_even.
+
+    k3 evaluates the whole even-position scan of a 3-row (384-bit)
+    sliding window in ONE matmul: columns are [ones 64 in a 128 block |
+    TS1 | TS2 | conv 16*140], where conv column 384 + t*140 + ch
+    carries the even-phase packed taps of channel ch = i*35 + r
+    shifted by 8*t (window shift t in [0,16) inside the 128-bit row).
+    rsyn is the 0/1 syndrome row-selector ([forward 64 | reversed 64]
+    columns indexed t*4 + i); c0 the expected CRC parity per conv
+    column."""
+    kk = _PACKED_KERNEL_EVEN[:, 0, :].astype(np.float32)   # (140, 237)
+    k3 = np.zeros((384, 2624), np.float32)
+    rsyn = np.zeros((2624, 128), np.float32)
+    c0v = np.zeros((1, 2624), np.float32)
+    c0 = np.concatenate([_CRC_C0] * 2).astype(np.float32)
+    conv0 = 384
+    for t in range(16):
+        k3[8 * t:8 * t + _KPACK, conv0 + t * 140:
+           conv0 + (t + 1) * 140] = kk.T
+        for i in range(4):
+            q = t * 4 + i
+            k3[8 * t:8 * t + 237, q] = kk[i * 35 + 32]        # ones
+            k3[8 * t:8 * t + 237, 128 + q] = kk[i * 35 + 33]  # TS1
+            k3[8 * t:8 * t + 237, 256 + q] = kk[i * 35 + 34]  # TS2
+            rows = conv0 + t * 140 + i * 35
+            c0v[0, rows:rows + 32] = c0
+            for r in range(16):
+                rsyn[rows + r, q] = 1.0
+                rsyn[rows + 16 + r, 64 + q] = 1.0
+    return (k3.astype(jnp.bfloat16), rsyn.astype(jnp.bfloat16), c0v)
+
+
+_PALLAS_TABLES = _pallas_scan_tables()
+
+
 def frame_scan_packed_even(bits: jnp.ndarray) -> dict:
+    """Even-position dense frame scan (traceable); see
+    frame_scan_packed_even_xla for the contract.  Routes to the fused
+    Pallas kernel (one VMEM trip per carrier, bit-identical values —
+    the XLA conv materializes a ~2 GB intermediate at C=10240, ~20
+    ms/block) unless TETRAEAR_NO_PALLAS_SCAN=1."""
+    import os
+    import jax
+    if os.environ.get("TETRAEAR_NO_PALLAS_SCAN") == "1":
+        return frame_scan_packed_even_xla(bits)
+    from tetraear_tpu.dsp import pallas_kernels as pk
+    c, n = bits.shape
+    pad = 256 + (-(n + 256) % 128)
+    x = jnp.pad(bits, ((0, 0), (0, pad))).reshape(c, -1, 128)
+    corr, err = pk.frame_scan_even(
+        x, *(jnp.asarray(t) for t in _PALLAS_TABLES),
+        interpret=jax.default_backend() != "tpu")
+    corr = corr.reshape(c, -1)          # (M, 64) minor merge: pe order
+    err = err.reshape(c, -1)
+    return {"corr": corr[:, :(n - SYNC_LEN) // 2 + 1],
+            "crc_err": err[:, :(n - CRC_SPAN) // 2 + 1]}
+
+
+def frame_scan_packed_even_xla(bits: jnp.ndarray) -> dict:
     """Dense frame scan restricted to EVEN bit positions (traceable).
 
     The demod emits two bits per pi/4-DQPSK symbol and every assembly

@@ -275,3 +275,138 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
         interpret=interpret,
     )(row_starts, d_shift, planes, h1_planes, m1c, m2re, m2im, twre,
       twim)
+
+
+# -- fused frame scan: even-position sync + CRC without the HBM conv -------
+#
+# The XLA even-position frame scan (dsp.framescan.frame_scan_packed_even)
+# must materialize its 140-channel conv output to HBM (~2 GB bf16 at
+# C=10240) and re-read it for the syndrome reductions — ~20 ms of the
+# 113 ms block.  Here each carrier's scan is one VMEM trip: the ~5 KB
+# bit row DMAs in, an im2col view feeds ONE (J, 256) x (256, 140) bf16
+# matmul on the MXU, and the syndrome/selection reductions run as two
+# tiny matmuls against one-hot row-selector matrices (sum over 16
+# specific channels == matmul with a 0/1 selector — keeps the lane
+# dimension intact, no lane-segmented reductions).  Only the per-
+# position corr / crc_err rows (~20 KB per carrier) are written back.
+# All values are integer counts <= 237: exact in bf16 products with f32
+# accumulation, so the outputs are bit-identical to the XLA path.
+
+def _frame_scan_kernel(bits_ref, k3_ref, rsyn_ref, c0_ref,
+                       out_c_ref, out_e_ref):
+    g_count = bits_ref.shape[0]
+    m = out_c_ref.shape[1]
+    from tetraear_tpu.dsp import framescan as _fs
+    zs = _fs._SYNC_ZEROS.astype(float)
+
+    for g in range(g_count):
+        # Mosaic has no u8 -> bf16 cast; hop via i32/f32
+        base_i = bits_ref[g].astype(jnp.int32)       # (R, 128) {0,1}
+        # slices at row offsets 0/1/2 have mismatched sublane offsets
+        # (Mosaic rejects the concat); realign with rolls first.  The
+        # rotate unit is 32-bit only, so roll in i32 and cast after.
+        r_rows = base_i.shape[0]
+        b1_i = pltpu.roll(base_i, shift=r_rows - 1, axis=0)
+        b2_i = pltpu.roll(base_i, shift=r_rows - 2, axis=0)
+
+        def to_bf16(v):
+            return v.astype(jnp.float32).astype(jnp.bfloat16)
+
+        # [base | b1 | b2] @ k3 done as three row-block matmuls — a
+        # lane concat of the rolled operands trips Mosaic's layout
+        # inference, and matmul operands relayout cleanly anyway
+        out = (jnp.dot(to_bf16(base_i[0:m]), k3_ref[0:128],
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(to_bf16(b1_i[0:m]), k3_ref[128:256],
+                         preferred_element_type=jnp.float32)
+               + jnp.dot(to_bf16(b2_i[0:m]), k3_ref[256:384],
+                         preferred_element_type=jnp.float32))
+        ones = out[:, 0:64]                          # [t*4 + i]
+        s1 = out[:, 128:192]
+        s2 = out[:, 256:320]
+        par = out - 2.0 * jnp.floor(out * 0.5)
+        syn = jnp.abs(par - c0_ref[:])
+        e = jnp.dot(syn.astype(jnp.bfloat16), rsyn_ref[:],
+                    preferred_element_type=jnp.float32)    # (M, 128)
+        e_fwd = e[:, 0:64]
+        e_rev = e[:, 64:128]
+        corr = jnp.maximum(s1 + zs[0], s2 + zs[1]) * jnp.float32(
+            1.0 / _fs.SYNC_LEN)
+        err = jnp.minimum(e_fwd, e_rev)
+        deg = (ones == 0.0) | (ones == float(_fs.DATA_BITS))
+        err = jnp.where(deg, jnp.float32(99), err)
+        # element [m, t*4 + i] is even position pe = 64*m + 4*t + i;
+        # the (M, 64) row-major flatten outside is exactly pe order
+        out_c_ref[g] = corr
+        out_e_ref[g] = jnp.round(err).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("group", "interpret"))
+def frame_scan_even(bits: jnp.ndarray, k3: jnp.ndarray,
+                    rsyn: jnp.ndarray, c0: jnp.ndarray,
+                    group: int = 8, interpret: bool = False) -> tuple:
+    """Even-position frame scan, fused in VMEM.
+
+    The XLA even-position frame scan must materialize its 140-channel
+    conv output to HBM (~2 GB bf16 at C=10240, ~20 ms/block); here
+    each carrier's whole scan is one VMEM trip with only lane-aligned
+    operations:
+
+      * bits arrive pre-reshaped (C, R, 128) — rows of 128 bits;
+      * a 3-row sliding window v3 (M, 384) is built from three
+        128-aligned row slices (M = R - 2);
+      * ONE (M, 384) x (384, 2624) bf16 matmul evaluates the packed
+        conv for all 16 within-row shifts t AND the ones/sync channel
+        selections (k3's first three 128-lane blocks carry the
+        ones / TS1 / TS2 rows at columns t*4 + i);
+      * the CRC syndrome reduction is a second matmul against a 0/1
+        row-selector (rsyn), keeping the lane dim intact.
+
+    Position mapping: out element [m, t*4 + i] is even bit position
+    pe = 64*m + 4*t + i (bit p = 2*pe = 8*(16*m + t) + 2*i), so the
+    (M, 64) planes flatten row-major to pe order.  All values are
+    integer counts <= 237 — exact in bf16/f32 — so outputs are
+    bit-identical to the XLA path.
+
+    Args:
+        bits: (C, R, 128) uint8 {0,1}; caller zero-pads columns so
+            that 128*R >= n + 256 with at least 236 pad bits.
+        k3: (384, 2624) bf16 — [ones | TS1 | TS2 | conv] column blocks
+            (framescan._pallas_scan_tables).
+        rsyn: (2624, 128) bf16 — syndrome row-selector, columns
+            [forward 64 | reversed 64] indexed t*4 + i.
+        c0: (1, 2624) f32 — expected CRC parity per conv column.
+
+    Returns (corr (C, M, 64) f32, crc_err (C, M, 64) int32).
+    """
+    c, r, _ = bits.shape
+    if c % group:
+        group = 1
+    m = r - 2
+    return pl.pallas_call(
+        _frame_scan_kernel,
+        grid_spec=pl.GridSpec(
+            grid=(c // group,),
+            in_specs=[
+                pl.BlockSpec((group, r, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((384, 2624), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2624, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2624), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((group, m, 64), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, m, 64), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, m, 64), jnp.float32),
+            jax.ShapeDtypeStruct((c, m, 64), jnp.int32),
+        ),
+        interpret=interpret,
+    )(bits, k3, rsyn, c0)
