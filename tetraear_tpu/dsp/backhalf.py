@@ -1,0 +1,269 @@
+"""Fused RX back half: channelizer -> scan verdicts in two kernel trips.
+
+The classic path (pipeline.CarrierBankDemod + framescan) makes ~5 XLA
+passes over the (C, n_band) per-carrier baseband between the band
+synthesis and the frame-scan verdicts: complex assembly, phase
+correction, tail concat, the interpolator's phase-major transpose, and
+the bit interleave + scan-input build — ~29 ms of the 74.6 ms block at
+C=10240 against a ~6 ms HBM roofline.  This module routes the same math
+through two Pallas kernels:
+
+  * pallas_kernels.band_synth(phasor_drop=...) — the existing fused
+    band back end, now also emitting the per-carrier Oerder-Meyr
+    timing phasor (computed in VMEM while the block is resident);
+  * a tiny XLA "glue" on (C,)-shaped vectors — the O&M angle (atan2
+    has no Mosaic lowering, perf/mosaic_ops_probe.py), symbol-clock
+    snap, Catmull-Rom coefficients, valid counts;
+  * pallas_kernels.fused_backhalf — phase ramp/rotation, tail splice,
+    interpolation, pi/4-DQPSK, bit relayout and the even-position
+    sync + CRC scan, one VMEM trip per carrier.
+
+Correctness contract: identical SYMBOL DECISIONS (hence identical scan
+verdict planes) to the classic chain on golden signals
+(tests/unit/test_backhalf.py).  Float intermediates differ in rounding
+(documented deviations: the phasor is computed from the raw synthesis
+output and scaled by the exact pow2 1/decim^2 — |ramp| == 1 only to f32
+rounding; the factored ramp exp(-i theta P t) * exp(-i theta s) rounds
+differently from the host's direct table; soft-bit |d| uses
+sqrt(re^2+im^2) rather than XLA's complex abs).  Decisions are pinned
+by the exactness tests; none of these perturbations exceed ~1e-6
+relative.
+
+Eligibility (fused() raises otherwise): fft frontend on a 72 kHz-family
+rate (no resample stages), pallas band synthesis active, n_band a
+multiple of 128, drop % 4 == 0 and >= 8, afc off.  The classic chain
+remains the fallback for every other configuration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tetraear_tpu.dsp import framescan, kernels
+from tetraear_tpu.dsp import pallas_kernels as pk
+
+TWO_PI = 2.0 * np.pi
+TAILBITS = 1200
+
+
+class FusedRx:
+    """Fused block step for a CarrierBankDemod-compatible carrier bank.
+
+    Produces the same scan dict as framescan.frame_scan_packed_even on
+    the bench/e2e z layout (carried 1200-bit tail ++ interleaved block
+    bits), plus soft-bit planes for the O(hits) host frame layer, while
+    carrying the exact same state semantics as the classic chain.
+    """
+
+    def __init__(self, bank):
+        ch = getattr(bank, "channelizer", None)
+        if ch is None or bank.plan.stages:
+            raise ValueError(
+                "fused back half needs the fft frontend on a 72 kHz-"
+                "family rate (no resample stages)")
+        if not ch.use_pallas_synth:
+            raise ValueError("fused back half needs the Pallas band "
+                             "synthesis (TETRAEAR_NO_PALLAS_SYNTH unset)")
+        if getattr(bank, "afc", False):
+            raise ValueError("fused back half does not implement the "
+                             "closed-loop AFC path")
+        if ch.drop % 4 or ch.drop < 8:
+            raise ValueError(f"drop={ch.drop} not supported (need "
+                             "a multiple of 4, >= 8)")
+        self.bank = bank
+        self.ch = ch
+        self.p = ch.n_band // 128
+        self.sy = self.p // 4
+        self.k_max = bank.k_max
+        self.n_out = ch.n_out
+        self.drop = ch.drop
+        c = bank.n_carriers
+
+        # factored phase-ramp tables from exact integer modular phases:
+        # sample k carries exp(-2i pi (d*decim*k mod nfft) / nfft) and
+        # the (-1)^k natural-order sign; k = P*t + s factors the table
+        # into a row part (t) and a lane part (s, sign folded — P even)
+        d = (np.asarray(ch.d_shift, np.int64) if ch.quantized
+             else np.zeros(c, np.int64))
+        m_int = (d * ch.decim) % ch.nfft
+        t_idx = np.arange(128, dtype=np.int64)
+        k_row = (m_int[:, None] * (self.p * t_idx)[None, :]) % ch.nfft
+        self._rt0 = np.exp(-2j * np.pi * k_row / ch.nfft).astype(
+            np.complex64)                                   # (C, 128)
+        s_idx = np.arange(self.p, dtype=np.int64)
+        k_lane = (m_int[:, None] * s_idx[None, :]) % ch.nfft
+        rc = (np.exp(-2j * np.pi * k_lane / ch.nfft)
+              * ((-1.0) ** s_idx)[None, :])
+        self._rc_planes = np.stack([rc.real, rc.imag], axis=1).astype(
+            np.float32).reshape(c, 2, 1, self.p)            # (C,2,1,P)
+        self._tables = framescan._PALLAS_TABLES
+        self._n_z = TAILBITS + 2 * self.k_max
+        self.n_corr = (self._n_z - framescan.SYNC_LEN) // 2 + 1
+        self.n_err = (self._n_z - framescan.CRC_SPAN) // 2 + 1
+
+    # -- state ---------------------------------------------------------
+
+    def init_state(self) -> dict:
+        return {
+            "bank": self.bank.init_state(),
+            "bit_tail": jnp.zeros((self.bank.n_carriers, 10, 128),
+                                  jnp.float32),
+        }
+
+    # -- the fused block step (traceable) ------------------------------
+
+    def step(self, x_r: jnp.ndarray, state: dict) -> tuple:
+        """x_r: (N, 2) wideband block in [re, im] form.
+
+        Returns (out, new_state); out = {"corr": (C, n_corr) f32,
+        "crc_err": (C, n_err) i32, "soft_planes": (C, 2, 128, SY) f32,
+        "n_valid": (C,) i32} with corr/crc_err following the
+        frame_scan_packed_even contract on the carried-tail z layout.
+        """
+        ch = self.ch
+        interp = jax.default_backend() != "tpu"
+        bstate = state["bank"]
+        cstate = bstate["channelizer"]
+
+        # ---- channelizer front + band synthesis with fused phasor ----
+        x = kernels.r2c(x_r)
+        tail = kernels.r2c(cstate["tail"])
+        xx = jnp.concatenate([tail, x])
+        big_x = ch._wideband_fft(xx)
+        x_ext = jnp.concatenate([big_x, big_x[:ch.n_band]])
+        planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
+        planes = planes.reshape(2, -1, 128)
+        y, ph = pk.band_synth(
+            planes, jnp.asarray(ch.h1_planes),
+            jnp.asarray(ch.row_start), jnp.asarray(ch.d_shift),
+            jnp.asarray(ch.m1c), jnp.asarray(ch.m2re),
+            jnp.asarray(ch.m2im), jnp.asarray(ch.twre),
+            jnp.asarray(ch.twim), ch.synth_rows,
+            interpret=interp, phasor_drop=ch.drop)
+        nfft_f = jnp.float32(ch.nfft)
+        ang = cstate["cycles"] * jnp.float32(TWO_PI) / nfft_f
+        rot = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))    # (C,)
+        new_cstate = {
+            "tail": kernels.c2r(xx[xx.shape[0] - ch.overlap:]),
+            "cycles": jnp.mod(cstate["cycles"]
+                              + jnp.asarray(ch.cycle_step), nfft_f),
+        }
+
+        # ---- timing glue on (C,) vectors (timing.timing_recover) ----
+        tst = bstate["timing"]
+        acc_old = kernels.r2c(tst["acc"])
+        scale2 = jnp.float32(1.0 / (ch.decim * ch.decim))
+        phasor = jax.lax.complex(ph[:, 0, 0], ph[:, 0, 1]) * scale2
+        acc = 0.5 * acc_old + phasor
+        mu = jnp.mod(-jnp.angle(acc) / TWO_PI * 4.0, 4.0)
+        next_t = tst["next_t"]
+        cur_frac = jnp.mod(next_t - 4.0, 4.0)
+        delta = jnp.mod(mu - cur_frac + 2.0, 4.0) - 2.0
+        next_t = next_t + delta
+        next_t = jnp.where(next_t < 1.0, next_t + 4.0, next_t)
+        i0 = jnp.clip(jnp.floor(next_t).astype(jnp.int32), 1, 4)
+        bsel = i0 - 1
+        f = next_t - i0.astype(jnp.float32)
+        f2 = f * f
+        f3 = f2 * f
+        c0 = 0.5 * (-f3 + 2.0 * f2 - f)
+        c1 = 0.5 * (3.0 * f3 - 5.0 * f2 + 2.0)
+        c2 = 0.5 * (-3.0 * f3 + 4.0 * f2 + f)
+        c3 = 0.5 * (f3 - f2)
+        t_max = jnp.float32(4 + self.n_out - 3)
+        t_k = (next_t[:, None]
+               + 4.0 * jnp.arange(self.k_max, dtype=jnp.float32)[None])
+        n_valid = jnp.sum(t_k <= t_max, axis=1).astype(jnp.int32)
+        new_next = (next_t + 4.0 * n_valid.astype(jnp.float32)
+                    - jnp.float32(self.n_out))
+        dsel = jnp.clip(n_valid - (self.k_max - 2), 0, 2)
+
+        tail_c = kernels.r2c(tst["tail"])                     # (C, 4)
+        prev_c = kernels.r2c(bstate["prev_sym"])              # (C,)
+        sc = jnp.stack(
+            [c0, c1, c2, c3, n_valid.astype(jnp.float32),
+             jnp.real(prev_c), jnp.imag(prev_c),
+             jnp.real(tail_c[:, 0]), jnp.real(tail_c[:, 1]),
+             jnp.real(tail_c[:, 2]), jnp.real(tail_c[:, 3]),
+             jnp.imag(tail_c[:, 0]), jnp.imag(tail_c[:, 1]),
+             jnp.imag(tail_c[:, 2]), jnp.imag(tail_c[:, 3]),
+             jnp.zeros_like(c0)], axis=1)                     # (C, 16)
+        rr_c = (jnp.asarray(self._rt0) * rot[:, None]
+                * jnp.float32(1.0 / ch.decim))                # (C, 128)
+        rr = jnp.stack([jnp.real(rr_c), jnp.imag(rr_c)], axis=1)
+        rr = rr[:, :, :, None]                                # (C,2,128,1)
+
+        # ---- the fused back-half kernel ----
+        k3, rsyn, c0row = (jnp.asarray(t) for t in self._tables)
+        corr, err, soft, bt2, last, misc = pk.fused_backhalf(
+            y, state["bit_tail"], rr, jnp.asarray(self._rc_planes),
+            sc, bsel, dsel, k3, rsyn, c0row,
+            drop=self.drop, k_max=self.k_max, interpret=interp)
+
+        c_n = self.bank.n_carriers
+        out = {
+            "corr": corr.reshape(c_n, -1)[:, :self.n_corr],
+            "crc_err": err.reshape(c_n, -1)[:, :self.n_err],
+            "soft_planes": soft,
+            "n_valid": n_valid,
+        }
+        last_c = jax.lax.complex(last[:, 0, 0], last[:, 1, 0])
+        prev_new = jnp.where(
+            n_valid > 0,
+            jax.lax.complex(misc[:, 0, 0], misc[:, 0, 1]), prev_c)
+        new_state = {
+            "bank": {
+                **bstate,
+                "channelizer": new_cstate,
+                "timing": {
+                    "tail": kernels.c2r(last_c[:, self.p - 4:]),
+                    "next_t": new_next,
+                    "acc": kernels.c2r(acc),
+                },
+                "prev_sym": kernels.c2r(prev_new),
+            },
+            "bit_tail": bt2,
+        }
+        return out, new_state
+
+    # -- helpers -------------------------------------------------------
+
+    def soft_symbols(self, soft_planes: jnp.ndarray) -> jnp.ndarray:
+        """(C, 2, 128, SY) kernel planes -> (C, k_max, 2) soft bits in
+        symbol order (the dqpsk_demod soft layout)."""
+        c_n = soft_planes.shape[0]
+        flat = soft_planes.reshape(c_n, 2, 128 * self.sy)
+        return jnp.transpose(flat[:, :, :self.k_max], (0, 2, 1))
+
+
+def classic_step_scan(bank, x_r, state, bit_tail_bits):
+    """Reference formulation of the same block step (XLA chain):
+    bank._step_impl + interleave + carried-tail concat +
+    frame_scan_packed_even + the bench tail-slide.  Used by the
+    exactness tests and as the non-TPU fallback shape.
+
+    bit_tail_bits: (C, 1200) uint8.  Returns (scan dict, new bank
+    state, new tail bits, n_valid).
+    """
+    k = bank.k_max
+    out, st2 = bank._step_impl(x_r, state)
+    hard = out["hard"]
+    valid = out["valid"]
+    n_c = jnp.sum(valid, axis=1)
+    h = jnp.where(valid, hard, 0).astype(jnp.uint8)
+    bits = jnp.repeat(h, 2, axis=1)
+    bits = bits.at[:, 0::2].set(h >> 1)
+    bits = bits.at[:, 1::2].set(h & 1)
+    z = jnp.concatenate([bit_tail_bits, bits], axis=1)
+    scan = framescan.frame_scan_packed_even(z)
+    tl2 = jax.lax.slice_in_dim(z, 2 * k - 4, 2 * k - 4 + TAILBITS, 1,
+                               axis=1)
+    for d in (1, 2):
+        cand = jax.lax.slice_in_dim(
+            z, 2 * k - 4 + 2 * d, 2 * k - 4 + 2 * d + TAILBITS, 1,
+            axis=1)
+        tl2 = jnp.where((n_c == k - 2 + d)[:, None], cand, tl2)
+    return scan, st2, tl2, n_c

@@ -155,9 +155,10 @@ def band_extract_rows(x_planes: jnp.ndarray, row_starts: jnp.ndarray,
 # [[m1re, m1im], [-m1im, m1re]], stage 2 uses two real matmuls on
 # re/im-concatenated operands.
 
-def _band_synth_kernel(row_ref, d_ref, planes_hbm, h1_hbm,
-                       m1c_ref, m2re_ref, m2im_ref, twre_ref, twim_ref,
-                       out_ref, nat_scr, h1_scr, sem_n, sem_h):
+def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
+                     m1c_ref, m2re_ref, m2im_ref, twre_ref, twim_ref,
+                     out_ref, ph_ref, nat_scr, h1_scr, sem_n, sem_h,
+                     phasor_drop):
     i = pl.program_id(0)
     g_count = out_ref.shape[0]
     p = nat_scr.shape[2]
@@ -202,18 +203,62 @@ def _band_synth_kernel(row_ref, d_ref, planes_hbm, h1_hbm,
                       preferred_element_type=jnp.float32)
               + jnp.dot(m2im_ref[:], u2s,
                         preferred_element_type=jnp.float32))
-        out_ref[g, 0] = y2[:, :p]                    # Y_re (128 t, P s)
-        out_ref[g, 1] = y2[:, p:]
+        yre = y2[:, :p]
+        yim = y2[:, p:]
+        out_ref[g, 0] = yre                          # Y_re (128 t, P s)
+        out_ref[g, 1] = yim
+        if ph_ref is not None:
+            # Oerder-Meyr timing phasor of the post-slice block, fused
+            # into the synthesis pass (dsp.timing._om_phasor semantics):
+            # sample k = s + P*t, output index n = k - drop, twiddle
+            # e^{-j pi n / 2} depends only on s mod 4 because both drop
+            # and P are multiples of 4 (asserted by the wrapper).  |y|^2
+            # is ramp/rotation-invariant, so the RAW synthesis output
+            # gives the same angle as the corrected stream (the caller
+            # applies the 1/decim^2 power scale — a pow2, exact).
+            pw = yre * yre + yim * yim               # (128 t, P s)
+            tt = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
+            ss = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
+            live = ((ss + p * tt) >= phasor_drop).astype(jnp.float32)
+            s4 = ss % 4
+            wre = (jnp.where(s4 == 0, 1.0, 0.0)
+                   - jnp.where(s4 == 2, 1.0, 0.0))
+            wim = (jnp.where(s4 == 3, 1.0, 0.0)
+                   - jnp.where(s4 == 1, 1.0, 0.0))
+            phre = jnp.sum(pw * wre * live)
+            phim = jnp.sum(pw * wim * live)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            ph_ref[g] = (jnp.where(lane == 0, phre, 0.0)
+                         + jnp.where(lane == 1, phim, 0.0))
+
+
+def _band_synth_kernel(row_ref, d_ref, planes_hbm, h1_hbm,
+                       m1c_ref, m2re_ref, m2im_ref, twre_ref, twim_ref,
+                       out_ref, nat_scr, h1_scr, sem_n, sem_h):
+    _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm, m1c_ref,
+                     m2re_ref, m2im_ref, twre_ref, twim_ref, out_ref,
+                     None, nat_scr, h1_scr, sem_n, sem_h, 0)
+
+
+def _band_synth_ph_kernel(phasor_drop, row_ref, d_ref, planes_hbm,
+                          h1_hbm, m1c_ref, m2re_ref, m2im_ref, twre_ref,
+                          twim_ref, out_ref, ph_ref, nat_scr, h1_scr,
+                          sem_n, sem_h):
+    _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm, m1c_ref,
+                     m2re_ref, m2im_ref, twre_ref, twim_ref, out_ref,
+                     ph_ref, nat_scr, h1_scr, sem_n, sem_h, phasor_drop)
 
 
 @partial(jax.jit,
-         static_argnames=("rows_per_band", "group", "interpret"))
+         static_argnames=("rows_per_band", "group", "interpret",
+                          "phasor_drop"))
 def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                row_starts: jnp.ndarray, d_shift: jnp.ndarray,
                m1c: jnp.ndarray, m2re: jnp.ndarray, m2im: jnp.ndarray,
                twre: jnp.ndarray, twim: jnp.ndarray,
                rows_per_band: int, group: int = 8,
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False,
+               phasor_drop: int | None = None):
     """Fused band extract + H1 filter + inverse transform.
 
     Args:
@@ -237,13 +282,41 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
     Returns (C, 2, 128, P) f32 — [re, im] planes of the band time
     series y[k] at k = s + P*t, i.e. reshape (C, n_band) after complex
     assembly.  Values equal jnp.fft.ifft(band, axis=1) to f32 rounding.
+
+    With ``phasor_drop`` set (the post-slice start index, a multiple of
+    4; requires P % 4 == 0), also returns a (C, 1, 128) f32 array whose
+    lanes 0/1 carry the raw Oerder-Meyr timing phasor [re, im] of the
+    sliced block — the fused back half's glue consumes it (see
+    _band_synth_body).
     """
     c = row_starts.shape[0]
     if c % group:
         group = 1
     p = rows_per_band
+    with_ph = phasor_drop is not None
+    if with_ph:
+        if phasor_drop % 4 or p % 4:
+            raise ValueError("phasor fusion needs drop % 4 == 0 and "
+                             f"P % 4 == 0 (drop={phasor_drop}, P={p})")
+        kern = partial(_band_synth_ph_kernel, phasor_drop)
+        out_specs = (
+            pl.BlockSpec((group, 2, 128, p), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((c, 2, 128, p), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, 128), jnp.float32),
+        )
+    else:
+        kern = _band_synth_kernel
+        out_specs = pl.BlockSpec((group, 2, 128, p),
+                                 lambda i, *_: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((c, 2, 128, p), jnp.float32)
     return pl.pallas_call(
-        _band_synth_kernel,
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(c // group,),
@@ -261,9 +334,7 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                 pl.BlockSpec((128, p), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((group, 2, 128, p),
-                                   lambda i, *_: (i, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((group, 2, p, 128), jnp.float32),
                 pltpu.VMEM((group, 2, p, 128), jnp.float32),
@@ -271,7 +342,7 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                 pltpu.SemaphoreType.DMA((group,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((c, 2, 128, p), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(row_starts, d_shift, planes, h1_planes, m1c, m2re, m2im, twre,
       twim)
@@ -292,53 +363,389 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
 # All values are integer counts <= 237: exact in bf16 products with f32
 # accumulation, so the outputs are bit-identical to the XLA path.
 
+def _scan_rows(base_f, k3_ref, rsyn_ref, c0_ref, m):
+    """Even-position sync + CRC scan of one carrier's bit rows.
+
+    base_f: (R, 128) f32 {0,1} bit rows already in VMEM; m = R - 2
+    output rows.  Returns (corr (M, 64) f32, err (M, 64) f32) — element
+    [m, t*4 + i] is even bit position pe = 64*m + 4*t + i (see
+    frame_scan_even).  Shared by the standalone scan kernel and the
+    fused back-half kernel.
+    """
+    from tetraear_tpu.dsp import framescan as _fs
+    zs = _fs._SYNC_ZEROS.astype(float)
+    r_rows = base_f.shape[0]
+    # slices at row offsets 0/1/2 have mismatched sublane offsets
+    # (Mosaic rejects the concat); realign with rolls first (the
+    # rotate unit is 32-bit wide — f32 rows rotate fine)
+    b1_f = pltpu.roll(base_f, shift=r_rows - 1, axis=0)
+    b2_f = pltpu.roll(base_f, shift=r_rows - 2, axis=0)
+
+    # [base | b1 | b2] @ k3 done as three row-block matmuls — a
+    # lane concat of the rolled operands trips Mosaic's layout
+    # inference, and matmul operands relayout cleanly anyway
+    out = (jnp.dot(base_f[0:m].astype(jnp.bfloat16), k3_ref[0:128],
+                   preferred_element_type=jnp.float32)
+           + jnp.dot(b1_f[0:m].astype(jnp.bfloat16), k3_ref[128:256],
+                     preferred_element_type=jnp.float32)
+           + jnp.dot(b2_f[0:m].astype(jnp.bfloat16), k3_ref[256:384],
+                     preferred_element_type=jnp.float32))
+    ones = out[:, 0:64]                          # [t*4 + i]
+    s1 = out[:, 128:192]
+    s2 = out[:, 256:320]
+    par = out - 2.0 * jnp.floor(out * 0.5)
+    syn = jnp.abs(par - c0_ref[:])
+    e = jnp.dot(syn.astype(jnp.bfloat16), rsyn_ref[:],
+                preferred_element_type=jnp.float32)    # (M, 128)
+    e_fwd = e[:, 0:64]
+    e_rev = e[:, 64:128]
+    corr = jnp.maximum(s1 + zs[0], s2 + zs[1]) * jnp.float32(
+        1.0 / _fs.SYNC_LEN)
+    err = jnp.minimum(e_fwd, e_rev)
+    deg = (ones == 0.0) | (ones == float(_fs.DATA_BITS))
+    err = jnp.where(deg, jnp.float32(99), err)
+    return corr, err
+
+
 def _frame_scan_kernel(bits_ref, k3_ref, rsyn_ref, c0_ref,
                        out_c_ref, out_e_ref):
     g_count = bits_ref.shape[0]
     m = out_c_ref.shape[1]
-    from tetraear_tpu.dsp import framescan as _fs
-    zs = _fs._SYNC_ZEROS.astype(float)
 
     for g in range(g_count):
-        # Mosaic has no u8 -> bf16 cast; hop via i32/f32
-        base_i = bits_ref[g].astype(jnp.int32)       # (R, 128) {0,1}
-        # slices at row offsets 0/1/2 have mismatched sublane offsets
-        # (Mosaic rejects the concat); realign with rolls first.  The
-        # rotate unit is 32-bit only, so roll in i32 and cast after.
-        r_rows = base_i.shape[0]
-        b1_i = pltpu.roll(base_i, shift=r_rows - 1, axis=0)
-        b2_i = pltpu.roll(base_i, shift=r_rows - 2, axis=0)
-
-        def to_bf16(v):
-            return v.astype(jnp.float32).astype(jnp.bfloat16)
-
-        # [base | b1 | b2] @ k3 done as three row-block matmuls — a
-        # lane concat of the rolled operands trips Mosaic's layout
-        # inference, and matmul operands relayout cleanly anyway
-        out = (jnp.dot(to_bf16(base_i[0:m]), k3_ref[0:128],
-                       preferred_element_type=jnp.float32)
-               + jnp.dot(to_bf16(b1_i[0:m]), k3_ref[128:256],
-                         preferred_element_type=jnp.float32)
-               + jnp.dot(to_bf16(b2_i[0:m]), k3_ref[256:384],
-                         preferred_element_type=jnp.float32))
-        ones = out[:, 0:64]                          # [t*4 + i]
-        s1 = out[:, 128:192]
-        s2 = out[:, 256:320]
-        par = out - 2.0 * jnp.floor(out * 0.5)
-        syn = jnp.abs(par - c0_ref[:])
-        e = jnp.dot(syn.astype(jnp.bfloat16), rsyn_ref[:],
-                    preferred_element_type=jnp.float32)    # (M, 128)
-        e_fwd = e[:, 0:64]
-        e_rev = e[:, 64:128]
-        corr = jnp.maximum(s1 + zs[0], s2 + zs[1]) * jnp.float32(
-            1.0 / _fs.SYNC_LEN)
-        err = jnp.minimum(e_fwd, e_rev)
-        deg = (ones == 0.0) | (ones == float(_fs.DATA_BITS))
-        err = jnp.where(deg, jnp.float32(99), err)
-        # element [m, t*4 + i] is even position pe = 64*m + 4*t + i;
-        # the (M, 64) row-major flatten outside is exactly pe order
+        # Mosaic has no u8 -> bf16/f32-direct cast; hop via i32
+        base_f = bits_ref[g].astype(jnp.int32).astype(jnp.float32)
+        corr, err = _scan_rows(base_f, k3_ref, rsyn_ref, c0_ref, m)
         out_c_ref[g] = corr
         out_e_ref[g] = jnp.round(err).astype(jnp.int32)
+
+
+# -- fused back half: ramp/rotation + timing interp + DQPSK + frame scan --
+#
+# After the band synthesis, the XLA back half makes ~5 more full passes
+# over the (C, n_band) baseband at C=10240 (~29 ms of the 74.6 ms
+# block): complex assembly, the phase-correction multiplies, the
+# tail concat, the phase-major transpose for the interpolator, and the
+# bit interleave + scan-input build.  Here ONE kernel reads the raw
+# synthesis planes once per carrier and produces scan verdicts + soft
+# bits + all carried state directly:
+#
+#   * phase ramp/rotation as a factored outer product
+#     R[t, s] = rr[t] * rc[s] (rr folds the per-block rotation and
+#     1/decim; rc the (-1)^s alternation) — broadcasts, no tables;
+#   * the previous block's 4-sample interpolation tail spliced over the
+#     (corrupt) last overlap samples at k in [drop-4, drop);
+#   * Catmull-Rom interpolation at symbol instants as per-carrier
+#     selector MATMULS: with per-block fraction f constant per carrier,
+#     symbol (t', u) = sum_lam W[t'+q0, lam] * S[lam, u] where
+#     S[lam, u] = sum_j c_j(f) [lam == l0 + 4u + b + j] is built from
+#     iotas + the per-carrier scalars; W rows are the y rows themselves
+#     (roll by q0 / q0+1) so no concat or strided slice ever happens.
+#     The PREVIOUS symbol for the differential demod is the same matmul
+#     with l0 - 4 — no cross-row shifts of the symbol plane;
+#   * pi/4-DQPSK decisions + soft bits on the (128, SY) symbol planes;
+#   * bit interleave + placement at offset TAILBITS into the scan row
+#     layout via 0/1 "sandwich" matmuls E @ plane @ F (a matmul pair
+#     per 32-bit alignment class) — MXU does the relayout;
+#   * the even-position sync + CRC scan (_scan_rows, shared with
+#     frame_scan_even) and the next block's 1200-bit tail extraction
+#     (three static-offset sandwich products selected by the
+#     per-carrier valid count).
+#
+# f32 matmuls that touch sample values use precision=HIGHEST — Mosaic's
+# dot_general otherwise multiplies in bf16 (measured: wrong by 1 ulp at
+# values >= 256, perf/mosaic_ops_probe.py).  The 0/1 relayout matmuls
+# are exact at any precision.
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _dot_hp(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_HP, preferred_element_type=jnp.float32)
+
+
+def _dot01(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _backhalf_kernel(drop, k_max, tb, bsel_ref, dsel_ref,
+                     y_ref, bt_ref, rr_ref, rc_ref, sc_ref,
+                     k3_ref, rsyn_ref, c0_ref,
+                     corr_ref, err_ref, soft_ref, bt2_ref, last_ref,
+                     misc_ref):
+    import os
+    ablate = set(os.environ.get("TETRAEAR_BH_ABLATE", "").split(","))
+    i = pl.program_id(0)
+    g_count = y_ref.shape[0]
+    p = y_ref.shape[3]
+    sy = p // 4
+    tr = bt_ref.shape[1]
+    z_rows = corr_ref.shape[1] + 2
+    d0 = drop - 4
+
+    for g in range(g_count):
+        c = i * g_count + g
+        b = bsel_ref[c]
+        dsel = dsel_ref[c]
+
+        # ---- phase correction: y * (rr outer rc), complex ----
+        yre = y_ref[g, 0]
+        yim = y_ref[g, 1]                        # (128, P)
+        rrre = rr_ref[g, 0]
+        rrim = rr_ref[g, 1]                      # (128, 1)
+        rcre = rc_ref[g, 0]
+        rcim = rc_ref[g, 1]                      # (1, P)
+        cor_re = rrre * rcre - rrim * rcim       # (128, P) broadcast
+        cor_im = rrre * rcim + rrim * rcre
+        cre = yre * cor_re - yim * cor_im
+        cim = yre * cor_im + yim * cor_re
+
+        # ---- splice the carried interpolation tail over k in
+        # [drop-4, drop) (the last, possibly wrap-corrupt, overlap
+        # samples; sample k sits at row k // P, lane k % P) ----
+        row_t, lane_t = divmod(d0, p)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
+        si = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
+        for j in range(4):
+            mk = (ri == row_t) & (si == lane_t + j)
+            cre = jnp.where(mk, sc_ref[g, 7 + j], cre)
+            cim = jnp.where(mk, sc_ref[g, 11 + j], cim)
+
+        # next block's interpolation tail = last 4 corrected samples;
+        # emit the whole last row, the glue slices [-4:]
+        last_ref[g, 0] = cre[127:128, :]
+        last_ref[g, 1] = cim[127:128, :]
+
+        # ---- Catmull-Rom interpolation as selector matmuls ----
+        q0, l0 = divmod(d0, p)
+        q0p, l0p = divmod(d0 - 4, p)
+        rolled = {}
+        for o in sorted({q0, q0 + 1, q0p, q0p + 1}):
+            sh = (128 - o) % 128
+            rolled[o] = (pltpu.roll(cre, shift=sh, axis=0),
+                         pltpu.roll(cim, shift=sh, axis=0))
+
+        lam = jax.lax.broadcasted_iota(jnp.int32, (p, sy), 0)
+        uu4 = 4 * jax.lax.broadcasted_iota(jnp.int32, (p, sy), 1)
+
+        def sel(l_base, half):
+            diff = lam + (half * p) - uu4 - l_base - b
+            s = jnp.where(diff == 0, sc_ref[g, 0], 0.0)
+            for j in range(1, 4):
+                s = s + jnp.where(diff == j, sc_ref[g, j], 0.0)
+            return s.astype(jnp.float32)
+
+        dot_i = _dot01 if "hp" in ablate else _dot_hp
+        s_lo = sel(l0, 0)
+        s_hi = sel(l0, 1)
+        sym_re = (dot_i(rolled[q0][0], s_lo)
+                  + dot_i(rolled[q0 + 1][0], s_hi))     # (128, SY)
+        sym_im = (dot_i(rolled[q0][1], s_lo)
+                  + dot_i(rolled[q0 + 1][1], s_hi))
+        if "prev" in ablate:
+            prv_re, prv_im = sym_re, sym_im
+        else:
+            sp_lo = sel(l0p, 0)
+            sp_hi = sel(l0p, 1)
+            prv_re = (dot_i(rolled[q0p][0], sp_lo)
+                      + dot_i(rolled[q0p + 1][0], sp_hi))
+            prv_im = (dot_i(rolled[q0p][1], sp_lo)
+                      + dot_i(rolled[q0p + 1][1], sp_hi))
+
+        rs = jax.lax.broadcasted_iota(jnp.int32, (128, sy), 0)
+        us = jax.lax.broadcasted_iota(jnp.int32, (128, sy), 1)
+        first = (rs == 0) & (us == 0)
+        prv_re = jnp.where(first, sc_ref[g, 5], prv_re)
+        prv_im = jnp.where(first, sc_ref[g, 6], prv_im)
+
+        # ---- pi/4-DQPSK differential demod ----
+        dre = sym_re * prv_re + sym_im * prv_im
+        dim_ = sym_im * prv_re - sym_re * prv_im
+        mag = jnp.sqrt(dre * dre + dim_ * dim_) + 1e-12
+        soft_ref[g, 0] = -dim_ / mag
+        soft_ref[g, 1] = -dre / mag
+
+        flat = (sy * rs + us).astype(jnp.float32)
+        nv = sc_ref[g, 4]
+        valid = flat < nv
+        pm = jnp.where(valid & (dim_ < 0), 1.0, 0.0)     # msb plane
+        pl_b = jnp.where(valid & (dre < 0), 1.0, 0.0)    # lsb plane
+
+        # new previous-symbol state (last valid symbol)
+        m_last = flat == nv - 1.0
+        pr = jnp.sum(jnp.where(m_last, sym_re, 0.0))
+        pi_ = jnp.sum(jnp.where(m_last, sym_im, 0.0))
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        misc_ref[g] = (jnp.where(lane1 == 0, pr, 0.0)
+                       + jnp.where(lane1 == 1, pi_, 0.0))
+
+        # ---- scan-input rows: carried tail bits + interleaved new
+        # bits at offset tb, all placed by 0/1 sandwich matmuls ----
+        zq = jax.lax.broadcasted_iota(jnp.int32, (z_rows, tr), 1)
+        zr0 = jax.lax.broadcasted_iota(jnp.int32, (z_rows, tr), 0)
+        epad = jnp.where(zr0 == zq, 1.0, 0.0).astype(jnp.float32)
+        z = _dot01(epad, bt_ref[g])                      # (Z, 128)
+
+        zr_i = jax.lax.broadcasted_iota(jnp.int32, (z_rows, 128), 0)
+        zt_i = jax.lax.broadcasted_iota(jnp.int32, (z_rows, 128), 1)
+        ufi = jax.lax.broadcasted_iota(jnp.int32, (sy, 128), 0)
+        lfi = jax.lax.broadcasted_iota(jnp.int32, (sy, 128), 1)
+        if "place" not in ablate:
+            for m in range(tb % 32 - 32, 128, 32):
+                if m <= -32:
+                    continue
+                em = jnp.where(tb + 32 * zt_i - 128 * zr_i == m,
+                               1.0, 0.0).astype(jnp.float32)
+                f0 = jnp.where(lfi - 2 * ufi == m, 1.0, 0.0).astype(
+                    jnp.float32)
+                f1 = jnp.where(lfi - 2 * ufi == m + 1, 1.0, 0.0).astype(
+                    jnp.float32)
+                inner = _dot01(pm, f0) + _dot01(pl_b, f1)  # (128, 128)
+                z = z + _dot01(em, inner)
+
+        # ---- even-position sync + CRC scan (shared core) ----
+        if "scan" in ablate:
+            corr = z[0:z_rows - 2, 0:64] * 0.001
+            err = corr + 1.0
+        else:
+            corr, err = _scan_rows(z, k3_ref, rsyn_ref, c0_ref,
+                                   z_rows - 2)
+        corr_ref[g] = corr
+        err_ref[g] = jnp.round(err).astype(jnp.int32)
+
+        # ---- next block's 1200-bit tail: z[off : off + tb] with
+        # off = 2*k_max - 4 + 2*d, d = clip(n_valid - (k_max-2), 0, 2)
+        # (the bench/e2e tail-slide contract) ----
+        eri = jax.lax.broadcasted_iota(jnp.int32, (tr, z_rows), 0)
+        ezi = jax.lax.broadcasted_iota(jnp.int32, (tr, z_rows), 1)
+        tl0 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        tl1 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        t_acc = jnp.zeros((tr, 128), jnp.float32)
+        for d in ([] if "tail" in ablate else range(3)):
+            q, rho = divmod(2 * k_max - 4 + 2 * d, 128)
+            e0 = jnp.where(ezi - eri == q, 1.0, 0.0).astype(jnp.float32)
+            e1 = jnp.where(ezi - eri == q + 1, 1.0, 0.0).astype(
+                jnp.float32)
+            f0 = jnp.where(tl0 - tl1 == rho, 1.0, 0.0).astype(
+                jnp.float32)
+            f1 = jnp.where(tl0 - tl1 == rho - 128, 1.0, 0.0).astype(
+                jnp.float32)
+            td_ = _dot01(_dot01(e0, z), f0) + _dot01(_dot01(e1, z), f1)
+            t_acc = t_acc + jnp.where(dsel == d, 1.0, 0.0) * td_
+        tmask = (128 * jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 0)
+                 + jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 1))
+        bt2_ref[g] = t_acc * jnp.where(tmask < tb, 1.0, 0.0)
+
+
+@partial(jax.jit, static_argnames=("drop", "k_max", "group",
+                                   "interpret"))
+def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
+                   rc: jnp.ndarray, sc: jnp.ndarray,
+                   bsel: jnp.ndarray, dsel: jnp.ndarray,
+                   k3: jnp.ndarray, rsyn: jnp.ndarray, c0: jnp.ndarray,
+                   drop: int, k_max: int, group: int = 8,
+                   interpret: bool = False) -> tuple:
+    """Fused timing + DQPSK + frame scan on raw band-synthesis planes.
+
+    Args:
+        y: (C, 2, 128, P) f32 raw band_synth output planes.
+        bt: (C, TR, 128) f32 {0,1} carried tail-bit rows (TR=10, the
+            1200 tail bits at positions 0..1199; rest zero).
+        rr: (C, 2, 128, 1) f32 row ramp planes (per-block rotation and
+            1/decim folded in).
+        rc: (C, 2, 1, P) f32 lane ramp planes ((-1)^s folded in).
+        sc: (C, 16) f32 per-carrier scalars: [c0..c3 Catmull-Rom
+            coefficients, n_valid, prev_re, prev_im, tail_re 0..3,
+            tail_im 0..3, 0].
+        bsel: (C,) int32 tap base b in [0, 3].
+        dsel: (C,) int32 tail-slide select in [0, 2].
+        k3/rsyn/c0: the frame_scan_even tables
+            (framescan._pallas_scan_tables).
+        drop: channelizer overlap drop (samples; % 4 == 0, >= 8).
+        k_max: padded symbol-slot count (n_out // 4 + 1).
+
+    Returns (corr (C, M, 64) f32, err (C, M, 64) i32,
+             soft (C, 2, 128, SY) f32, bt2 (C, TR, 128) f32,
+             last (C, 2, 1, P) f32, misc (C, 1, 128) f32) where
+    M = Z - 2 scan rows over the (tb + 2*128*SY + pad)-bit z layout,
+    soft planes are [-d_im, -d_re]/|d| at symbol (t', u) = flat
+    SY*t' + u, last is the corrected final sample row and misc lanes
+    0/1 the new previous-symbol state.
+    """
+    c_n, _, _, p = y.shape
+    sy = p // 4
+    tr = bt.shape[1]
+    if drop % 4 or drop < 8 or p % 4:
+        raise ValueError(f"fused_backhalf needs drop % 4 == 0, "
+                         f"drop >= 8, P % 4 == 0 (drop={drop}, P={p})")
+    if k_max > 128 * sy:
+        raise ValueError(f"k_max {k_max} exceeds symbol capacity "
+                         f"{128 * sy}")
+    tb = 1200
+    z_rows = -(-(tb + 2 * 128 * sy + 256) // 128)
+    m_rows = z_rows - 2
+    if c_n % group:
+        group = 1
+    kern = partial(_backhalf_kernel, drop, k_max, tb)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(c_n // group,),
+            in_specs=[
+                pl.BlockSpec((group, 2, 128, p),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, tr, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, 2, 128, 1),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, 2, 1, p),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, 16), lambda i, *_: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((384, 2624), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2624, 128), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2624), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((group, m_rows, 64),
+                             lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, m_rows, 64),
+                             lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, 2, 128, sy),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, tr, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, 2, 1, p),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group, 1, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c_n, m_rows, 64), jnp.float32),
+            jax.ShapeDtypeStruct((c_n, m_rows, 64), jnp.int32),
+            jax.ShapeDtypeStruct((c_n, 2, 128, sy), jnp.float32),
+            jax.ShapeDtypeStruct((c_n, tr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c_n, 2, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((c_n, 1, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(bsel, dsel, y, bt, rr, rc, sc, k3, rsyn, c0)
 
 
 @partial(jax.jit, static_argnames=("group", "interpret"))
