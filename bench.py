@@ -132,6 +132,40 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         res["demod_elapsed_s"] = elapsed
 
     # ---- end-to-end chain: IQ -> sync + CRC verdicts everywhere ----
+    # Fused path (dsp.backhalf): band synthesis + timing + DQPSK +
+    # frame scan in two Pallas kernels — bit-identical verdict planes
+    # to the classic chain (tests/unit/test_backhalf.py).  Classic XLA
+    # chain kept behind BENCH_NO_FUSED=1 and for ineligible configs.
+    fused = None
+    if os.environ.get("BENCH_NO_FUSED") != "1":
+        try:
+            from tetraear_tpu.dsp.backhalf import FusedRx
+            fused = FusedRx(bank)
+        except ValueError:
+            fused = None
+
+    def chain_e2e_fused(x_r, state, n):
+        from tetraear_tpu.dsp import framescan as fsmod
+        off = fsmod.TS_OFFSET_BITS // 2
+
+        def body(carry, _):
+            st, nhit, nok = carry
+            out, st2 = fused.step(x_r, st)
+            hits = out["corr"] >= 0.90
+            span = min(hits.shape[1] - off, out["crc_err"].shape[1])
+            sync_al = jax.lax.slice_in_dim(hits, off, off + span, 1,
+                                           axis=1)
+            crc_al = jax.lax.slice_in_dim(out["crc_err"], 0, span, 1,
+                                          axis=1)
+            nhit = nhit + jnp.sum(hits.astype(jnp.int32))
+            nok = nok + jnp.sum((sync_al & (crc_al <= 2))
+                                .astype(jnp.int32))
+            return (st2, nhit, nok), None
+
+        init = (state, jnp.int32(0), jnp.int32(0))
+        (st, nhit, nok), _ = jax.lax.scan(body, init, None, length=n)
+        return st, nhit, nok
+
     def chain_e2e(x_r, state, tail, n):
         k2 = 2 * k
 
@@ -171,12 +205,21 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         return st, nhit, nok
 
     if mode in ("e2e", "both"):
-        chain_j = jax.jit(chain_e2e, static_argnums=3)
-        tail0 = jnp.zeros((n_carriers, t2), jnp.uint8)
-        elapsed = _time_chain(
-            chain_j, lambda: (xd, bank.init_state(), tail0, steps), steps,
-            lambda out: (np.asarray(out[0]["timing"]["next_t"])[0],
-                         int(out[1]), int(out[2])))
+        if fused is not None:
+            chain_j = jax.jit(chain_e2e_fused, static_argnums=2)
+            elapsed = _time_chain(
+                chain_j, lambda: (xd, fused.init_state(), steps), steps,
+                lambda out: (
+                    np.asarray(out[0]["bank"]["timing"]["next_t"])[0],
+                    int(out[1]), int(out[2])))
+        else:
+            chain_j = jax.jit(chain_e2e, static_argnums=3)
+            tail0 = jnp.zeros((n_carriers, t2), jnp.uint8)
+            elapsed = _time_chain(
+                chain_j, lambda: (xd, bank.init_state(), tail0, steps),
+                steps,
+                lambda out: (np.asarray(out[0]["timing"]["next_t"])[0],
+                             int(out[1]), int(out[2])))
         res["rt_factor"] = steps * block / fs / elapsed
         res["carriers_rt"] = res["rt_factor"] * n_carriers
         res["elapsed_s"] = elapsed

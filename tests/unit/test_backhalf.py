@@ -20,7 +20,9 @@ from tetraear_tpu.dsp import backhalf  # noqa: E402
 from tetraear_tpu.ref import modulator  # noqa: E402
 
 FS = 2.304e6
-OFFSETS = [-37_500.0, -12_500.0, 12_500.0, 37_500.0]
+# 8 carriers: the kernel's group=8 carrier-stacked batching (sublane
+# block-diagonal placement/scan/tail matmuls) runs at full width
+OFFSETS = [(i - 4) * 25_000 + 12_500.0 for i in range(8)]
 
 
 @pytest.fixture(scope="module")

@@ -232,10 +232,12 @@ class FusedRx:
     # -- helpers -------------------------------------------------------
 
     def soft_symbols(self, soft_planes: jnp.ndarray) -> jnp.ndarray:
-        """(C, 2, 128, SY) kernel planes -> (C, k_max, 2) soft bits in
-        symbol order (the dqpsk_demod soft layout)."""
+        """(C, 2, SY, 128) kernel planes (transposed layout: [u, t'])
+        -> (C, k_max, 2) soft bits in symbol order (the dqpsk_demod
+        soft layout, flat symbol i = SY*t' + u)."""
         c_n = soft_planes.shape[0]
-        flat = soft_planes.reshape(c_n, 2, 128 * self.sy)
+        flat = jnp.transpose(soft_planes, (0, 1, 3, 2)).reshape(
+            c_n, 2, 128 * self.sy)
         return jnp.transpose(flat[:, :, :self.k_max], (0, 2, 1))
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -472,11 +474,15 @@ def _dot01(a, b):
         preferred_element_type=jnp.float32)
 
 
-def _backhalf_kernel(drop, k_max, tb, bsel_ref, dsel_ref,
+def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
+                     bsel_ref, dsel_ref,
                      y_ref, bt_ref, rr_ref, rc_ref, sc_ref,
                      k3_ref, rsyn_ref, c0_ref,
+                     pall_ref, eplace_ref, fplace_ref, epad_ref,
+                     etail_ref, ftail_ref,
                      corr_ref, err_ref, soft_ref, bt2_ref, last_ref,
-                     misc_ref):
+                     misc_ref,
+                     wre_scr, wim_scr, pc_scr, bt_scr):
     import os
     ablate = set(os.environ.get("TETRAEAR_BH_ABLATE", "").split(","))
     i = pl.program_id(0)
@@ -486,13 +492,17 @@ def _backhalf_kernel(drop, k_max, tb, bsel_ref, dsel_ref,
     tr = bt_ref.shape[1]
     z_rows = corr_ref.shape[1] + 2
     d0 = drop - 4
+    n_m = eplace_ref.shape[0]
+    span = w_width // p
+    gc = g_count * 128
 
+    # ---- loop A: per-carrier corrections; everything downstream works
+    # on TRANSPOSED symbol-plane layouts (rows = within-symbol index,
+    # lanes = carrier*128 + t') so the (.., SY)-narrow tensors of the
+    # first formulation — 16/128 lanes live on every VPU op — become
+    # full-lane (SY, G*128) rows ----
     for g in range(g_count):
         c = i * g_count + g
-        b = bsel_ref[c]
-        dsel = dsel_ref[c]
-
-        # ---- phase correction: y * (rr outer rc), complex ----
         yre = y_ref[g, 0]
         yim = y_ref[g, 1]                        # (128, P)
         rrre = rr_ref[g, 0]
@@ -504,9 +514,7 @@ def _backhalf_kernel(drop, k_max, tb, bsel_ref, dsel_ref,
         cre = yre * cor_re - yim * cor_im
         cim = yre * cor_im + yim * cor_re
 
-        # ---- splice the carried interpolation tail over k in
-        # [drop-4, drop) (the last, possibly wrap-corrupt, overlap
-        # samples; sample k sits at row k // P, lane k % P) ----
+        # splice the carried interpolation tail over k in [drop-4, drop)
         row_t, lane_t = divmod(d0, p)
         ri = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
         si = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
@@ -515,130 +523,225 @@ def _backhalf_kernel(drop, k_max, tb, bsel_ref, dsel_ref,
             cre = jnp.where(mk, sc_ref[g, 7 + j], cre)
             cim = jnp.where(mk, sc_ref[g, 11 + j], cim)
 
-        # next block's interpolation tail = last 4 corrected samples;
-        # emit the whole last row, the glue slices [-4:]
         last_ref[g, 0] = cre[127:128, :]
         last_ref[g, 1] = cim[127:128, :]
 
-        # ---- Catmull-Rom interpolation as selector matmuls ----
-        q0, l0 = divmod(d0, p)
-        q0p, l0p = divmod(d0 - 4, p)
-        rolled = {}
-        for o in sorted({q0, q0 + 1, q0p, q0p + 1}):
-            sh = (128 - o) % 128
-            rolled[o] = (pltpu.roll(cre, shift=sh, axis=0),
-                         pltpu.roll(cim, shift=sh, axis=0))
+        # W columns, transposed: scrW[row lam, lane g*128 + t'] =
+        # y[t' + qmin + oi, lam] — a lane roll of the transposed tile
+        creT = cre.T                             # (P, 128)
+        cimT = cim.T
+        for oi in range(span):
+            sh = (128 - (qmin + oi)) % 128
+            wre_scr[oi * p:(oi + 1) * p, g * 128:(g + 1) * 128] = (
+                pltpu.roll(creT, shift=sh, axis=1))
+            wim_scr[oi * p:(oi + 1) * p, g * 128:(g + 1) * 128] = (
+                pltpu.roll(cimT, shift=sh, axis=1))
+        bt_scr[g * tr:(g + 1) * tr, :] = bt_ref[g]
 
-        lam = jax.lax.broadcasted_iota(jnp.int32, (p, sy), 0)
-        uu4 = 4 * jax.lax.broadcasted_iota(jnp.int32, (p, sy), 1)
+        # per-carrier rows of the (16, G*128) scalar plane: 0..6 the
+        # Catmull-Rom tap-block weights, 7 n_valid, 8/9 prev symbol
+        b = bsel_ref[c]
+        for q in range(7):
+            w = jnp.float32(0.0)
+            for j in range(4):
+                if 0 <= q - j <= 3:
+                    w = w + jnp.where(b == q - j, sc_ref[g, j], 0.0)
+            pc_scr[q:q + 1, g * 128:(g + 1) * 128] = jnp.full(
+                (1, 128), w, jnp.float32)
+        pc_scr[7:8, g * 128:(g + 1) * 128] = jnp.full(
+            (1, 128), sc_ref[g, 4], jnp.float32)
+        pc_scr[8:9, g * 128:(g + 1) * 128] = jnp.full(
+            (1, 128), sc_ref[g, 5], jnp.float32)
+        pc_scr[9:10, g * 128:(g + 1) * 128] = jnp.full(
+            (1, 128), sc_ref[g, 6], jnp.float32)
 
-        def sel(l_base, half):
-            diff = lam + (half * p) - uu4 - l_base - b
-            s = jnp.where(diff == 0, sc_ref[g, 0], 0.0)
-            for j in range(1, 4):
-                s = s + jnp.where(diff == j, sc_ref[g, j], 0.0)
-            return s.astype(jnp.float32)
+    # ---- batched interpolation: T[qblock*SY + u, g*128 + t'] ----
+    prec = None if "hp" in ablate else _HP
+    t_re = jax.lax.dot_general(
+        pall_ref[...], wre_scr[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+    t_im = jax.lax.dot_general(
+        pall_ref[...], wim_scr[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)   # (176,GC)
 
-        dot_i = _dot01 if "hp" in ablate else _dot_hp
-        s_lo = sel(l0, 0)
-        s_hi = sel(l0, 1)
-        sym_re = (dot_i(rolled[q0][0], s_lo)
-                  + dot_i(rolled[q0 + 1][0], s_hi))     # (128, SY)
-        sym_im = (dot_i(rolled[q0][1], s_lo)
-                  + dot_i(rolled[q0 + 1][1], s_hi))
-        if "prev" in ablate:
-            prv_re, prv_im = sym_re, sym_im
-        else:
-            sp_lo = sel(l0p, 0)
-            sp_hi = sel(l0p, 1)
-            prv_re = (dot_i(rolled[q0p][0], sp_lo)
-                      + dot_i(rolled[q0p + 1][0], sp_hi))
-            prv_im = (dot_i(rolled[q0p][1], sp_lo)
-                      + dot_i(rolled[q0p + 1][1], sp_hi))
+    # ---- full-lane weight combine: current symbol blocks 4..10,
+    # previous 0..6, weights broadcast from the per-carrier rows ----
+    sym_re = jnp.zeros((sy, gc), jnp.float32)
+    sym_im = jnp.zeros((sy, gc), jnp.float32)
+    prv_re = jnp.zeros((sy, gc), jnp.float32)
+    prv_im = jnp.zeros((sy, gc), jnp.float32)
+    for q in range(7):
+        w_row = pc_scr[q:q + 1, :]
+        sym_re = sym_re + w_row * t_re[(q + 4) * sy:(q + 5) * sy]
+        sym_im = sym_im + w_row * t_im[(q + 4) * sy:(q + 5) * sy]
+        prv_re = prv_re + w_row * t_re[q * sy:(q + 1) * sy]
+        prv_im = prv_im + w_row * t_im[q * sy:(q + 1) * sy]
+    ur = jax.lax.broadcasted_iota(jnp.int32, (sy, gc), 0)
+    tl = jax.lax.broadcasted_iota(jnp.int32, (sy, gc), 1)
+    first = (ur == 0) & (tl % 128 == 0)
+    prv_re = jnp.where(first, pc_scr[8:9, :], prv_re)
+    prv_im = jnp.where(first, pc_scr[9:10, :], prv_im)
 
-        rs = jax.lax.broadcasted_iota(jnp.int32, (128, sy), 0)
-        us = jax.lax.broadcasted_iota(jnp.int32, (128, sy), 1)
-        first = (rs == 0) & (us == 0)
-        prv_re = jnp.where(first, sc_ref[g, 5], prv_re)
-        prv_im = jnp.where(first, sc_ref[g, 6], prv_im)
+    # ---- batched DQPSK + bit planes (full-lane rows) ----
+    dre = sym_re * prv_re + sym_im * prv_im
+    dim_ = sym_im * prv_re - sym_re * prv_im
+    mag = jnp.sqrt(dre * dre + dim_ * dim_) + 1e-12
+    soft0 = -dim_ / mag
+    soft1 = -dre / mag
+    flat = (sy * (tl % 128) + ur).astype(jnp.float32)
+    nv_row = pc_scr[7:8, :]
+    valid = flat < nv_row
+    pm = jnp.where(valid & (dim_ < 0), 1.0, 0.0).astype(jnp.bfloat16)
+    pl_b = jnp.where(valid & (dre < 0), 1.0, 0.0).astype(jnp.bfloat16)
 
-        # ---- pi/4-DQPSK differential demod ----
-        dre = sym_re * prv_re + sym_im * prv_im
-        dim_ = sym_im * prv_re - sym_re * prv_im
-        mag = jnp.sqrt(dre * dre + dim_ * dim_) + 1e-12
-        soft_ref[g, 0] = -dim_ / mag
-        soft_ref[g, 1] = -dre / mag
+    # ---- scan-input rows: inner-first sandwich (full-lane products) ----
+    z = jax.lax.dot_general(
+        epad_ref[...].astype(jnp.bfloat16),
+        bt_scr[...].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (G*Z, 128)
+    for mi in ([] if "place" in ablate else range(n_m)):
+        inner = (jax.lax.dot_general(
+            pm, fplace_ref[mi, 0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                pl_b, fplace_ref[mi, 1],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)) \
+            .astype(jnp.bfloat16)                    # (GC, 128)
+        z = z + jax.lax.dot_general(
+            eplace_ref[mi], inner,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (G*Z, 128)
 
-        flat = (sy * rs + us).astype(jnp.float32)
-        nv = sc_ref[g, 4]
-        valid = flat < nv
-        pm = jnp.where(valid & (dim_ < 0), 1.0, 0.0)     # msb plane
-        pl_b = jnp.where(valid & (dre < 0), 1.0, 0.0)    # lsb plane
+    # ---- one batched even-position sync + CRC scan ----
+    if "scan" in ablate:
+        corr_all = z[0:g_count * z_rows - 2, 0:64] * 0.001
+        err_all = corr_all + 1.0
+    else:
+        corr_all, err_all = _scan_rows(z, k3_ref, rsyn_ref, c0_ref,
+                                       g_count * z_rows - 2)
 
-        # new previous-symbol state (last valid symbol)
-        m_last = flat == nv - 1.0
-        pr = jnp.sum(jnp.where(m_last, sym_re, 0.0))
-        pi_ = jnp.sum(jnp.where(m_last, sym_im, 0.0))
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # ---- batched next-tail extraction (3 candidates) ----
+    zb = z.astype(jnp.bfloat16)
+    tails = []
+    for d in range(3):
+        # two sandwich pairs per candidate: slab d covers lanes with no
+        # row carry (rho + l' < 128), slab d+3 the carried lanes
+        acc = jnp.zeros((bt_scr.shape[0], 128), jnp.float32)
+        for dd in (d, d + 3):
+            t2 = jax.lax.dot_general(
+                etail_ref[dd], zb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                t2, ftail_ref[dd],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        tails.append(acc)                            # (G*TR, 128)
+
+    # ---- loop C: per-carrier output slices ----
+    tmask = jnp.where(
+        (128 * jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 0)
+         + jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 1)) < tb,
+        1.0, 0.0).astype(jnp.float32)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    m_last = flat == nv_row - 1.0
+    for g in range(g_count):
+        c = i * g_count + g
+        dsel = dsel_ref[c]
+        corr_ref[g] = corr_all[g * z_rows:g * z_rows + z_rows - 2]
+        err_ref[g] = jnp.round(
+            err_all[g * z_rows:g * z_rows + z_rows - 2]).astype(
+                jnp.int32)
+        soft_ref[g, 0] = soft0[:, g * 128:(g + 1) * 128]
+        soft_ref[g, 1] = soft1[:, g * 128:(g + 1) * 128]
+        t_acc = jnp.zeros((tr, 128), jnp.float32)
+        for d in range(3):
+            t_acc = t_acc + jnp.where(dsel == d, 1.0, 0.0) * (
+                tails[d][g * tr:(g + 1) * tr])
+        bt2_ref[g] = t_acc * tmask
+        ml = m_last[:, g * 128:(g + 1) * 128]
+        pr = jnp.sum(jnp.where(ml, sym_re[:, g * 128:(g + 1) * 128],
+                               0.0))
+        pi_ = jnp.sum(jnp.where(ml, sym_im[:, g * 128:(g + 1) * 128],
+                                0.0))
         misc_ref[g] = (jnp.where(lane1 == 0, pr, 0.0)
                        + jnp.where(lane1 == 1, pi_, 0.0))
 
-        # ---- scan-input rows: carried tail bits + interleaved new
-        # bits at offset tb, all placed by 0/1 sandwich matmuls ----
-        zq = jax.lax.broadcasted_iota(jnp.int32, (z_rows, tr), 1)
-        zr0 = jax.lax.broadcasted_iota(jnp.int32, (z_rows, tr), 0)
-        epad = jnp.where(zr0 == zq, 1.0, 0.0).astype(jnp.float32)
-        z = _dot01(epad, bt_ref[g])                      # (Z, 128)
 
-        zr_i = jax.lax.broadcasted_iota(jnp.int32, (z_rows, 128), 0)
-        zt_i = jax.lax.broadcasted_iota(jnp.int32, (z_rows, 128), 1)
-        ufi = jax.lax.broadcasted_iota(jnp.int32, (sy, 128), 0)
-        lfi = jax.lax.broadcasted_iota(jnp.int32, (sy, 128), 1)
-        if "place" not in ablate:
-            for m in range(tb % 32 - 32, 128, 32):
-                if m <= -32:
-                    continue
-                em = jnp.where(tb + 32 * zt_i - 128 * zr_i == m,
-                               1.0, 0.0).astype(jnp.float32)
-                f0 = jnp.where(lfi - 2 * ufi == m, 1.0, 0.0).astype(
-                    jnp.float32)
-                f1 = jnp.where(lfi - 2 * ufi == m + 1, 1.0, 0.0).astype(
-                    jnp.float32)
-                inner = _dot01(pm, f0) + _dot01(pl_b, f1)  # (128, 128)
-                z = z + _dot01(em, inner)
+def _bh_static_tables(group, tb, z_rows, tr, w_width, base, sy, k_max):
+    """Numpy tables for the batched kernel (see _backhalf_kernel)."""
+    ms = [m for m in range(tb % 32 - 32, 128, 32) if m > -32]
+    gz, gc, gt = group * z_rows, group * 128, group * tr
+    p_all = np.zeros((w_width, 11 * sy), np.float32)
+    for qi in range(11):
+        for u in range(sy):
+            lam = base + 4 * u + qi - 4
+            if 0 <= lam < w_width:
+                p_all[lam, qi * sy + u] = 1.0
+    e_place = np.zeros((len(ms), gz, gc), np.float32)
+    f_place = np.zeros((len(ms), 2, sy, 128), np.float32)
+    for mi, m in enumerate(ms):
+        for t in range(128):
+            r, rem = divmod(tb + 32 * t - m, 128)
+            if rem == 0 and 0 <= r < z_rows:
+                for g in range(group):
+                    e_place[mi, g * z_rows + r, g * 128 + t] = 1.0
+        for beta in range(2):
+            for u in range(sy):
+                ll = m + 2 * u + beta
+                if 0 <= ll < 128:
+                    f_place[mi, beta, u, ll] = 1.0
+    e_pad = np.zeros((gz, gt), np.float32)
+    for g in range(group):
+        for q in range(tr):
+            e_pad[g * z_rows + q, g * tr + q] = 1.0
+    e_tail = np.zeros((3, gt, gz), np.float32)
+    f_tail = np.zeros((3, 128, 128), np.float32)
+    for d in range(3):
+        q, rho = divmod(2 * k_max - 4 + 2 * d, 128)
+        for g in range(group):
+            for rp in range(tr):
+                if q + rp < z_rows:
+                    e_tail[d, g * tr + rp, g * z_rows + q + rp] += 1.0
+        # lane maps: m2=0 rows come from z row q+rp (lane rho+l'),
+        # m2=1 from row q+rp+1 (lane rho+l'-128).  Encode the carry
+        # by splitting into TWO e/f pairs... folded instead into one
+        # pair per d by noting the two row sources differ by one row:
+        # handled via a second (shifted) e/f pair below.
+        for lin in range(128):
+            lp = lin - rho
+            if 0 <= lp < 128:
+                f_tail[d, lin, lp] = 1.0
+    # carry part: bits with rho + l' >= 128 live one row lower
+    e_tail2 = np.zeros((3, gt, gz), np.float32)
+    f_tail2 = np.zeros((3, 128, 128), np.float32)
+    for d in range(3):
+        q, rho = divmod(2 * k_max - 4 + 2 * d, 128)
+        for g in range(group):
+            for rp in range(tr):
+                if q + rp + 1 < z_rows:
+                    e_tail2[d, g * tr + rp, g * z_rows + q + rp + 1] = 1.0
+        for lin in range(128):
+            lp = lin + 128 - rho
+            if 0 <= lp < 128:
+                f_tail2[d, lin, lp] = 1.0
+    return {
+        "p_all": p_all,
+        "e_place": e_place.astype(np.float32),
+        "f_place": f_place,
+        "e_pad": e_pad,
+        "e_tail": np.concatenate([e_tail, e_tail2], 0),
+        "f_tail": np.concatenate([f_tail, f_tail2], 0),
+        "n_m": len(ms),
+    }
 
-        # ---- even-position sync + CRC scan (shared core) ----
-        if "scan" in ablate:
-            corr = z[0:z_rows - 2, 0:64] * 0.001
-            err = corr + 1.0
-        else:
-            corr, err = _scan_rows(z, k3_ref, rsyn_ref, c0_ref,
-                                   z_rows - 2)
-        corr_ref[g] = corr
-        err_ref[g] = jnp.round(err).astype(jnp.int32)
 
-        # ---- next block's 1200-bit tail: z[off : off + tb] with
-        # off = 2*k_max - 4 + 2*d, d = clip(n_valid - (k_max-2), 0, 2)
-        # (the bench/e2e tail-slide contract) ----
-        eri = jax.lax.broadcasted_iota(jnp.int32, (tr, z_rows), 0)
-        ezi = jax.lax.broadcasted_iota(jnp.int32, (tr, z_rows), 1)
-        tl0 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        tl1 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-        t_acc = jnp.zeros((tr, 128), jnp.float32)
-        for d in ([] if "tail" in ablate else range(3)):
-            q, rho = divmod(2 * k_max - 4 + 2 * d, 128)
-            e0 = jnp.where(ezi - eri == q, 1.0, 0.0).astype(jnp.float32)
-            e1 = jnp.where(ezi - eri == q + 1, 1.0, 0.0).astype(
-                jnp.float32)
-            f0 = jnp.where(tl0 - tl1 == rho, 1.0, 0.0).astype(
-                jnp.float32)
-            f1 = jnp.where(tl0 - tl1 == rho - 128, 1.0, 0.0).astype(
-                jnp.float32)
-            td_ = _dot01(_dot01(e0, z), f0) + _dot01(_dot01(e1, z), f1)
-            t_acc = t_acc + jnp.where(dsel == d, 1.0, 0.0) * td_
-        tmask = (128 * jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 0)
-                 + jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 1))
-        bt2_ref[g] = t_acc * jnp.where(tmask < tb, 1.0, 0.0)
+_BH_TABLE_CACHE = {}
 
 
 @partial(jax.jit, static_argnames=("drop", "k_max", "group",
@@ -669,12 +772,18 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
         k_max: padded symbol-slot count (n_out // 4 + 1).
 
     Returns (corr (C, M, 64) f32, err (C, M, 64) i32,
-             soft (C, 2, 128, SY) f32, bt2 (C, TR, 128) f32,
+             soft (C, 2, SY, 128) f32, bt2 (C, TR, 128) f32,
              last (C, 2, 1, P) f32, misc (C, 1, 128) f32) where
     M = Z - 2 scan rows over the (tb + 2*128*SY + pad)-bit z layout,
-    soft planes are [-d_im, -d_re]/|d| at symbol (t', u) = flat
-    SY*t' + u, last is the corrected final sample row and misc lanes
+    soft planes are [-d_im, -d_re]/|d| at plane index [u, t'] for
+    symbol flat SY*t' + u (transposed, full-lane rows), last is the
+    corrected final sample row and misc lanes
     0/1 the new previous-symbol state.
+
+    Internally the kernel stacks the group's carriers along sublanes so
+    bit placement / scan / tail extraction run as dense per-group
+    matmuls (see _backhalf_kernel; the per-carrier formulation was MXU
+    latency-bound).
     """
     c_n, _, _, p = y.shape
     sy = p // 4
@@ -690,7 +799,20 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
     m_rows = z_rows - 2
     if c_n % group:
         group = 1
-    kern = partial(_backhalf_kernel, drop, k_max, tb)
+    d0 = drop - 4
+    q0 = d0 // p
+    qmin = (d0 - 4) // p
+    span = q0 + 2 - qmin
+    w_width = span * p
+    base = d0 - qmin * p
+    key = (group, tb, z_rows, tr, w_width, base, sy, k_max)
+    if key not in _BH_TABLE_CACHE:
+        _BH_TABLE_CACHE[key] = _bh_static_tables(
+            group, tb, z_rows, tr, w_width, base, sy, k_max)
+    tabs = _BH_TABLE_CACHE[key]
+    n_m = tabs["n_m"]
+    gz, gc, gt = group * z_rows, group * 128, group * tr
+    kern = partial(_backhalf_kernel, drop, k_max, tb, w_width, qmin)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -716,6 +838,19 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2624), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((w_width, 11 * sy), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_m, gz, gc), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_m, 2, sy, 128),
+                             lambda i, *_: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gz, gt), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, gt, gz), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, 128, 128), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((group, m_rows, 64),
@@ -724,7 +859,7 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
                 pl.BlockSpec((group, m_rows, 64),
                              lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((group, 2, 128, sy),
+                pl.BlockSpec((group, 2, sy, 128),
                              lambda i, *_: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((group, tr, 128), lambda i, *_: (i, 0, 0),
@@ -735,17 +870,33 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
                 pl.BlockSpec((group, 1, 128), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
+            scratch_shapes=[
+                pltpu.VMEM((w_width, gc), jnp.float32),
+                pltpu.VMEM((w_width, gc), jnp.float32),
+                pltpu.VMEM((16, gc), jnp.float32),
+                pltpu.VMEM((gt, 128), jnp.float32),
+            ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((c_n, m_rows, 64), jnp.float32),
             jax.ShapeDtypeStruct((c_n, m_rows, 64), jnp.int32),
-            jax.ShapeDtypeStruct((c_n, 2, 128, sy), jnp.float32),
+            jax.ShapeDtypeStruct((c_n, 2, sy, 128), jnp.float32),
             jax.ShapeDtypeStruct((c_n, tr, 128), jnp.float32),
             jax.ShapeDtypeStruct((c_n, 2, 1, p), jnp.float32),
             jax.ShapeDtypeStruct((c_n, 1, 128), jnp.float32),
         ),
+        # the batched scan intermediate ((G*Z, 2624) f32) overflows the
+        # 16 MB default scoped-vmem budget at group=8; v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(bsel, dsel, y, bt, rr, rc, sc, k3, rsyn, c0)
+    )(bsel, dsel, y, bt, rr, rc, sc, k3, rsyn, c0,
+      jnp.asarray(tabs["p_all"]),
+      jnp.asarray(tabs["e_place"], jnp.bfloat16),
+      jnp.asarray(tabs["f_place"], jnp.bfloat16),
+      jnp.asarray(tabs["e_pad"]),
+      jnp.asarray(tabs["e_tail"], jnp.bfloat16),
+      jnp.asarray(tabs["f_tail"], jnp.bfloat16))
 
 
 @partial(jax.jit, static_argnames=("group", "interpret"))

@@ -108,7 +108,23 @@ class DecodeRunner:
         # .frame_scan_packed_even)
         self._framescan = framescan.frame_scan_packed_even
         assert batch.scan_stride == 2
-        self._scan = jax.jit(self._scan_impl)
+        # fused back half (dsp.backhalf): demod + scan in two Pallas
+        # kernels when the config is eligible; bit-identical verdict
+        # planes and bit tails (tests/unit/test_backhalf.py), so the
+        # host selection consumes either path's outputs unchanged
+        self.fused = None
+        import os
+        want = (jax.default_backend() == "tpu"        # interpret mode
+                or os.environ.get("TETRAEAR_FORCE_FUSED") == "1")
+        if (os.environ.get("TETRAEAR_NO_FUSED") != "1" and want
+                and self.t2 == 1200):
+            try:
+                from tetraear_tpu.dsp.backhalf import FusedRx
+                self.fused = FusedRx(bank)
+            except ValueError:
+                self.fused = None
+        self._scan = jax.jit(self._scan_fused_impl if self.fused
+                             else self._scan_impl)
         self.dispatches = 0
         self._tail_bits = None         # persists across run() calls
         # the device tail replicates the host tail; the first-diff-symbol
@@ -149,13 +165,35 @@ class DecodeRunner:
                                               xs_r)
         return state, tail_bits, ys
 
+    def _scan_fused_impl(self, xs_r, fstate):
+        """Fused-path body: FusedRx.step emits the scan planes and soft
+        symbol planes directly; hard/valid are reconstructed from the
+        soft signs (identical decisions: hard msb = d_im < 0 = soft0 >
+        0) so batch.assemble sees the classic layout."""
+        k_r = jnp.arange(self.k, dtype=jnp.int32)[None, :]
+
+        def body(st, x_r):
+            out, st2 = self.fused.step(x_r, st)
+            soft = self.fused.soft_symbols(out["soft_planes"])
+            msb = (soft[:, :, 0] > 0).astype(jnp.uint8)
+            lsb = (soft[:, :, 1] > 0).astype(jnp.uint8)
+            hard = (msb << 1) | lsb
+            valid = k_r < out["n_valid"][:, None]
+            return st2, (hard, soft, valid, out["corr"],
+                         out["crc_err"])
+
+        fstate, ys = jax.lax.scan(body, fstate, xs_r)
+        return fstate, ys
+
     def run(self, iq: np.ndarray, state=None, on_frames=None) -> dict:
         """Decode a capture; returns {"frames": [...], "state": ...}.
 
         ``on_frames(list)`` fires per block so callers can stream."""
         iq = np.asarray(iq, np.complex64)
         bl = self.bank.block_len
-        state = state if state is not None else self.bank.init_state()
+        if state is None:
+            state = (self.fused.init_state() if self.fused
+                     else self.bank.init_state())
         if self._tail_bits is None:
             self._tail_bits = jnp.zeros(
                 (self.bank.n_carriers, self.t2), jnp.uint8)
@@ -166,7 +204,11 @@ class DecodeRunner:
             take = min(self.s, (len(iq) - pos) // bl)
             xs = iq[pos:pos + take * bl].reshape(take, bl)
             xs_r = jnp.asarray(kernels.c2r_np(xs))
-            state, tail_bits, ys = self._scan(xs_r, state, tail_bits)
+            if self.fused:
+                state, ys = self._scan(xs_r, state)
+            else:
+                state, tail_bits, ys = self._scan(xs_r, state,
+                                                  tail_bits)
             self.dispatches += 1
             hard, soft, valid, corr, crc_err = (np.asarray(y) for y in ys)
             for b in range(take):
