@@ -47,6 +47,28 @@ def main():
          + 1j * rng.standard_normal(block)).astype(np.complex64)
     xd = jnp.asarray(kernels.c2r_np(x))
 
+    if os.environ.get("PERF_CHANPH") == "1":
+        # channelizer + fused phasor alone (kernel A share of the block)
+        def chain_ch(x_r, n):
+            st0 = fused.init_state()["bank"]["channelizer"]
+
+            def body(st, _):
+                y, ph, rot, st2 = fused.chan_raw(x_r, st)
+                return st2, y[0, 0, 0, 0] + ph[0, 0, 0]
+
+            st, tails = jax.lax.scan(body, st0, None, length=n)
+            return st, tails
+
+        cj = jax.jit(chain_ch, static_argnums=1)
+        out = cj(xd, steps)
+        float(np.asarray(out[1])[-1])
+        t0 = time.time()
+        out = cj(xd, steps)
+        float(np.asarray(out[1])[-1])
+        dt = (time.time() - t0) / steps * 1e3
+        print(json.dumps({"carriers": c_n, "chanph_ms": round(dt, 1)}))
+        return
+
     def chain(x_r, n):
         st0 = fused.init_state()
         off = framescan.TS_OFFSET_BITS // 2

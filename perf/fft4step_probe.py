@@ -113,6 +113,75 @@ def main():
     timed2("fft4", make_chain_fft4(False))
     timed2("fft4t", make_chain_fft4(True))
 
+    # einsum-CT sub-transforms: each batched pow2 sub-FFT as two
+    # DFT-matrix einsums + a twiddle on the MXU (the band-synthesis
+    # trick applied to the forward transform)
+    def dftm(n):
+        k = np.arange(n)
+        return np.exp(-2j * np.pi * np.outer(k, k) / n).astype(
+            np.complex64)
+
+    def make_chain_fft4e(hp):
+        p0 = q0 = 64
+        while p0 * q0 != N2:
+            p0 *= 2
+        p1 = 64
+        q1 = N1 // p1
+
+        # complex64 cannot be device_put NOR eagerly built on this
+        # backend — keep f32 [re, im] numpy planes and complexify
+        # inside the traced function (small trace constants)
+        def planes(a):
+            return np.stack([a.real, a.imag]).astype(np.float32)
+
+        d_p0n = planes(dftm(p0))
+        d_q0n = planes(dftm(q0))
+        d_p1n = planes(dftm(p1))
+        d_q1n = planes(dftm(q1))
+        tw0n = planes(np.exp(
+            -2j * np.pi * np.outer(np.arange(p0), np.arange(q0)) / N2))
+        tw1n = planes(np.exp(
+            -2j * np.pi * np.outer(np.arange(p1), np.arange(q1)) / N1))
+        prec = jax.lax.Precision.HIGHEST if hp else None
+
+        def chain(x_r, tw_p, n):
+            twc = jax.lax.complex(tw_p[0], tw_p[1])
+
+            def cc(a):
+                return jax.lax.complex(jnp.asarray(a[0]),
+                                       jnp.asarray(a[1]))
+            d_p0 = cc(d_p0n)
+            d_q0 = cc(d_q0n)
+            d_p1 = cc(d_p1n)
+            d_q1 = cc(d_q1n)
+            tw0 = cc(tw0n)
+            tw1 = cc(tw1n)
+
+            def body(carry, _2):
+                xx = kernels.r2c(x_r) + carry
+                xm = xx.reshape(N2, N1)
+                x3 = xm.reshape(p0, q0, N1)
+                y = jnp.einsum('ca,abn->cbn', d_p0, x3, precision=prec)
+                z = y * tw0[:, :, None]
+                g = jnp.einsum('db,cbn->dcn', d_q0, z,
+                               precision=prec).reshape(N2, N1)
+                g = g * twc
+                g3 = g.reshape(N2, p1, q1)
+                y1 = jnp.einsum('ca,nab->ncb', d_p1, g3,
+                                precision=prec)
+                z1 = y1 * tw1[None]
+                h = jnp.einsum('db,ncb->ndc', d_q1, z1,
+                               precision=prec).reshape(N2, N1)
+                h = h.T
+                return h[0, 0] * 1e-30, h[0, 1].real
+            c, tails = jax.lax.scan(body, jnp.complex64(0), None,
+                                    length=n)
+            return tails
+        return chain
+
+    timed2("fft4e_hp", make_chain_fft4e(True))
+    timed2("fft4e", make_chain_fft4e(False))
+
     # correctness spot check (tiny size, CPU-fast path also fine on TPU)
     m = 1 << 12
     m1 = 1 << 6

@@ -115,20 +115,12 @@ class FusedRx:
 
     # -- the fused block step (traceable) ------------------------------
 
-    def step(self, x_r: jnp.ndarray, state: dict) -> tuple:
-        """x_r: (N, 2) wideband block in [re, im] form.
-
-        Returns (out, new_state); out = {"corr": (C, n_corr) f32,
-        "crc_err": (C, n_err) i32, "soft_planes": (C, 2, 128, SY) f32,
-        "n_valid": (C,) i32} with corr/crc_err following the
-        frame_scan_packed_even contract on the carried-tail z layout.
-        """
+    def chan_raw(self, x_r: jnp.ndarray, cstate: dict) -> tuple:
+        """Channelizer front + band synthesis with the fused O&M
+        phasor.  Returns (y raw planes (C, 2, 128, P), phasor
+        (C, 1, 128), rot (C,) complex, new channelizer state)."""
         ch = self.ch
         interp = jax.default_backend() != "tpu"
-        bstate = state["bank"]
-        cstate = bstate["channelizer"]
-
-        # ---- channelizer front + band synthesis with fused phasor ----
         x = kernels.r2c(x_r)
         tail = kernels.r2c(cstate["tail"])
         xx = jnp.concatenate([tail, x])
@@ -151,6 +143,21 @@ class FusedRx:
             "cycles": jnp.mod(cstate["cycles"]
                               + jnp.asarray(ch.cycle_step), nfft_f),
         }
+        return y, ph, rot, new_cstate
+
+    def step(self, x_r: jnp.ndarray, state: dict) -> tuple:
+        """x_r: (N, 2) wideband block in [re, im] form.
+
+        Returns (out, new_state); out = {"corr": (C, n_corr) f32,
+        "crc_err": (C, n_err) i32, "soft_planes": (C, 2, SY, 128) f32,
+        "n_valid": (C,) i32} with corr/crc_err following the
+        frame_scan_packed_even contract on the carried-tail z layout.
+        """
+        ch = self.ch
+        interp = jax.default_backend() != "tpu"
+        bstate = state["bank"]
+        y, ph, rot, new_cstate = self.chan_raw(x_r,
+                                               bstate["channelizer"])
 
         # ---- timing glue on (C,) vectors (timing.timing_recover) ----
         tst = bstate["timing"]
@@ -198,10 +205,13 @@ class FusedRx:
 
         # ---- the fused back-half kernel ----
         k3, rsyn, c0row = (jnp.asarray(t) for t in self._tables)
+        import os
+        group = int(os.environ.get("TETRAEAR_BH_GROUP", "8"))
         corr, err, soft, bt2, last, misc = pk.fused_backhalf(
             y, state["bit_tail"], rr, jnp.asarray(self._rc_planes),
             sc, bsel, dsel, k3, rsyn, c0row,
-            drop=self.drop, k_max=self.k_max, interpret=interp)
+            drop=self.drop, k_max=self.k_max, group=group,
+            interpret=interp)
 
         c_n = self.bank.n_carriers
         out = {

@@ -509,39 +509,44 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
         rrim = rr_ref[g, 1]                      # (128, 1)
         rcre = rc_ref[g, 0]
         rcim = rc_ref[g, 1]                      # (1, P)
-        cor_re = rrre * rcre - rrim * rcim       # (128, P) broadcast
-        cor_im = rrre * rcim + rrim * rcre
-        cre = yre * cor_re - yim * cor_im
-        cim = yre * cor_im + yim * cor_re
+        if "nocorr" in ablate:
+            cre, cim = yre, yim
+        else:
+            cor_re = rrre * rcre - rrim * rcim   # (128, P) broadcast
+            cor_im = rrre * rcim + rrim * rcre
+            cre = yre * cor_re - yim * cor_im
+            cim = yre * cor_im + yim * cor_re
 
         # splice the carried interpolation tail over k in [drop-4, drop)
         row_t, lane_t = divmod(d0, p)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
-        si = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
-        for j in range(4):
-            mk = (ri == row_t) & (si == lane_t + j)
-            cre = jnp.where(mk, sc_ref[g, 7 + j], cre)
-            cim = jnp.where(mk, sc_ref[g, 11 + j], cim)
+        if "nosplice" not in ablate:
+            ri = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
+            si = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
+            for j in range(4):
+                mk = (ri == row_t) & (si == lane_t + j)
+                cre = jnp.where(mk, sc_ref[g, 7 + j], cre)
+                cim = jnp.where(mk, sc_ref[g, 11 + j], cim)
 
         last_ref[g, 0] = cre[127:128, :]
         last_ref[g, 1] = cim[127:128, :]
 
         # W columns, transposed: scrW[row lam, lane g*128 + t'] =
         # y[t' + qmin + oi, lam] — a lane roll of the transposed tile
-        creT = cre.T                             # (P, 128)
-        cimT = cim.T
-        for oi in range(span):
-            sh = (128 - (qmin + oi)) % 128
-            wre_scr[oi * p:(oi + 1) * p, g * 128:(g + 1) * 128] = (
-                pltpu.roll(creT, shift=sh, axis=1))
-            wim_scr[oi * p:(oi + 1) * p, g * 128:(g + 1) * 128] = (
-                pltpu.roll(cimT, shift=sh, axis=1))
+        if "noW" not in ablate:
+            creT = cre.T                         # (P, 128)
+            cimT = cim.T
+            for oi in range(span):
+                sh = (128 - (qmin + oi)) % 128
+                wre_scr[oi * p:(oi + 1) * p, g * 128:(g + 1) * 128] = (
+                    pltpu.roll(creT, shift=sh, axis=1))
+                wim_scr[oi * p:(oi + 1) * p, g * 128:(g + 1) * 128] = (
+                    pltpu.roll(cimT, shift=sh, axis=1))
         bt_scr[g * tr:(g + 1) * tr, :] = bt_ref[g]
 
         # per-carrier rows of the (16, G*128) scalar plane: 0..6 the
         # Catmull-Rom tap-block weights, 7 n_valid, 8/9 prev symbol
         b = bsel_ref[c]
-        for q in range(7):
+        for q in ([] if "nopc" in ablate else range(7)):
             w = jnp.float32(0.0)
             for j in range(4):
                 if 0 <= q - j <= 3:
@@ -556,6 +561,9 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
             (1, 128), sc_ref[g, 6], jnp.float32)
 
     # ---- batched interpolation: T[qblock*SY + u, g*128 + t'] ----
+    # (Mosaic supports only DEFAULT and HIGHEST dot precisions; the
+    # default-bf16 ablation measures the full-precision cost at
+    # ~1.7 ms/block — not worth a manual bf16x3 split)
     prec = None if "hp" in ablate else _HP
     t_re = jax.lax.dot_general(
         pall_ref[...], wre_scr[...],
@@ -596,12 +604,21 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
     pm = jnp.where(valid & (dim_ < 0), 1.0, 0.0).astype(jnp.bfloat16)
     pl_b = jnp.where(valid & (dre < 0), 1.0, 0.0).astype(jnp.bfloat16)
 
-    # ---- scan-input rows: inner-first sandwich (full-lane products) ----
-    z = jax.lax.dot_general(
-        epad_ref[...].astype(jnp.bfloat16),
-        bt_scr[...].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (G*Z, 128)
+    # ---- scan-input rows: inner-first sandwich; the per-carrier row
+    # maps are I_G (x) B block-diagonals, so they run as BATCHED
+    # matmuls over the (free) sublane regroup (G, 128, 128) with tiny
+    # (G, Z, 128)-tiled B operands — the flat (G*Z, G*128) block
+    # matrices cost more to stream from HBM every grid step than the
+    # whole placement compute (perf/place_probe.py: 1 class 42.4 ms /
+    # 5 classes 44.1 ms at bench shapes) ----
+    def bdot(a, b_):
+        return jax.lax.dot_general(
+            a, b_, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    z = bdot(epad_ref[...],
+             bt_scr[...].astype(jnp.bfloat16).reshape(g_count, tr, 128)
+             ).reshape(g_count * z_rows, 128)        # (G*Z, 128)
     for mi in ([] if "place" in ablate else range(n_m)):
         inner = (jax.lax.dot_general(
             pm, fplace_ref[mi, 0],
@@ -612,10 +629,9 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)) \
             .astype(jnp.bfloat16)                    # (GC, 128)
-        z = z + jax.lax.dot_general(
-            eplace_ref[mi], inner,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (G*Z, 128)
+        z = z + bdot(eplace_ref[mi],
+                     inner.reshape(g_count, 128, 128)).reshape(
+                         g_count * z_rows, 128)
 
     # ---- one batched even-position sync + CRC scan ----
     if "scan" in ablate:
@@ -626,17 +642,15 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
                                        g_count * z_rows - 2)
 
     # ---- batched next-tail extraction (3 candidates) ----
-    zb = z.astype(jnp.bfloat16)
+    zb = z.astype(jnp.bfloat16).reshape(g_count, z_rows, 128)
     tails = []
     for d in range(3):
         # two sandwich pairs per candidate: slab d covers lanes with no
         # row carry (rho + l' < 128), slab d+3 the carried lanes
-        acc = jnp.zeros((bt_scr.shape[0], 128), jnp.float32)
+        acc = jnp.zeros((g_count * tr, 128), jnp.float32)
         for dd in (d, d + 3):
-            t2 = jax.lax.dot_general(
-                etail_ref[dd], zb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            t2 = bdot(etail_ref[dd], zb).reshape(
+                g_count * tr, 128).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
                 t2, ftail_ref[dd],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -674,69 +688,64 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
 
 
 def _bh_static_tables(group, tb, z_rows, tr, w_width, base, sy, k_max):
-    """Numpy tables for the batched kernel (see _backhalf_kernel)."""
+    """Numpy tables for the batched kernel (see _backhalf_kernel).
+
+    The carrier-block-diagonal row maps are stored as (group, ...) TILED
+    per-block matrices (every carrier's block is identical) and applied
+    with batch-dimension dot_generals — a few hundred KB of operands
+    instead of (G*Z, G*128) flats that dominate HBM traffic when
+    streamed per grid step."""
     ms = [m for m in range(tb % 32 - 32, 128, 32) if m > -32]
-    gz, gc, gt = group * z_rows, group * 128, group * tr
     p_all = np.zeros((w_width, 11 * sy), np.float32)
     for qi in range(11):
         for u in range(sy):
             lam = base + 4 * u + qi - 4
             if 0 <= lam < w_width:
                 p_all[lam, qi * sy + u] = 1.0
-    e_place = np.zeros((len(ms), gz, gc), np.float32)
+    # placement row map B[r, t'] = [tb + 32 t' == 128 r + m], tiled
+    e_place = np.zeros((len(ms), z_rows, 128), np.float32)
     f_place = np.zeros((len(ms), 2, sy, 128), np.float32)
     for mi, m in enumerate(ms):
         for t in range(128):
             r, rem = divmod(tb + 32 * t - m, 128)
             if rem == 0 and 0 <= r < z_rows:
-                for g in range(group):
-                    e_place[mi, g * z_rows + r, g * 128 + t] = 1.0
+                e_place[mi, r, t] = 1.0
         for beta in range(2):
             for u in range(sy):
                 ll = m + 2 * u + beta
                 if 0 <= ll < 128:
                     f_place[mi, beta, u, ll] = 1.0
-    e_pad = np.zeros((gz, gt), np.float32)
-    for g in range(group):
-        for q in range(tr):
-            e_pad[g * z_rows + q, g * tr + q] = 1.0
-    e_tail = np.zeros((3, gt, gz), np.float32)
-    f_tail = np.zeros((3, 128, 128), np.float32)
+    e_pad = np.zeros((z_rows, tr), np.float32)
+    for q in range(tr):
+        e_pad[q, q] = 1.0
+    # next-tail extraction row maps (two slabs per candidate: carry /
+    # no-carry lanes)
+    e_tail = np.zeros((6, tr, z_rows), np.float32)
+    f_tail = np.zeros((6, 128, 128), np.float32)
     for d in range(3):
         q, rho = divmod(2 * k_max - 4 + 2 * d, 128)
-        for g in range(group):
-            for rp in range(tr):
-                if q + rp < z_rows:
-                    e_tail[d, g * tr + rp, g * z_rows + q + rp] += 1.0
-        # lane maps: m2=0 rows come from z row q+rp (lane rho+l'),
-        # m2=1 from row q+rp+1 (lane rho+l'-128).  Encode the carry
-        # by splitting into TWO e/f pairs... folded instead into one
-        # pair per d by noting the two row sources differ by one row:
-        # handled via a second (shifted) e/f pair below.
+        for rp in range(tr):
+            if q + rp < z_rows:
+                e_tail[d, rp, q + rp] = 1.0
+            if q + rp + 1 < z_rows:
+                e_tail[3 + d, rp, q + rp + 1] = 1.0
         for lin in range(128):
             lp = lin - rho
             if 0 <= lp < 128:
                 f_tail[d, lin, lp] = 1.0
-    # carry part: bits with rho + l' >= 128 live one row lower
-    e_tail2 = np.zeros((3, gt, gz), np.float32)
-    f_tail2 = np.zeros((3, 128, 128), np.float32)
-    for d in range(3):
-        q, rho = divmod(2 * k_max - 4 + 2 * d, 128)
-        for g in range(group):
-            for rp in range(tr):
-                if q + rp + 1 < z_rows:
-                    e_tail2[d, g * tr + rp, g * z_rows + q + rp + 1] = 1.0
-        for lin in range(128):
             lp = lin + 128 - rho
             if 0 <= lp < 128:
-                f_tail2[d, lin, lp] = 1.0
+                f_tail[3 + d, lin, lp] = 1.0
+    tile = lambda a, axis: np.broadcast_to(
+        np.expand_dims(a, axis), a.shape[:axis] + (group,)
+        + a.shape[axis:]).copy()
     return {
         "p_all": p_all,
-        "e_place": e_place.astype(np.float32),
+        "e_place": tile(e_place, 1),          # (n_m, G, Z, 128)
         "f_place": f_place,
-        "e_pad": e_pad,
-        "e_tail": np.concatenate([e_tail, e_tail2], 0),
-        "f_tail": np.concatenate([f_tail, f_tail2], 0),
+        "e_pad": tile(e_pad, 0),              # (G, Z, TR)
+        "e_tail": tile(e_tail, 1),            # (6, G, TR, Z)
+        "f_tail": f_tail,
         "n_m": len(ms),
     }
 
@@ -840,14 +849,17 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((w_width, 11 * sy), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_m, gz, gc), lambda i, *_: (0, 0, 0),
+                pl.BlockSpec((n_m, group, z_rows, 128),
+                             lambda i, *_: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_m, 2, sy, 128),
                              lambda i, *_: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((gz, gt), lambda i, *_: (0, 0),
+                pl.BlockSpec((group, z_rows, tr),
+                             lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((6, gt, gz), lambda i, *_: (0, 0, 0),
+                pl.BlockSpec((6, group, tr, z_rows),
+                             lambda i, *_: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((6, 128, 128), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -894,7 +906,7 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
       jnp.asarray(tabs["p_all"]),
       jnp.asarray(tabs["e_place"], jnp.bfloat16),
       jnp.asarray(tabs["f_place"], jnp.bfloat16),
-      jnp.asarray(tabs["e_pad"]),
+      jnp.asarray(tabs["e_pad"], jnp.bfloat16),
       jnp.asarray(tabs["e_tail"], jnp.bfloat16),
       jnp.asarray(tabs["f_tail"], jnp.bfloat16))
 
