@@ -131,7 +131,10 @@ def test_packed_scan_matches_reference():
 @pytest.mark.unit
 def test_even_scan_matches_dense_even_positions():
     """frame_scan_packed_even == frame_scan at every EVEN position:
-    same corr values, same crc_err, with element pe <-> bit 2*pe."""
+    same corr values, same crc_err (FORWARD-only — the production even
+    scan drops the reversed-payload channels; the host completes that
+    check per sync hit), with element pe <-> bit 2*pe."""
+    import jax.numpy as jnp
     c, n = 3, 3000
     bits = _random_bits(c, n, seed=11)
     from tetraear_tpu.ref import golden
@@ -140,7 +143,8 @@ def test_even_scan_matches_dense_even_positions():
         slot = golden.build_slot(golden.build_mac_resource_data_bits(
             b"EVENSCAN", address=0x2000 + ci))
         bits[ci, q:q + 510] = slot
-    dense = framescan.FrameScanKernel(packed=False).scan(bits)
+    dense = {k: np.asarray(v) for k, v in framescan.frame_scan(
+        jnp.asarray(bits), rev=False).items()}
     ev = framescan.FrameScanKernel(even_only=True).scan(bits)
     assert ev["corr"].shape[1] == (n - framescan.SYNC_LEN) // 2 + 1
     assert ev["crc_err"].shape[1] == (n - framescan.CRC_SPAN) // 2 + 1
@@ -157,13 +161,42 @@ def test_even_scan_matches_dense_even_positions():
         assert ev["corr"][ci, (q + framescan.TS_OFFSET_BITS) // 2] >= 0.999
     # odd length
     bits2 = _random_bits(2, 2001, seed=12)
-    d2 = framescan.FrameScanKernel(packed=False).scan(bits2)
+    d2 = {k: np.asarray(v) for k, v in framescan.frame_scan(
+        jnp.asarray(bits2), rev=False).items()}
     e2 = framescan.FrameScanKernel(even_only=True).scan(bits2)
     np.testing.assert_allclose(
         e2["corr"], d2["corr"][:, ::2][:, :e2["corr"].shape[1]],
         atol=1e-6)
     np.testing.assert_array_equal(
         e2["crc_err"], d2["crc_err"][:, ::2][:, :e2["crc_err"].shape[1]])
+
+
+@pytest.mark.unit
+def test_reversed_payload_recovered_by_host_completion():
+    """A reversed-payload frame reads high on the forward-only even
+    scan, but parse_burst's host completion (the O(sync hits) reversed
+    re-check) still accepts it — end semantics match the reference's
+    both-orientation check."""
+    from tetraear_tpu.frame.burst import parse_burst
+    from tetraear_tpu.ref import golden
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 2, 200).astype(np.uint8)
+    crc = crc_mod.crc16_batch(payload[::-1])[0]
+    data = np.concatenate([payload, crc])
+    slot = golden.build_slot(golden.build_mac_resource_data_bits(
+        b"REVHOST", address=0x3000))
+    slot[0:108] = data[:108]
+    slot[122:230] = data[108:]                     # reversed-CRC view
+    bits = _random_bits(1, 1200, seed=6)
+    q = 100
+    bits[0, q:q + 510] = slot
+    ev = framescan.FrameScanKernel(even_only=True).scan(bits)
+    # forward-only device verdict does NOT pass...
+    assert ev["crc_err"][0, q // 2] > 2
+    # ...but the host burst parse with a non-pass hint re-checks fully
+    syms = (bits[0, q:q + 510:2] << 1) | bits[0, q + 1:q + 510:2]
+    burst = parse_burst(syms, crc_hint=False)
+    assert burst is not None and burst.crc_ok
 
 
 @pytest.mark.unit

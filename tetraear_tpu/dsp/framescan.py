@@ -110,11 +110,14 @@ def sync_corr(bits: jnp.ndarray) -> jnp.ndarray:
     return (best + SYNC_LEN) / (2.0 * SYNC_LEN)
 
 
-def crc_err_all(bits: jnp.ndarray) -> jnp.ndarray:
+def crc_err_all(bits: jnp.ndarray, rev: bool = True) -> jnp.ndarray:
     """(C, N) bits -> (C, N-229) min CRC error count per frame start.
 
     Reproduces crc.soft_crc_check's decision inputs (forward + reversed
     payload, degenerate rejection) densely at every position.
+    ``rev=False`` checks the forward orientation only — the reference
+    semantics of the production even/fused scans, whose reversed check
+    is completed on host per sync hit (frame.burst.parse_burst).
     """
     x = bits.astype(jnp.float32)
     out = jax.lax.conv_general_dilated(
@@ -125,19 +128,23 @@ def crc_err_all(bits: jnp.ndarray) -> jnp.ndarray:
     c0_2 = jnp.concatenate([jnp.asarray(_CRC_C0, jnp.int32)] * 2)
     syn = (out_i[:, 0:32] & 1) ^ c0_2[None, :, None]
     e_fwd = jnp.sum(syn[:, 0:16], axis=1)
-    e_rev = jnp.sum(syn[:, 16:32], axis=1)
     ones = out_i[:, 32]                                # (C, P)
-    err = jnp.minimum(e_fwd, e_rev)
+    if rev:
+        e_rev = jnp.sum(syn[:, 16:32], axis=1)
+        err = jnp.minimum(e_fwd, e_rev)
+    else:
+        err = e_fwd
     degenerate = (ones == 0) | (ones == DATA_BITS)
     return jnp.where(degenerate, jnp.int32(99), err)
 
 
-def frame_scan(bits: jnp.ndarray) -> dict:
+def frame_scan(bits: jnp.ndarray, rev: bool = True) -> dict:
     """Full dense frame scan of a (C, N) bit matrix (traceable).
 
     Returns {"corr": (C, N-21) float32, "crc_err": (C, N-229) int32}.
     """
-    return {"corr": sync_corr(bits), "crc_err": crc_err_all(bits)}
+    return {"corr": sync_corr(bits),
+            "crc_err": crc_err_all(bits, rev=rev)}
 
 
 # ---------------------------------------------------------------------------
@@ -162,29 +169,39 @@ PACK_STRIDE = 8
 _KPACK = CRC_SPAN + PACK_STRIDE - 1                  # 237
 
 
-def _packed_kernel(step: int = 1) -> tuple:
-    """((35 * 8/step, 1, 237) bf16 kernel, sync zero-counts (2,) f32).
+def _packed_kernel(step: int = 1, rev: bool = True) -> tuple:
+    """((rpp * 8/step, 1, 237) bf16 kernel, sync zero-counts (2,) f32).
 
-    Channel layout: ch = i * 35 + r for stride phase d = step * i in
-    [0,8) and base row r — rows 0..32 the CRC rows of _CRC_KERNEL, rows
-    33..34 the two sync patterns recast for a {0,1} input:
-    agreement(b, pat) = conv(b, 2*pat - 1) + (# zeros in pat).
+    Channel layout: ch = i * rpp + r for stride phase d = step * i in
+    [0,8) and base row r.  With ``rev`` (reference semantics) rpp = 35:
+    rows 0..32 the CRC rows of _CRC_KERNEL (16 forward + 16 reversed +
+    ones), rows 33..34 the two sync patterns recast for a {0,1} input:
+    agreement(b, pat) = conv(b, 2*pat - 1) + (# zeros in pat).  With
+    ``rev=False`` (the production fleet paths) rpp = 19: the 16
+    reversed-payload rows are dropped — they would double the dense
+    matmul cost fleet-wide for a case the host completes in O(sync
+    hits) instead (frame.burst.parse_burst re-checks both orientations
+    whenever the device hint is not a definite pass).
     ``step=2`` keeps only the even stride phases (symbol-aligned
     positions — see frame_scan_packed_even).
     """
-    base = np.zeros((35, _KPACK), np.float32)
-    base[0:33, 0:CRC_SPAN] = _CRC_KERNEL[:, 0, :]
-    base[33:35, 0:SYNC_LEN] = 2.0 * _PATTERNS - 1.0
+    rows = ([*range(0, 33)] if rev
+            else [*range(0, 16), 32])            # fwd + ones
+    rpp = len(rows) + 2
+    base = np.zeros((rpp, _KPACK), np.float32)
+    base[0:len(rows), 0:CRC_SPAN] = _CRC_KERNEL[rows, 0, :]
+    base[len(rows):rpp, 0:SYNC_LEN] = 2.0 * _PATTERNS - 1.0
     phases = range(0, PACK_STRIDE, step)
-    k = np.zeros((35 * len(phases), 1, _KPACK), np.float32)
+    k = np.zeros((rpp * len(phases), 1, _KPACK), np.float32)
     for i, d in enumerate(phases):
-        k[i * 35:(i + 1) * 35, 0, d:] = base[:, :_KPACK - d]
+        k[i * rpp:(i + 1) * rpp, 0, d:] = base[:, :_KPACK - d]
     zeros_in_pat = (SYNC_LEN - _PATTERNS.sum(axis=1)).astype(np.float32)
     return k.astype(jnp.bfloat16), zeros_in_pat
 
 
 _PACKED_KERNEL, _SYNC_ZEROS = _packed_kernel()
 _PACKED_KERNEL_EVEN, _ = _packed_kernel(step=2)
+_PACKED_KERNEL_EVEN_FWD, _ = _packed_kernel(step=2, rev=False)
 
 
 def frame_scan_packed(bits: jnp.ndarray) -> dict:
@@ -212,36 +229,39 @@ def frame_scan_packed(bits: jnp.ndarray) -> dict:
 
 
 def _pallas_scan_tables() -> tuple:
-    """(k3 (384, 2624) bf16, rsyn (2624, 128) bf16, c0 (1, 2624) f32)
+    """(k3 (384, 1600) bf16, rsyn (1600, 128) bf16, c0 (1, 1600) f32)
     for pallas_kernels.frame_scan_even.
 
     k3 evaluates the whole even-position scan of a 3-row (384-bit)
     sliding window in ONE matmul: columns are [ones 64 in a 128 block |
-    TS1 | TS2 | conv 16*140], where conv column 384 + t*140 + ch
-    carries the even-phase packed taps of channel ch = i*35 + r
-    shifted by 8*t (window shift t in [0,16) inside the 128-bit row).
-    rsyn is the 0/1 syndrome row-selector ([forward 64 | reversed 64]
-    columns indexed t*4 + i); c0 the expected CRC parity per conv
-    column."""
-    kk = _PACKED_KERNEL_EVEN[:, 0, :].astype(np.float32)   # (140, 237)
-    k3 = np.zeros((384, 2624), np.float32)
-    rsyn = np.zeros((2624, 128), np.float32)
-    c0v = np.zeros((1, 2624), np.float32)
-    c0 = np.concatenate([_CRC_C0] * 2).astype(np.float32)
+    TS1 | TS2 | conv 16*76], where conv column 384 + t*76 + ch
+    carries the even-phase FORWARD-only packed taps of channel
+    ch = i*19 + r shifted by 8*t (window shift t in [0,16) inside the
+    128-bit row; the reversed-payload check is completed on host in
+    O(sync hits) — _packed_kernel docstring).  rsyn is the 0/1
+    syndrome row-selector; its reversed half duplicates the forward
+    columns so the kernel's min(e_fwd, e_rev) reduces to e_fwd with no
+    kernel change.  c0 is the expected CRC parity per conv column."""
+    kk = _PACKED_KERNEL_EVEN_FWD[:, 0, :].astype(np.float32)  # (76, 237)
+    n_cols = 384 + 16 * 76
+    k3 = np.zeros((384, n_cols), np.float32)
+    rsyn = np.zeros((n_cols, 128), np.float32)
+    c0v = np.zeros((1, n_cols), np.float32)
+    c0 = _CRC_C0.astype(np.float32)
     conv0 = 384
     for t in range(16):
-        k3[8 * t:8 * t + _KPACK, conv0 + t * 140:
-           conv0 + (t + 1) * 140] = kk.T
+        k3[8 * t:8 * t + _KPACK, conv0 + t * 76:
+           conv0 + (t + 1) * 76] = kk.T
         for i in range(4):
             q = t * 4 + i
-            k3[8 * t:8 * t + 237, q] = kk[i * 35 + 32]        # ones
-            k3[8 * t:8 * t + 237, 128 + q] = kk[i * 35 + 33]  # TS1
-            k3[8 * t:8 * t + 237, 256 + q] = kk[i * 35 + 34]  # TS2
-            rows = conv0 + t * 140 + i * 35
-            c0v[0, rows:rows + 32] = c0
+            k3[8 * t:8 * t + 237, q] = kk[i * 19 + 16]        # ones
+            k3[8 * t:8 * t + 237, 128 + q] = kk[i * 19 + 17]  # TS1
+            k3[8 * t:8 * t + 237, 256 + q] = kk[i * 19 + 18]  # TS2
+            rows = conv0 + t * 76 + i * 19
+            c0v[0, rows:rows + 16] = c0
             for r in range(16):
                 rsyn[rows + r, q] = 1.0
-                rsyn[rows + 16 + r, 64 + q] = 1.0
+                rsyn[rows + r, 64 + q] = 1.0
     return (k3.astype(jnp.bfloat16), rsyn.astype(jnp.bfloat16), c0v)
 
 
@@ -290,8 +310,8 @@ def frame_scan_packed_even_xla(bits: jnp.ndarray) -> dict:
     describes bit position p = 2 * pe; values equal
     frame_scan(bits)[...][:, ::2] exactly.
     """
-    corr, errl = _conv_and_reduce(bits, _PACKED_KERNEL_EVEN,
-                                  PACK_STRIDE // 2)
+    corr, errl = _conv_and_reduce(bits, _PACKED_KERNEL_EVEN_FWD,
+                                  PACK_STRIDE // 2, rpp=19)
     n = bits.shape[1]
     return {"corr": corr[:, :(n - SYNC_LEN) // 2 + 1],
             "crc_err": errl[:, :(n - CRC_SPAN) // 2 + 1]
@@ -299,11 +319,12 @@ def frame_scan_packed_even_xla(bits: jnp.ndarray) -> dict:
 
 
 def _conv_and_reduce(bits: jnp.ndarray, kernel: np.ndarray,
-                     nph: int) -> tuple:
+                     nph: int, rpp: int = 35) -> tuple:
     """Shared packed-conv + native-layout reduction.
 
-    kernel: (nph * 35, 1, 237) stride-phase-packed taps (phase of
-    channel i*35+r is d = i * (8 // nph)).  Returns (corr, err) as
+    kernel: (nph * rpp, 1, 237) stride-phase-packed taps (phase of
+    channel i*rpp+r is d = i * (8 // nph); rpp = 35 with the reversed
+    CRC rows, 19 forward-only).  Returns (corr, err) as
     (C, J * nph) arrays linear in phase-index space: element
     jj * nph + i is bit position 8 * jj + i * (8 // nph).
     """
@@ -315,7 +336,7 @@ def _conv_and_reduce(bits: jnp.ndarray, kernel: np.ndarray,
     out = jax.lax.conv_general_dilated(
         x[:, None, :], jnp.asarray(kernel),
         window_strides=(PACK_STRIDE,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))     # (C, nph*35, J)
+        dimension_numbers=("NCH", "OIH", "NCH"))     # (C, nph*rpp, J)
     j = out.shape[2]
     # keep the big tensor bf16 end to end: slice (free) THEN cast per
     # branch, so each consumer fuses its elementwise work + channel
@@ -323,19 +344,24 @@ def _conv_and_reduce(bits: jnp.ndarray, kernel: np.ndarray,
     # astype(f32) of the whole tensor was measured to cost ~50 ms/block
     # at C=10240 in extra HBM round trips.  All values are integers
     # <= 237, exact in bf16, so parity/min/compare stay exact.
-    g = out.reshape(c, nph, 35, j)
-    sync = g[:, :, 33:35, :]                              # (C, nph, 2, J)
+    g = out.reshape(c, nph, rpp, j)
+    n_crc = rpp - 3                                       # 32 or 16
+    sync = g[:, :, rpp - 2:rpp, :]                        # (C, nph, 2, J)
     corr_p = jnp.max(
         sync + jnp.asarray(_SYNC_ZEROS, jnp.bfloat16)[None, None, :, None],
         axis=2)                                           # (C, nph, J)
-    crc = g[:, :, 0:32, :]
+    crc = g[:, :, 0:n_crc, :]
     par = crc - 2.0 * jnp.floor(crc * 0.5)                # v mod 2
-    c0f = jnp.asarray(np.concatenate([_CRC_C0] * 2), jnp.bfloat16)
+    c0f = jnp.asarray(
+        np.concatenate([_CRC_C0] * (n_crc // 16)), jnp.bfloat16)
     syn = jnp.abs(par - c0f[None, None, :, None])         # xor on {0,1}
     e_fwd = jnp.sum(syn[:, :, 0:16], axis=2)              # (C, nph, J)
-    e_rev = jnp.sum(syn[:, :, 16:32], axis=2)
-    ones = g[:, :, 32, :]
-    err = jnp.minimum(e_fwd, e_rev)
+    ones = g[:, :, rpp - 3, :]
+    if n_crc == 32:
+        e_rev = jnp.sum(syn[:, :, 16:32], axis=2)
+        err = jnp.minimum(e_fwd, e_rev)
+    else:
+        err = e_fwd
     degenerate = (ones == 0.0) | (ones == float(DATA_BITS))
     err = jnp.where(degenerate, jnp.bfloat16(99), err)
     # linearize the small per-phase planes: (C, nph, J) -> (C, J*nph)

@@ -841,11 +841,11 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((group, 16), lambda i, *_: (i, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((384, 2624), lambda i, *_: (0, 0),
+                pl.BlockSpec(k3.shape, lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2624, 128), lambda i, *_: (0, 0),
+                pl.BlockSpec(rsyn.shape, lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2624), lambda i, *_: (0, 0),
+                pl.BlockSpec(c0.shape, lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((w_width, 11 * sy), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -897,7 +897,7 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
             jax.ShapeDtypeStruct((c_n, 2, 1, p), jnp.float32),
             jax.ShapeDtypeStruct((c_n, 1, 128), jnp.float32),
         ),
-        # the batched scan intermediate ((G*Z, 2624) f32) overflows the
+        # the batched scan intermediate ((G*Z, n_cols) f32) overflows the
         # 16 MB default scoped-vmem budget at group=8; v5e has 128 MB
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -925,7 +925,7 @@ def frame_scan_even(bits: jnp.ndarray, k3: jnp.ndarray,
       * bits arrive pre-reshaped (C, R, 128) — rows of 128 bits;
       * a 3-row sliding window v3 (M, 384) is built from three
         128-aligned row slices (M = R - 2);
-      * ONE (M, 384) x (384, 2624) bf16 matmul evaluates the packed
+      * ONE (M, 384) x (384, n_cols) bf16 matmul evaluates the packed
         conv for all 16 within-row shifts t AND the ones/sync channel
         selections (k3's first three 128-lane blocks carry the
         ones / TS1 / TS2 rows at columns t*4 + i);
@@ -941,11 +941,11 @@ def frame_scan_even(bits: jnp.ndarray, k3: jnp.ndarray,
     Args:
         bits: (C, R, 128) uint8 {0,1}; caller zero-pads columns so
             that 128*R >= n + 256 with at least 236 pad bits.
-        k3: (384, 2624) bf16 — [ones | TS1 | TS2 | conv] column blocks
+        k3: (384, n_cols) bf16 — [ones | TS1 | TS2 | conv] column blocks
             (framescan._pallas_scan_tables).
-        rsyn: (2624, 128) bf16 — syndrome row-selector, columns
+        rsyn: (n_cols, 128) bf16 — syndrome row-selector, columns
             [forward 64 | reversed 64] indexed t*4 + i.
-        c0: (1, 2624) f32 — expected CRC parity per conv column.
+        c0: (1, n_cols) f32 — expected CRC parity per conv column.
 
     Returns (corr (C, M, 64) f32, crc_err (C, M, 64) int32).
     """
@@ -960,11 +960,11 @@ def frame_scan_even(bits: jnp.ndarray, k3: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((group, r, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((384, 2624), lambda i: (0, 0),
+                pl.BlockSpec(k3.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2624, 128), lambda i: (0, 0),
+                pl.BlockSpec(rsyn.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2624), lambda i: (0, 0),
+                pl.BlockSpec(c0.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(

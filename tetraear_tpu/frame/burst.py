@@ -118,9 +118,13 @@ def parse_burst(symbols: np.ndarray, slot_number: int = 0,
     """Parse one 255-symbol slot into a TetraBurst (protocol.py:192-244).
 
     ``crc_hint`` carries a CRC verdict precomputed on device for normal
-    bursts (dsp.framescan dense CRC); it is trusted only for the normal
-    burst types whose data layout the device kernel models — sync bursts
-    fall back to the host check."""
+    bursts (dsp.framescan dense CRC); a TRUE hint is trusted for the
+    normal burst types whose data layout the device kernel models.  A
+    FALSE hint only short-circuits nothing: the device scan checks the
+    FORWARD orientation densely (the reversed-payload check would
+    double its matmul cost fleet-wide), so the host completes the full
+    forward+reversed verdict here — O(sync hits), identical final
+    semantics to the reference's both-orientation check."""
     symbols = np.asarray(symbols)
     if len(symbols) < SYMBOLS_PER_SLOT:
         return None
@@ -128,9 +132,9 @@ def parse_burst(symbols: np.ndarray, slot_number: int = 0,
     btype = detect_burst_type(bits)
     training = extract_training_sequence(bits, btype)
     data_bits = extract_data_bits(bits, btype)
-    if crc_hint is not None and btype in (BurstType.NormalDownlink,
-                                          BurstType.NormalUplink):
-        crc_ok = bool(crc_hint)
+    if crc_hint and btype in (BurstType.NormalDownlink,
+                              BurstType.NormalUplink):
+        crc_ok = True
     else:
         crc_ok = crc_mod.soft_crc_check(data_bits)
     if stats is not None:
