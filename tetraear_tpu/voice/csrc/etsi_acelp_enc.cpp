@@ -225,6 +225,15 @@ struct EtsiEncoder {
   Word16 mem_syn[10];              /* decoder-replica synthesis memory */
   float res_hist[10];              /* residual-filter input history */
   int16_t pcm_hist[10];
+  /* perceptual-weighting filter W(z) = A(z/g1)/A(z/g2) state: past
+   * values of the coding error e = s - s_hat (the W input continued
+   * across subframes) and of the weighted error ew = W(e) (the W
+   * output).  Matching in the W domain shapes the coding noise under
+   * the formants instead of spreading it flat (the reference
+   * encoder's weighting; plain-synthesis-domain matching was the
+   * acknowledged quality gap). */
+  float wu_hist[10];
+  float wy_hist[10];
 
   EtsiEncoder() {
     std::memset(old_exc, 0, sizeof(old_exc));
@@ -236,6 +245,8 @@ struct EtsiEncoder {
     std::memset(mem_syn, 0, sizeof(mem_syn));
     std::memset(res_hist, 0, sizeof(res_hist));
     std::memset(pcm_hist, 0, sizeof(pcm_hist));
+    std::memset(wu_hist, 0, sizeof(wu_hist));
+    std::memset(wy_hist, 0, sizeof(wy_hist));
   }
 
   void encode(const int16_t *pcm, Word16 prm[24]) {
@@ -309,6 +320,31 @@ struct EtsiEncoder {
           acc -= (float)a[j] * hs[n - j];
         hs[n] = acc / 4096.0f;
       }
+      /* weighted synthesis impulse response hw = impulse of
+       * W(z)/A_q(z), W = A(z/g1)/A(z/g2): run hs through the FIR
+       * A(z/g1) then the IIR 1/A(z/g2), zero states (code/adaptive
+       * images are zero-past by construction, so their weighted images
+       * are plain convolutions with hw) */
+      const float kG1 = 0.90f, kG2 = 0.60f;
+      float aw1[11], aw2[11];
+      {
+        float g1p = 1.0f, g2p = 1.0f;
+        for (int j = 0; j <= 10; j++) {
+          aw1[j] = (float)a[j] / 4096.0f * g1p;
+          aw2[j] = (float)a[j] / 4096.0f * g2p;
+          g1p *= kG1;
+          g2p *= kG2;
+        }
+      }
+      float hw[kSubfrLen];
+      for (int n = 0; n < kSubfrLen; n++) {
+        float acc = 0.0f;
+        for (int j = 0; j <= 10 && j <= n; j++)
+          acc += aw1[j] * hs[n - j];
+        for (int j = 1; j <= 10 && j <= n; j++)
+          acc -= aw2[j] * hw[n - j];
+        hw[n] = acc;
+      }
       /* target x = input minus zero-input response of the decoder's
        * synthesis filter (decoder-exact Word16 memory) */
       Word16 zeros[kSubfrLen] = {0};
@@ -321,6 +357,26 @@ struct EtsiEncoder {
       float x[kSubfrLen];
       for (int n = 0; n < kSubfrLen; n++)
         x[n] = (float)pcm[i_subfr + n] - (float)zir[n];
+      /* weighted target xw = W applied to x with the carried error
+       * histories: past W inputs are the true coding errors e = s -
+       * s_hat, past W outputs the true weighted errors ew — so xw is
+       * exactly W(e) minus the (still unknown) zero-state images of
+       * this subframe's excitation, which the searches subtract */
+      float xw[kSubfrLen];
+      for (int n = 0; n < kSubfrLen; n++) {
+        float acc = 0.0f;
+        for (int j = 0; j <= 10; j++) {
+          float u = (n - j >= 0) ? x[n - j]
+                                 : wu_hist[10 + (n - j)];
+          acc += aw1[j] * u;
+        }
+        for (int j = 1; j <= 10; j++) {
+          float v = (n - j >= 0) ? xw[n - j]
+                                 : wy_hist[10 + (n - j)];
+          acc -= aw2[j] * v;
+        }
+        xw[n] = acc;
+      }
 
       /* adaptive search in the synthesis domain around the open-loop
        * lag (subframe 1) / the encoded window (subframes 2-4) */
@@ -361,8 +417,8 @@ struct EtsiEncoder {
           for (int n = 0; n < kSubfrLen; n++) {
             float yy = 0.0f;
             for (int j = 0; j <= n; j++)
-              yy += (float)scratch[kExcOff + j] * hs[n - j];
-            num += (double)x[n] * yy;
+              yy += (float)scratch[kExcOff + j] * hw[n - j];
+            num += (double)xw[n] * yy;
             den += (double)yy * yy;
           }
           double score = num * num / den;
@@ -397,18 +453,18 @@ struct EtsiEncoder {
         prm[1 + prm_i++] = (Word16)(3 * d + 2 + frac);
       }
 
-      /* decoder-exact adaptive vector + its synthesis-domain image */
+      /* decoder-exact adaptive vector + its WEIGHTED-domain image */
       Pred_Lt(&exc[i_subfr], t0, frac, kSubfrLen);
       for (int n = 0; n < kSubfrLen; n++) {
         float yy = 0.0f;
         for (int j = 0; j <= n; j++)
-          yy += (float)exc[i_subfr + j] * hs[n - j];
+          yy += (float)exc[i_subfr + j] * hw[n - j];
         y[n] = yy;
       }
       {
         double num = 0.0, den = 1e-6;
         for (int n = 0; n < kSubfrLen; n++) {
-          num += (double)x[n] * y[n];
+          num += (double)xw[n] * y[n];
           den += (double)y[n] * y[n];
         }
         gp_f = num / den;
@@ -417,7 +473,7 @@ struct EtsiEncoder {
       }
       float x2[kSubfrLen];
       for (int n = 0; n < kSubfrLen; n++)
-        x2[n] = x[n] - (float)gp_f * y[n];
+        x2[n] = xw[n] - (float)gp_f * y[n];
 
       /* decoder-exact weighted impulse response F (pitch sharpened) */
       Word16 Ap3[11], Ap4[11];
@@ -452,7 +508,7 @@ struct EtsiEncoder {
           for (int n = 0; n < kSubfrLen; n++) {
             float yy = 0.0f;
             for (int j = 0; j <= n; j++)
-              yy += (float)f[j] * hs[n - j];
+              yy += (float)f[j] * hw[n - j];
             out[n] = yy;
           }
         };
@@ -528,13 +584,13 @@ struct EtsiEncoder {
       for (int n = 0; n < kSubfrLen; n++) {
         float yy = 0.0f;
         for (int j = 0; j <= n; j++)
-          yy += (float)code[j] * hs[n - j];
+          yy += (float)code[j] * hw[n - j];
         yc[n] = yy;
       }
 
       /* energy index: decoder-exact trial of all 64 indices, selecting
        * the one whose DECODED gains best reconstruct the target in the
-       * SYNTHESIS domain */
+       * WEIGHTED domain */
       Word16 ener_pit, ener_cod;
       Ener_Measure(a, &exc[i_subfr], code, kSubfrLen, &ener_pit,
                    &ener_cod);
@@ -547,7 +603,7 @@ struct EtsiEncoder {
         Ener_Gains(lp, lc, ener_pit, ener_cod, &gp, &gc);
         double err = 0.0;
         for (int n = 0; n < kSubfrLen; n++) {
-          double e = x[n] - ((double)gp / 4096.0) * y[n]
+          double e = xw[n] - ((double)gp / 4096.0) * y[n]
                      - ((double)gc / 4096.0) * yc[n];
           err += e * e;
         }
@@ -569,6 +625,15 @@ struct EtsiEncoder {
       }
       Word16 synth_loc[kSubfrLen];
       Syn_Filt(a, &exc[i_subfr], synth_loc, kSubfrLen, mem_syn, 1);
+      /* carry the W-filter state: true error e = s - s_hat (input
+       * side) and the realized weighted error (output side, via the
+       * DECODED gains so it matches what any receiver reproduces) */
+      for (int i = 0; i < 10; i++) {
+        int n = kSubfrLen - 10 + i;
+        wu_hist[i] = (float)pcm[i_subfr + n] - (float)synth_loc[n];
+        wy_hist[i] = xw[n] - ((float)sel_gp / 4096.0f) * y[n]
+                     - ((float)sel_gc / 4096.0f) * yc[n];
+      }
       a += 11;
     }
 
