@@ -113,6 +113,56 @@ def main():
     timed2("fft4", make_chain_fft4(False))
     timed2("fft4t", make_chain_fft4(True))
 
+    # isolate the (N2, N1) c64 transpose cost (the fft4t - fft4 delta
+    # should match this if XLA doesn't fuse it away)
+    def chain_xpose(x_r, tw_p, n):
+        def body(carry, _2):
+            xx = kernels.r2c(x_r) + carry
+            h = xx.reshape(N2, N1).T + carry
+            return h[0, 0] * 1e-30, h[0, 1].real
+        c, tails = jax.lax.scan(body, jnp.complex64(0), None, length=n)
+        return tails
+
+    timed2("xpose", chain_xpose)
+
+    # six-step: every FFT on the MINOR axis, transposes explicit —
+    # tests whether XLA's axis-0 batched FFT hides a worse-than-
+    # explicit transpose
+    def chain_fft6(x_r, tw_p, n):
+        twc = jax.lax.complex(tw_p[0], tw_p[1])
+
+        def body(carry, _2):
+            xx = kernels.r2c(x_r) + carry
+            xt = xx.reshape(N2, N1).T                # (i1, i2)
+            g2 = jnp.fft.fft(xt, axis=1)             # (i1, k2)
+            g3 = g2.T * twc                          # (k2, i1)
+            h = jnp.fft.fft(g3, axis=1)              # (k2, k1)
+            h = h.T                                  # natural order
+            return h[0, 0] * 1e-30, h[0, 1].real
+        c, tails = jax.lax.scan(body, jnp.complex64(0), None, length=n)
+        return tails
+
+    timed2("fft6", chain_fft6)
+
+    # segmented batch FFTs (S segments of N/S): raw-throughput signal
+    # for an overlap-save channelizer redesign with smaller nfft (the
+    # overlap overhead is NOT modelled here — upper bound only)
+    def make_chain_seg(s):
+        def chain(x_r, tw_p, n):
+            def body(carry, _2):
+                xx = kernels.r2c(x_r) + carry
+                h = jnp.fft.fft(xx.reshape(s, N // s), axis=1)
+                return h[0, 0] * 1e-30, h[0, 1].real
+            c, tails = jax.lax.scan(body, jnp.complex64(0), None,
+                                    length=n)
+            return tails
+        return chain
+
+    timed2("fftseg8", make_chain_seg(8))
+    timed2("fftseg16", make_chain_seg(16))
+    timed2("fftseg32", make_chain_seg(32))
+    timed2("fftseg64", make_chain_seg(64))
+
     # einsum-CT sub-transforms: each batched pow2 sub-FFT as two
     # DFT-matrix einsums + a twiddle on the MXU (the band-synthesis
     # trick applied to the forward transform)
@@ -122,9 +172,8 @@ def main():
             np.complex64)
 
     def make_chain_fft4e(hp):
-        p0 = q0 = 64
-        while p0 * q0 != N2:
-            p0 *= 2
+        p0 = 1 << (int(np.log2(N2)) // 2)
+        q0 = N2 // p0
         p1 = 64
         q1 = N1 // p1
 
