@@ -27,6 +27,7 @@ the persistent compile cache.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -242,6 +243,116 @@ def _band_synth_kernel(row_ref, d_ref, planes_hbm, h1_hbm,
                      None, nat_scr, h1_scr, sem_n, sem_h, 0)
 
 
+def _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
+                             m1c_ref, m2re_ref, m2im_ref, twre_ref,
+                             twim_ref, out_ref, ph_ref, nat_scr, h1_scr,
+                             sem_n, sem_h, phasor_drop):
+    """Group-batched formulation of _band_synth_body.
+
+    The per-carrier body issues ~6 VPU passes and three 128-wide
+    matmuls per carrier — at C=10240 that is latency-bound, not
+    bandwidth- or FLOP-bound.  Here the whole group runs as dense ops:
+    carriers stack along the LANE axis for stage 1 (scratch layout
+    (2, P, G, 128), so concat+reshape to the (2P, G*128) matmul operand
+    is layout-free) and stage 2 contracts the shared symmetric m2
+    against the (G, 128, 2P) intermediate in one batched dot.  Per-
+    element dot order is unchanged, so outputs are bit-identical to the
+    per-carrier body (asserted by test_pallas_channelizer).
+    """
+    i = pl.program_id(0)
+    g_count = out_ref.shape[0]
+    p = nat_scr.shape[1]
+
+    def nat_dma(g):
+        c = i * g_count + g
+        return pltpu.make_async_copy(
+            planes_hbm.at[:, pl.ds(row_ref[c], p), :],
+            nat_scr.at[:, :, g], sem_n.at[g])
+
+    def h1_dma(g):
+        c = i * g_count + g
+        return pltpu.make_async_copy(
+            h1_hbm.at[:, d_ref[c]], h1_scr.at[:, :, g], sem_h.at[g])
+
+    for g in range(g_count):
+        nat_dma(g).start()
+        h1_dma(g).start()
+    for g in range(g_count):
+        nat_dma(g).wait()
+        h1_dma(g).wait()
+
+    nre = nat_scr[0]                                 # (P, G, 128)
+    nim = nat_scr[1]
+    hre = h1_scr[0]
+    him = h1_scr[1]
+    bre = nre * hre - nim * him
+    bim = nre * him + nim * hre
+    a = jnp.concatenate([bre, bim], axis=0)          # (2P, G, 128)
+    a2 = a.reshape(2 * p, g_count * 128)             # layout-free
+    t2 = jax.lax.dot_general(
+        a2, m1c_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (G*128 l, 2P)
+    t3 = t2.reshape(g_count, 128, 2 * p)
+    tre = t3[:, :, :p]                               # (G, 128 l, P s)
+    tim = t3[:, :, p:]
+    twre = twre_ref[:][None]                         # (1, 128, P)
+    twim = twim_ref[:][None]
+    ure = tre * twre - tim * twim
+    uim = tre * twim + tim * twre
+    u2 = jnp.concatenate([ure, uim], axis=2)         # (G, 128, 2P)
+    u2s = jnp.concatenate([-uim, ure], axis=2)
+    # m2[t, l] = exp(2 pi j l t / 128) is SYMMETRIC, so contracting its
+    # sublane dim against the intermediate's l sublanes computes the
+    # same sum_l m2[t, l] u[l, s2] as the per-carrier body
+    y3 = (jax.lax.dot_general(
+        m2re_ref[:], u2, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+            m2im_ref[:], u2s,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))     # (128 t, G, 2P)
+    yre = jnp.transpose(y3[:, :, :p], (1, 0, 2))     # (G, 128 t, P s)
+    yim = jnp.transpose(y3[:, :, p:], (1, 0, 2))
+    out_ref[:, 0] = yre
+    out_ref[:, 1] = yim
+
+    if ph_ref is not None:
+        pw = yre * yre + yim * yim                   # (G, 128 t, P s)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
+        ss = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
+        live = ((ss + p * tt) >= phasor_drop).astype(jnp.float32)
+        s4 = ss % 4
+        wre = (jnp.where(s4 == 0, 1.0, 0.0)
+               - jnp.where(s4 == 2, 1.0, 0.0))
+        wim = (jnp.where(s4 == 3, 1.0, 0.0)
+               - jnp.where(s4 == 1, 1.0, 0.0))
+        phre = jnp.sum(pw * (wre * live)[None], axis=(1, 2))  # (G,)
+        phim = jnp.sum(pw * (wim * live)[None], axis=(1, 2))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g_count, 1, 128), 2)
+        ph_ref[...] = (jnp.where(lane == 0, phre[:, None, None], 0.0)
+                       + jnp.where(lane == 1, phim[:, None, None], 0.0))
+
+
+def _band_synth_kernel_b(row_ref, d_ref, planes_hbm, h1_hbm,
+                         m1c_ref, m2re_ref, m2im_ref, twre_ref,
+                         twim_ref, out_ref, nat_scr, h1_scr, sem_n,
+                         sem_h):
+    _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
+                             m1c_ref, m2re_ref, m2im_ref, twre_ref,
+                             twim_ref, out_ref, None, nat_scr, h1_scr,
+                             sem_n, sem_h, 0)
+
+
+def _band_synth_ph_kernel_b(phasor_drop, row_ref, d_ref, planes_hbm,
+                            h1_hbm, m1c_ref, m2re_ref, m2im_ref,
+                            twre_ref, twim_ref, out_ref, ph_ref,
+                            nat_scr, h1_scr, sem_n, sem_h):
+    _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
+                             m1c_ref, m2re_ref, m2im_ref, twre_ref,
+                             twim_ref, out_ref, ph_ref, nat_scr,
+                             h1_scr, sem_n, sem_h, phasor_drop)
+
+
 def _band_synth_ph_kernel(phasor_drop, row_ref, d_ref, planes_hbm,
                           h1_hbm, m1c_ref, m2re_ref, m2im_ref, twre_ref,
                           twim_ref, out_ref, ph_ref, nat_scr, h1_scr,
@@ -295,12 +406,17 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
     if c % group:
         group = 1
     p = rows_per_band
+    # opt-in until the Mosaic lowering is A/B'd on the real chip
+    # (interpret mode can't validate the strided DMA / batched dots)
+    batched = os.environ.get("TETRAEAR_BS_BATCHED", "") == "1"
     with_ph = phasor_drop is not None
     if with_ph:
         if phasor_drop % 4 or p % 4:
             raise ValueError("phasor fusion needs drop % 4 == 0 and "
                              f"P % 4 == 0 (drop={phasor_drop}, P={p})")
-        kern = partial(_band_synth_ph_kernel, phasor_drop)
+        kern = partial(
+            _band_synth_ph_kernel_b if batched else
+            _band_synth_ph_kernel, phasor_drop)
         out_specs = (
             pl.BlockSpec((group, 2, 128, p), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -312,11 +428,13 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
             jax.ShapeDtypeStruct((c, 1, 128), jnp.float32),
         )
     else:
-        kern = _band_synth_kernel
+        kern = _band_synth_kernel_b if batched else _band_synth_kernel
         out_specs = pl.BlockSpec((group, 2, 128, p),
                                  lambda i, *_: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((c, 2, 128, p), jnp.float32)
+    scr_shape = ((2, p, group, 128) if batched
+                 else (group, 2, p, 128))
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -338,8 +456,8 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
             ],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((group, 2, p, 128), jnp.float32),
-                pltpu.VMEM((group, 2, p, 128), jnp.float32),
+                pltpu.VMEM(scr_shape, jnp.float32),
+                pltpu.VMEM(scr_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA((group,)),
                 pltpu.SemaphoreType.DMA((group,)),
             ],
