@@ -255,9 +255,11 @@ def _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
     carriers stack along the LANE axis for stage 1 (scratch layout
     (2, P, G, 128), so concat+reshape to the (2P, G*128) matmul operand
     is layout-free) and stage 2 contracts the shared symmetric m2
-    against the (G, 128, 2P) intermediate in one batched dot.  Per-
-    element dot order is unchanged, so outputs are bit-identical to the
-    per-carrier body (asserted by test_pallas_channelizer).
+    against the (G, 128, 2P) intermediate in one batched dot.  The
+    per-element contraction SET is unchanged; the backend may
+    accumulate the grouped dots in a different order, so outputs match
+    the per-carrier body to f32 rounding (~1e-7; symbol decisions are
+    pinned by the chain exactness tests).
     """
     i = pl.program_id(0)
     g_count = out_ref.shape[0]
@@ -362,16 +364,40 @@ def _band_synth_ph_kernel(phasor_drop, row_ref, d_ref, planes_hbm,
                      ph_ref, nat_scr, h1_scr, sem_n, sem_h, phasor_drop)
 
 
-@partial(jax.jit,
-         static_argnames=("rows_per_band", "group", "interpret",
-                          "phasor_drop"))
 def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                row_starts: jnp.ndarray, d_shift: jnp.ndarray,
                m1c: jnp.ndarray, m2re: jnp.ndarray, m2im: jnp.ndarray,
                twre: jnp.ndarray, twim: jnp.ndarray,
                rows_per_band: int, group: int = 8,
                interpret: bool = False,
-               phasor_drop: int | None = None):
+               phasor_drop: int | None = None,
+               batched: bool | None = None):
+    """See _band_synth_impl; ``batched`` (group-dense kernel body)
+    defaults from TETRAEAR_BS_BATCHED — resolved here, outside jit, so
+    the flag participates in the trace cache key."""
+    if batched is None:
+        # opt-in until the Mosaic lowering is A/B'd on the real chip
+        # (interpret mode can't validate the strided DMA / batched dots)
+        batched = os.environ.get("TETRAEAR_BS_BATCHED", "") == "1"
+    return _band_synth_impl(planes, h1_planes, row_starts, d_shift,
+                            m1c, m2re, m2im, twre, twim,
+                            rows_per_band=rows_per_band, group=group,
+                            interpret=interpret,
+                            phasor_drop=phasor_drop, batched=batched)
+
+
+@partial(jax.jit,
+         static_argnames=("rows_per_band", "group", "interpret",
+                          "phasor_drop", "batched"))
+def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
+                     row_starts: jnp.ndarray, d_shift: jnp.ndarray,
+                     m1c: jnp.ndarray, m2re: jnp.ndarray,
+                     m2im: jnp.ndarray,
+                     twre: jnp.ndarray, twim: jnp.ndarray,
+                     rows_per_band: int, group: int = 8,
+                     interpret: bool = False,
+                     phasor_drop: int | None = None,
+                     batched: bool = False):
     """Fused band extract + H1 filter + inverse transform.
 
     Args:
@@ -406,9 +432,6 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
     if c % group:
         group = 1
     p = rows_per_band
-    # opt-in until the Mosaic lowering is A/B'd on the real chip
-    # (interpret mode can't validate the strided DMA / batched dots)
-    batched = os.environ.get("TETRAEAR_BS_BATCHED", "") == "1"
     with_ph = phasor_drop is not None
     if with_ph:
         if phasor_drop % 4 or p % 4:
