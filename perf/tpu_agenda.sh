@@ -23,6 +23,9 @@ BENCH_MODE=e2e python bench.py
 echo "=== bench e2e B (batched band synth) $(date +%H:%M:%S)"
 TETRAEAR_BS_BATCHED=1 BENCH_MODE=e2e python bench.py
 
+echo "=== bench e2e C (six-step FFT) $(date +%H:%M:%S)"
+TETRAEAR_FFT6=1 BENCH_MODE=e2e python bench.py
+
 echo "=== bench full default $(date +%H:%M:%S)"
 python bench.py
 

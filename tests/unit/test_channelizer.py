@@ -345,3 +345,21 @@ def test_fourstep_wideband_fft_matches_fft():
     want = np.fft.fft(xx)
     rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
     assert rel < 1e-5, rel
+
+
+@pytest.mark.unit
+def test_sixstep_wideband_fft_matches_fft(monkeypatch):
+    """TETRAEAR_FFT6=1 (explicit-transpose six-step first stage) equals
+    the monolithic FFT to f32 rounding."""
+    import jax.numpy as jnp
+    monkeypatch.setenv("TETRAEAR_FFT6", "1")
+    ch = CarrierBankDemod(fs=9.216e6, freqs_hz=[12_500.0],
+                          frontend="fft").channelizer
+    assert ch.fft4
+    rng = np.random.default_rng(6)
+    xx = (rng.standard_normal(ch.nfft)
+          + 1j * rng.standard_normal(ch.nfft)).astype(np.complex64)
+    got = np.asarray(ch._wideband_fft(jnp.asarray(xx)))
+    want = np.fft.fft(xx)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 1e-5, rel

@@ -38,6 +38,7 @@ Other correctness notes:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -321,12 +322,22 @@ class FFTChannelizer:
 
     def _wideband_fft(self, xx: jnp.ndarray) -> jnp.ndarray:
         """FFT of the (nfft,) overlap-save window; four-step above 2^20
-        (see __init__), plain jnp.fft.fft below."""
+        (see __init__), plain jnp.fft.fft below.
+
+        TETRAEAR_FFT6=1 swaps in the six-step formulation: every
+        batched sub-FFT runs along the MINOR axis with the transposes
+        explicit — measures whether XLA's axis-0 batched FFT hides a
+        worse-than-explicit relayout (perf/fft4step_probe.py fft6).
+        Identical values to f32 rounding (same sub-transforms, same
+        twiddles; only the data movement differs)."""
         if not self.fft4:
             return jnp.fft.fft(xx)
         n1, n2 = self.fft4_n1, self.fft4_n2
         xm = xx.reshape(n2, n1)                      # [i2, i1]
-        g = jnp.fft.fft(xm, axis=0)                  # [k2, i1]
+        if os.environ.get("TETRAEAR_FFT6", "") == "1":
+            g = jnp.fft.fft(xm.T, axis=1).T          # [k2, i1]
+        else:
+            g = jnp.fft.fft(xm, axis=0)              # [k2, i1]
         g = (g.reshape(n2, n1 // 64, 64)
              * jnp.asarray(self._fft4_b)[:, :, None]
              * jnp.asarray(self._fft4_a)[:, None, :])
