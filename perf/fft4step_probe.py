@@ -125,6 +125,24 @@ def main():
 
     timed2("xpose", chain_xpose)
 
+    # the exact production post-FFT glue (backhalf.chan_raw): natural-
+    # order transpose + wrap-extension concat + [re, im] planes build —
+    # how many passes does XLA actually emit for it?
+    N_BAND = 8192
+
+    def chain_xpose_planes(x_r, tw_p, n):
+        def body(carry, _2):
+            xx = kernels.r2c(x_r) + carry
+            h = xx.reshape(N2, N1).T.reshape(-1)
+            x_ext = jnp.concatenate([h, h[:N_BAND]])
+            planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
+            planes = planes.reshape(2, -1, 128)
+            return planes[0, 0, 0] * 1e-30 + 0j, planes[1, 0, 0]
+        c, tails = jax.lax.scan(body, jnp.complex64(0), None, length=n)
+        return tails
+
+    timed2("xpose_planes", chain_xpose_planes)
+
     # six-step: every FFT on the MINOR axis, transposes explicit —
     # tests whether XLA's axis-0 batched FFT hides a worse-than-
     # explicit transpose
