@@ -76,15 +76,32 @@ def symbols_to_bits(symbols: np.ndarray) -> np.ndarray:
     return bits
 
 
+def _pack_word(bits: np.ndarray) -> int:
+    """<=64 bits (MSB first) -> int; no per-bit Python loop."""
+    b = np.asarray(bits, dtype=np.uint8)
+    return int.from_bytes(np.packbits(b).tobytes(), "big") >> (-len(b) % 8)
+
+
+_SYNC_C_INT = _pack_word(SYNC_CONTINUOUS_DOWNLINK)
+_SYNC_D_INT = _pack_word(SYNC_DISCONTINUOUS_DOWNLINK)
+
+
+def sync_agreement(bits22: np.ndarray) -> tuple:
+    """(matches vs TS1, matches vs TS2) of a 22-bit window via popcount
+    — the host frame layer calls this per candidate, where two
+    22-element np.mean dispatches were the measured hot spot."""
+    w = _pack_word(bits22)
+    return (22 - bin(w ^ _SYNC_C_INT).count("1"),
+            22 - bin(w ^ _SYNC_D_INT).count("1"))
+
+
 def check_sync_pattern(bits: np.ndarray) -> bool:
     """>80% agreement with either downlink sync word (protocol.py:256-265)."""
     bits = np.asarray(bits, dtype=np.uint8)
     if len(bits) < 22:
         return False
-    w = bits[:22]
-    m1 = float(np.mean(w == SYNC_CONTINUOUS_DOWNLINK))
-    m2 = float(np.mean(w == SYNC_DISCONTINUOUS_DOWNLINK))
-    return max(m1, m2) > 0.8
+    m1, m2 = sync_agreement(bits[:22])
+    return max(m1, m2) > 0.8 * 22
 
 
 def detect_burst_type(bits: np.ndarray) -> BurstType:
@@ -165,10 +182,10 @@ def bytes_to_bits(data: bytes) -> np.ndarray:
 
 
 def bits_to_uint(bits: np.ndarray) -> int:
-    v = 0
-    for b in np.asarray(bits, dtype=np.uint8):
-        v = (v << 1) | int(b)
-    return v
+    bits = np.asarray(bits, dtype=np.uint8)
+    if len(bits) == 0:
+        return 0
+    return _pack_word(bits)
 
 
 def bits_to_int_signed(bits: np.ndarray) -> int:

@@ -294,8 +294,7 @@ class TetraDecoder:
         # frame (EN 300 395-2 §5 frame stealing).  The reference never acts
         # on this; we route stolen slots to the half-slot voice decoder.
         ts_win = frame_bits[TS_OFFSET_BITS:TS_OFFSET_BITS + SYNC_LEN]
-        m1 = float(np.mean(ts_win == SYNC_PATTERNS["TS1"]))
-        m2 = float(np.mean(ts_win == SYNC_PATTERNS["TS2"]))
+        m1, m2 = burst_mod.sync_agreement(ts_win)
         stolen = m2 > m1
 
         frame_data = {
@@ -304,7 +303,7 @@ class TetraDecoder:
             "number": frame_number,
             "timeslot": frame_number % 4,
             "bits": frame_bits,
-            "header": "".join(str(int(b)) for b in header_bits),
+            "header": "".join(map(str, header_bits.tolist())),
             "position": start_pos,
             "encrypted": encrypted,
             "encryption_algorithm": encryption_algorithm,
