@@ -128,6 +128,21 @@ def extract_data_bits(bits: np.ndarray, burst_type: BurstType) -> np.ndarray:
     return bits
 
 
+def parse_burst_bits(bits: np.ndarray, slot_number: int = 0,
+                     frame_number: int = 0, colour_code: int = 0,
+                     stats: dict | None = None,
+                     crc_hint: bool | None = None) -> TetraBurst | None:
+    """parse_burst on an already-demapped bit view (2*SYMBOLS_PER_SLOT
+    bits) — the frame layer holds bits, and converting back through
+    symbols was a measured per-hit waste."""
+    bits = np.asarray(bits, dtype=np.uint8)
+    if len(bits) < 2 * SYMBOLS_PER_SLOT:
+        return None
+    return _parse_burst_from_bits(bits[:2 * SYMBOLS_PER_SLOT],
+                                  slot_number, frame_number, colour_code,
+                                  stats, crc_hint)
+
+
 def parse_burst(symbols: np.ndarray, slot_number: int = 0,
                 frame_number: int = 0, colour_code: int = 0,
                 stats: dict | None = None,
@@ -146,6 +161,12 @@ def parse_burst(symbols: np.ndarray, slot_number: int = 0,
     if len(symbols) < SYMBOLS_PER_SLOT:
         return None
     bits = symbols_to_bits(symbols[:SYMBOLS_PER_SLOT])
+    return _parse_burst_from_bits(bits, slot_number, frame_number,
+                                  colour_code, stats, crc_hint)
+
+
+def _parse_burst_from_bits(bits, slot_number, frame_number, colour_code,
+                           stats, crc_hint):
     btype = detect_burst_type(bits)
     training = extract_training_sequence(bits, btype)
     data_bits = extract_data_bits(bits, btype)

@@ -313,12 +313,13 @@ class TetraDecoder:
         }
 
         if symbols is None:
-            symbols = (frame_bits[0::2].astype(np.int64) << 1) | \
-                frame_bits[1::2].astype(np.int64)
-
-        burst = burst_mod.parse_burst(
-            np.asarray(symbols), slot_number=frame_number % 4,
-            stats=self.protocol_parser.stats, crc_hint=crc_hint)
+            burst = burst_mod.parse_burst_bits(
+                frame_bits, slot_number=frame_number % 4,
+                stats=self.protocol_parser.stats, crc_hint=crc_hint)
+        else:
+            burst = burst_mod.parse_burst(
+                np.asarray(symbols), slot_number=frame_number % 4,
+                stats=self.protocol_parser.stats, crc_hint=crc_hint)
         if burst is not None:
             frame_data["burst_crc"] = burst.crc_ok
             # alias for the validator, which reads 'crc_ok'
