@@ -31,6 +31,24 @@ def test_golden_burst_crc_passes():
     assert np.array_equal(b.data_bits, data)
 
 
+def test_parse_burst_bits_equivalent(rng):
+    """parse_burst_bits(symbols_to_bits(s)) == parse_burst(s) field for
+    field, on random symbols and on a golden slot."""
+    cases = [rng.integers(0, 4, 255)]
+    data = golden.build_mac_resource_data_bits(
+        golden.sds_text_payload("EQ TEST"), rng=np.random.default_rng(4))
+    slot = golden.build_slot(data, rng=np.random.default_rng(5))
+    cases.append((slot[0::2].astype(np.int64) << 1) | slot[1::2])
+    for symbols in cases:
+        a = burst.parse_burst(symbols, slot_number=2, frame_number=7)
+        bits = burst.symbols_to_bits(symbols)
+        b = burst.parse_burst_bits(bits, slot_number=2, frame_number=7)
+        assert a.burst_type == b.burst_type
+        assert a.crc_ok == b.crc_ok
+        assert np.array_equal(a.data_bits, b.data_bits)
+        assert np.array_equal(a.training_sequence, b.training_sequence)
+
+
 def test_bits_bytes_roundtrip(rng):
     data = rng.integers(0, 256, 20, dtype=np.uint8).tobytes()
     assert burst.bits_to_bytes(burst.bytes_to_bits(data)) == data
