@@ -17,17 +17,14 @@ for attempt in $(seq 1 ${AGENDA_GATE_TRIES:-12}); do
 done
 [ "$ok" = 1 ] || { echo "AGENDA ABORT: TPU not answering"; exit 1; }
 
-echo "=== bench e2e A (per-carrier band synth) $(date +%H:%M:%S)"
-BENCH_MODE=e2e python bench.py
+echo "=== bench full default (the driver's exact config — warm its cache FIRST) $(date +%H:%M:%S)"
+python bench.py
 
 echo "=== bench e2e B (batched band synth) $(date +%H:%M:%S)"
 TETRAEAR_BS_BATCHED=1 BENCH_MODE=e2e python bench.py
 
 echo "=== bench e2e C (six-step FFT) $(date +%H:%M:%S)"
 TETRAEAR_FFT6=1 BENCH_MODE=e2e python bench.py
-
-echo "=== bench full default $(date +%H:%M:%S)"
-python bench.py
 
 echo "=== fft4step probe $(date +%H:%M:%S)"
 PERF_STEPS=4 python perf/fft4step_probe.py
