@@ -26,6 +26,9 @@ TETRAEAR_BS_BATCHED=1 BENCH_MODE=e2e python bench.py
 echo "=== bench e2e C (six-step FFT) $(date +%H:%M:%S)"
 TETRAEAR_FFT6=1 BENCH_MODE=e2e python bench.py
 
+echo "=== bench e2e D (natural_planes transpose kernel) $(date +%H:%M:%S)"
+TETRAEAR_PALLAS_XPOSE=1 BENCH_MODE=e2e python bench.py
+
 echo "=== fft4step probe $(date +%H:%M:%S)"
 PERF_STEPS=4 python perf/fft4step_probe.py
 

@@ -39,6 +39,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _natural_planes_kernel(h_ref, o_ref):
+    # (128 k2, 128 k1) tile -> 128 natural rows (one per k1), each row
+    # being the tile's k1-column: a plain in-VMEM transpose
+    o_ref[0, :, 0, :] = h_ref[0].T
+
+
+@partial(jax.jit, static_argnames=("wrap_blocks", "interpret"))
+def natural_planes(h_planes: jnp.ndarray, wrap_blocks: int = 1,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Four-step FFT output -> natural-order [re, im] spectrum planes.
+
+    The four-step transform ends with X[k2 + n2*k1] = H[k2, k1]; the
+    production glue (h.T -> wrap concat -> stack -> reshape) costs XLA
+    several big materializations (perf/fft4step_probe.py xpose_planes).
+    This kernel produces the (2, rows, 128) planes the band kernels
+    consume in ONE pass: natural row r covers k2 in [128*(r % s), ...)
+    at k1 = r // s (s = n2/128 rows per k1), so output viewed as
+    (2, n1, s, 128) is just H.reshape(s, 128, n1) transposed — each
+    (128, 128) tile of H transposes into 128 natural rows.
+
+    Args:
+        h_planes: (2, n2, n1) f32 [re, im] planes of H (n2, n1 both
+            multiples of 128).
+    Returns (2, (n1 + 128*wrap_blocks) * s, 128) f32 planes: rows
+    [0, n2*n1/128) are the natural-order spectrum; the next rows
+    REPLAY rows 0.. (the wrap extension — grid column q reads input
+    column block q % (n1/128), so block n1/128 re-emits the first
+    128*s rows).  Callers need wrap rows only up to n_band/128 <=
+    128*s; the rest is valid replay, never addressed.
+    """
+    _, n2, n1 = h_planes.shape
+    s_blocks = n2 // 128
+    q_blocks = n1 // 128
+    out4 = pl.pallas_call(
+        _natural_planes_kernel,
+        grid_spec=pl.GridSpec(
+            grid=(2, s_blocks, q_blocks + wrap_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 128, 128),
+                             lambda p, s, q: (p, s, q % q_blocks),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 128, 1, 128),
+                                   lambda p, s, q: (p, q, s, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (2, n1 + 128 * wrap_blocks, s_blocks, 128), jnp.float32),
+        interpret=interpret,
+    )(h_planes)
+    rows = (n1 + 128 * wrap_blocks) * s_blocks
+    return out4.reshape(2, rows, 128)
+
+
 def _extract_kernel(starts_ref, x_hbm, out_ref, sem):
     c = pl.program_id(0)
     s = starts_ref[c]
