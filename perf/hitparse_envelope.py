@@ -1,0 +1,64 @@
+"""Measure the host per-hit frame-layer envelope (frames/s/core):
+pure-Python decode_frame vs the native hitparse batch engine + the
+stateful decode_frame(pre=...) remainder.
+
+Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
+       python perf/hitparse_envelope.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+from tetraear_tpu.frame import hitparse
+from tetraear_tpu.frame.decoder import TetraDecoder, FRAME_LENGTH
+from tetraear_tpu.ref import golden
+
+
+def make_windows(n: int, seed: int = 4) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    wins = np.empty((n, FRAME_LENGTH), np.uint8)
+    base = [golden.build_slot(golden.build_mac_resource_data_bits(
+        golden.sds_text_payload(f"ENVELOPE {i:03d}")))
+        for i in range(16)]
+    for i in range(n):
+        w = base[i % 16].copy()
+        if i % 4 == 3:                   # some CRC-failing noise frames
+            w = rng.integers(0, 2, FRAME_LENGTH).astype(np.uint8)
+        wins[i] = w[:FRAME_LENGTH]
+    return wins
+
+
+def main():
+    n = 4000
+    wins = make_windows(n)
+    res = {}
+
+    dec = TetraDecoder(auto_decrypt=False)
+    t0 = time.time()
+    for i in range(n):
+        dec.decode_frame(wins[i], 0, frame_number=i)
+    dt = time.time() - t0
+    res["python_us_per_frame"] = round(dt / n * 1e6, 1)
+    res["python_frames_per_s"] = round(n / dt)
+
+    if hitparse.available():
+        dec2 = TetraDecoder(auto_decrypt=False)
+        t0 = time.time()
+        hb = hitparse.parse_windows(wins)
+        t_native = time.time() - t0
+        for i in range(n):
+            dec2.decode_frame(wins[i], 0, frame_number=i,
+                              pre=hb.pre(i))
+        dt = time.time() - t0
+        res["native_engine_us_per_frame"] = round(t_native / n * 1e6, 2)
+        res["batched_us_per_frame"] = round(dt / n * 1e6, 1)
+        res["batched_frames_per_s"] = round(n / dt)
+        res["speedup"] = round(res["python_us_per_frame"]
+                               / res["batched_us_per_frame"], 2)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,7 @@
 """Unit tests: burst parsing, MAC PDUs, fragmentation, SDS, LIP."""
 
 import numpy as np
+import pytest
 
 from tetraear_tpu.frame import burst, lip, sds
 from tetraear_tpu.frame.mac import MacParser, PDUType
@@ -192,3 +193,104 @@ def test_lip_via_sds_pid():
 def test_lip_nmea_text():
     out = lip.parse_lip(b"$GPGGA,123519,4807.038,N,01131.000,E,1*47")
     assert out is not None and out.startswith("NMEA:")
+
+
+@pytest.mark.unit
+def test_text_gates_vectorized():
+    """The vectorized score_text / is_valid_text equal the reference
+    per-character predicates on a unicode torture set (incl. the
+    non-BMP fallback path)."""
+    import random
+    from tetraear_tpu.frame.sds import score_text, is_valid_text
+
+    def ref_score(text):
+        if not text:
+            return 0.0
+        printable = sum(1 for c in text if c.isprintable() and c != "\x1b")
+        alnum = sum(1 for c in text if c.isalnum() or c.isspace())
+        alpha = sum(1 for c in text if c.isalpha())
+        return (printable / len(text)) + (alnum / len(text)) + (
+            0.5 if alpha > 0 else 0.0)
+
+    def ref_valid(text, threshold=0.8):
+        if not text or len(text) < 2:
+            return False
+        clean = "".join(c for c in text if c not in "\n\r\t ")
+        if not clean:
+            return False
+        printable = sum(1 for c in text if c.isprintable() or c in "\n\r\t")
+        ratio = printable / len(text)
+        if len(text) > 4 and text.count(text[0]) == len(text):
+            return False
+        alnum = sum(1 for c in text if c.isalnum() or c == " ")
+        return ratio >= threshold and (alnum / len(text)) > 0.5
+
+    rng = random.Random(8)
+    cases = ["", "a", "  ", "\n\r\t ", "AAAAA", "ALARM ZONE 7",
+             "caf\xe9 ΔΩ", "bin\x00\x01\x02", "\x1b\x1b\x1b",
+             "emoji \U0001F600 text", "\U0001F600\U0001F601",
+             "mixed \xff\xfe\x7f"]
+    for _ in range(300):
+        n = rng.randrange(1, 40)
+        cases.append("".join(chr(rng.randrange(1, 0x2500))
+                             for _ in range(n)))
+    for _ in range(50):
+        n = rng.randrange(1, 10)
+        cases.append("".join(chr(rng.randrange(1, 0x110000))
+                             for _ in range(n)))
+    for t in cases:
+        assert score_text(t) == ref_score(t), repr(t)
+        assert is_valid_text(t) == ref_valid(t), repr(t)
+        assert is_valid_text(t, 0.55) == ref_valid(t, 0.55), repr(t)
+
+
+@pytest.mark.unit
+def test_unpack_gsm7_vectorized():
+    """Vectorized unpack_gsm7 == the reference per-bit formulation,
+    including 0x1B escapes, septet counts, skip_bits and UDH."""
+    import random
+    from tetraear_tpu.frame.sds import (unpack_gsm7, unpack_gsm7_udh,
+                                        GSM7_EXTENSION, gsm7_map, pack_gsm7)
+
+    def ref_unpack(data, septet_count=None, skip_bits=0):
+        if not data:
+            return ""
+        bits = []
+        for b in data:
+            for i in range(8):
+                bits.append((b >> i) & 1)
+        if skip_bits:
+            if skip_bits >= len(bits):
+                return ""
+            bits = bits[skip_bits:]
+        max_septets = len(bits) // 7
+        if septet_count is None or septet_count > max_septets:
+            septet_count = max_septets
+        out, escaped = [], False
+        for idx in range(septet_count):
+            code = 0
+            for off in range(7):
+                code |= bits[idx * 7 + off] << off
+            if escaped:
+                out.append(GSM7_EXTENSION.get(code, ""))
+                escaped = False
+            elif code == 0x1B:
+                escaped = True
+            else:
+                out.append(gsm7_map(code))
+        return "".join(out)
+
+    rng = random.Random(12)
+    cases = [b"", b"\x00", pack_gsm7("HELLO WORLD 123"),
+             bytes([0x1B, 0x1B, 0x1B, 0x1B]),        # escape chains
+             bytes([0xDB, 0x6D, 0xB7, 0xDB])]        # dense 0x1B codes
+    for _ in range(200):
+        n = rng.randrange(0, 30)
+        cases.append(bytes(rng.randrange(256) for _ in range(n)))
+    for data in cases:
+        for sc in (None, 0, 1, 5, 7, 160, -3):
+            for sk in (0, 1, 8, 16):
+                assert (unpack_gsm7(data, septet_count=sc, skip_bits=sk)
+                        == ref_unpack(data, septet_count=sc,
+                                      skip_bits=sk)), (data, sc, sk)
+        assert unpack_gsm7_udh(data) == unpack_gsm7_udh(data)

@@ -76,15 +76,22 @@ class BatchedFrameDecoder:
         device scan of the rows' bit planes, with self.scan_stride bits
         between adjacent elements.  Returns decoded frame dicts (with
         carrier/stream metadata)."""
+        from tetraear_tpu.frame import hitparse
+
         frames_out = []
         row_max = corr.max(axis=1) if corr.shape[1] else np.zeros(len(corr))
         active = np.flatnonzero(row_max >= 0.75)
         valid_bits = 2 * n_valid
+
+        # pass 1: collect candidate windows passing the static gates
+        # (the dynamic dedup gate is re-applied in pass 2 — positions
+        # within a block can overlap, so emitted_until advances there)
+        cands = []                    # (ci, start, abs_sym, window)
+        bits_rows: dict = {}
         for ci in active:
             positions = sync_cascade(corr[ci], stride=self.scan_stride)
             if not positions:
                 continue
-            dec = self.decoders[ci]
             bits_row = None
             for pos in positions:
                 start = pos - TS_OFFSET_BITS
@@ -100,21 +107,41 @@ class BatchedFrameDecoder:
                     bits_row = np.empty(2 * len(s), np.uint8)
                     bits_row[0::2] = (s >> 1) & 1
                     bits_row[1::2] = s & 1
+                    bits_rows[int(ci)] = bits_row
+                cands.append((int(ci), int(start), int(abs_sym),
+                              bits_row[start:start + FRAME_LENGTH]))
+
+        # the native engine parses every candidate's stateless verdicts
+        # (burst type, soft CRC, MAC fields) in ONE C call; without the
+        # built library hb is None and decode_frame runs its Python path
+        hb = (hitparse.parse_windows(
+            np.stack([c[3] for c in cands])) if cands else None)
+
+        # pass 2: stateful decode in stream order with the dynamic gate
+        for i, (ci, start, abs_sym, win) in enumerate(cands):
+            if abs_sym < self._emitted_until[ci]:
+                continue              # superseded by an earlier emit
+            dec = self.decoders[ci]
+            hint = bool(crc_err[ci, start // self.scan_stride] <= 2)
+            if hb is not None:
                 frame = dec.decode_frame(
-                    bits_row[start:start + FRAME_LENGTH], 0,
-                    syms[ci, start // 2:start // 2 + 255],
+                    win, 0,
                     frame_number=int(abs_sym * 2) // FRAME_LENGTH,
-                    crc_hint=bool(crc_err[ci, start // self.scan_stride]
-                                  <= 2))
-                if frame is None:
-                    continue
-                self._emitted_until[ci] = abs_sym + 255
-                frame["position"] = start
-                frame["carrier"] = int(ci)
-                frame["stream_symbol"] = int(abs_sym)
-                frame["soft_symbols"] = softs[ci, start // 2:
-                                              start // 2 + 255]
-                frames_out.append(frame)
+                    pre=hb.pre(i, crc_hint=hint))
+            else:
+                frame = dec.decode_frame(
+                    win, 0, syms[ci, start // 2:start // 2 + 255],
+                    frame_number=int(abs_sym * 2) // FRAME_LENGTH,
+                    crc_hint=hint)
+            if frame is None:
+                continue
+            self._emitted_until[ci] = abs_sym + 255
+            frame["position"] = start
+            frame["carrier"] = int(ci)
+            frame["stream_symbol"] = int(abs_sym)
+            frame["soft_symbols"] = softs[ci, start // 2:
+                                          start // 2 + 255]
+            frames_out.append(frame)
         # finish deferred decryption: one device keys x payloads search
         # for the whole block (exact host-loop semantics, crypto.batch)
         if any(f.get("decryption_pending") for f in frames_out):

@@ -256,11 +256,16 @@ class TetraDecoder:
 
     def decode_frame(self, bits, start_pos=0, symbols=None,
                      frame_number: int = 0,
-                     crc_hint: bool | None = None) -> dict | None:
+                     crc_hint: bool | None = None,
+                     pre=None) -> dict | None:
         """Decode one 510-bit frame (decoder.py:890-1119).
 
         ``crc_hint``: device-precomputed burst CRC verdict (see
-        burst.parse_burst)."""
+        burst.parse_burst).  ``pre``: a hitparse.HitPre with the
+        window's stateless verdicts already computed by the native
+        batch engine — skips burst typing / CRC / MAC field extraction
+        and runs only the stateful remainder (identical results,
+        tests/unit/test_hitparse.py)."""
         bits = np.asarray(bits)
         if len(bits) < FRAME_LENGTH:
             return None
@@ -293,9 +298,12 @@ class TetraDecoder:
         # signalling (STCH) and block 2 carries one half-slot-coded speech
         # frame (EN 300 395-2 §5 frame stealing).  The reference never acts
         # on this; we route stolen slots to the half-slot voice decoder.
-        ts_win = frame_bits[TS_OFFSET_BITS:TS_OFFSET_BITS + SYNC_LEN]
-        m1, m2 = burst_mod.sync_agreement(ts_win)
-        stolen = m2 > m1
+        if pre is not None:
+            stolen = bool(pre.stolen)
+        else:
+            ts_win = frame_bits[TS_OFFSET_BITS:TS_OFFSET_BITS + SYNC_LEN]
+            m1, m2 = burst_mod.sync_agreement(ts_win)
+            stolen = m2 > m1
 
         frame_data = {
             "type": frame_type,
@@ -312,22 +320,34 @@ class TetraDecoder:
             "additional_info": additional_info,
         }
 
-        if symbols is None:
-            burst = burst_mod.parse_burst_bits(
-                frame_bits, slot_number=frame_number % 4,
-                stats=self.protocol_parser.stats, crc_hint=crc_hint)
+        if pre is not None:
+            # stateless verdicts precomputed by the native batch engine
+            # (frame.hitparse); run only the stateful MAC application
+            stats = self.protocol_parser.stats
+            stats["total_bursts"] += 1
+            burst_crc = bool(pre.crc_ok)
+            stats["crc_pass" if burst_crc else "crc_fail"] += 1
+            mac_pdu = (self.protocol_parser.apply_mac_fields(pre.mac)
+                       if pre.mac is not None else None)
         else:
-            burst = burst_mod.parse_burst(
-                np.asarray(symbols), slot_number=frame_number % 4,
-                stats=self.protocol_parser.stats, crc_hint=crc_hint)
-        if burst is not None:
-            frame_data["burst_crc"] = burst.crc_ok
+            if symbols is None:
+                burst = burst_mod.parse_burst_bits(
+                    frame_bits, slot_number=frame_number % 4,
+                    stats=self.protocol_parser.stats, crc_hint=crc_hint)
+            else:
+                burst = burst_mod.parse_burst(
+                    np.asarray(symbols), slot_number=frame_number % 4,
+                    stats=self.protocol_parser.stats, crc_hint=crc_hint)
+            burst_crc = None if burst is None else burst.crc_ok
+            mac_pdu = (self.protocol_parser.parse_mac_pdu(burst.data_bits)
+                       if burst is not None else None)
+        if burst_crc is not None:
+            frame_data["burst_crc"] = burst_crc
             # alias for the validator, which reads 'crc_ok'
             # (the reference emits only 'burst_crc' while its validator
             # checks 'crc_ok' — decoder.py:992 vs validator.py:102, so the
             # CRC penalty never fires there)
-            frame_data["crc_ok"] = burst.crc_ok
-            mac_pdu = self.protocol_parser.parse_mac_pdu(burst.data_bits)
+            frame_data["crc_ok"] = burst_crc
             if mac_pdu is not None:
                 frame_data["mac_pdu"] = {
                     "type": mac_pdu.pdu_type.name,
@@ -410,7 +430,7 @@ class TetraDecoder:
             else:
                 # Strict gate: unparseable MAC + failed CRC -> discard
                 # (decoder.py:1092-1100).
-                if not burst.crc_ok:
+                if not burst_crc:
                     return None
 
         # Only bruteforce when there is nothing readable already: the

@@ -60,6 +60,95 @@ class CallMetadata:
     encryption_algorithm: str | None = None
 
 
+@dataclass
+class MacFields:
+    """Pure (stateless) field extraction of one downlink MAC PDU — the
+    part of parse_mac_pdu with no parser state.  Produced either by
+    extract_mac_fields (NumPy) or by the native batch engine
+    (frame/csrc/hitparse.cpp via frame.hitparse); consumed by
+    MacParser.apply_mac_fields."""
+    pdu_type_int: int
+    enc_mode: int
+    fill_bit: int
+    address: int | None
+    length: int
+    data_bytes: bytes
+    sysinfo: tuple | None = None    # (mcc, mnc, cc) on SYSINFO broadcast
+
+
+def extract_mac_fields(bits: np.ndarray) -> MacFields | None:
+    """Stateless field extraction (reference protocol.py:349-596; the
+    stateful tail lives in MacParser.apply_mac_fields)."""
+    bits = np.asarray(bits, dtype=np.uint8)
+    if len(bits) < 8:
+        return None
+    pdu_type_int = (int(bits[0]) << 1) | int(bits[1])
+    enc_mode = (int(bits[2]) << 1) | int(bits[3])
+    address: int | None = None
+    length = 0
+    data_bytes = b""
+    fill_bit = 0
+    sysinfo: tuple | None = None
+
+    if pdu_type_int == 0:                       # MAC-RESOURCE
+        fill_bit = int(bits[4])
+        pos = 5
+        if len(bits) < pos + 24:
+            return None
+        address = burst_mod.bits_to_uint(bits[pos:pos + 24])
+        pos += 24
+        if len(bits) < pos + 6:
+            return None
+        length = burst_mod.bits_to_uint(bits[pos:pos + 6])
+        pos += 6
+        data_len_bits = length * 8
+        if data_len_bits > len(bits) - pos + 16:
+            return None
+        if 0 < data_len_bits <= len(bits) - pos:
+            data_bits = bits[pos:pos + data_len_bits]
+        else:
+            data_bits = bits[pos:]
+        data_bytes = burst_mod.bits_to_bytes(data_bits)
+    elif pdu_type_int == 1:                     # MAC-FRAG
+        fill_bit = int(bits[4])
+        data_bytes = burst_mod.bits_to_bytes(bits[5:])
+    elif pdu_type_int == 2:                     # MAC-BROADCAST
+        broadcast_type = enc_mode               # reuses bits 2..3
+        pos = 4
+        if broadcast_type == 0:  # SYSINFO: MCC(10) MNC(14) CC(6)
+            if len(bits) < pos + 30:
+                return None
+            mcc = burst_mod.bits_to_uint(bits[pos:pos + 10])
+            mnc = burst_mod.bits_to_uint(bits[pos + 10:pos + 24])
+            cc = burst_mod.bits_to_uint(bits[pos + 24:pos + 30])
+            # ITU-T E.212 sanity gate (protocol.py:487-495)
+            if mcc < 200 or mcc > 799:
+                return None
+            if mnc > 999:
+                return None
+            sysinfo = (mcc, mnc, cc)
+        data_bytes = burst_mod.bits_to_bytes(bits[pos:])
+    else:                                       # MAC-END / fallback
+        fill_bit = int(bits[4])
+        pos = 5
+        if len(bits) < pos + 6:
+            return None
+        length = burst_mod.bits_to_uint(bits[pos:pos + 6])
+        pos += 6
+        data_len_bits = length * 8
+        if data_len_bits > len(bits) - pos + 16:
+            return None
+        if 0 < data_len_bits <= len(bits) - pos:
+            data_bits = bits[pos:pos + data_len_bits]
+        else:
+            data_bits = bits[pos:]
+        data_bytes = burst_mod.bits_to_bytes(data_bits)
+
+    return MacFields(pdu_type_int=pdu_type_int, enc_mode=enc_mode,
+                     fill_bit=fill_bit, address=address, length=length,
+                     data_bytes=data_bytes, sysinfo=sysinfo)
+
+
 def new_stats() -> dict:
     return {
         "total_bursts": 0,
@@ -90,92 +179,47 @@ class MacParser:
 
     def parse_mac_pdu(self, bits: np.ndarray) -> MacPDU | None:
         """Downlink MAC PDU: type(2) + enc-mode(2) header, then per-type
-        fields (reference: protocol.py:349-596)."""
-        bits = np.asarray(bits, dtype=np.uint8)
-        if len(bits) < 8:
-            return None
+        fields (reference: protocol.py:349-596).
 
-        pdu_type_int = (int(bits[0]) << 1) | int(bits[1])
+        Split into a PURE field extraction (extract_mac_fields — also
+        implemented by the native batch engine, frame/csrc/hitparse.cpp)
+        and the STATEFUL application (apply_mac_fields: fragment buffer,
+        SYSINFO network identity, stats)."""
+        fields = extract_mac_fields(bits)
+        if fields is None:
+            return None
+        return self.apply_mac_fields(fields)
+
+    def apply_mac_fields(self, f: "MacFields") -> MacPDU:
+        """Stateful tail of parse_mac_pdu on pre-extracted fields (from
+        extract_mac_fields or the hitparse batch engine)."""
         pdu_type = {
             0: PDUType.MAC_RESOURCE,
             1: PDUType.MAC_FRAG,
             2: PDUType.MAC_BROADCAST,
-        }.get(pdu_type_int, PDUType.MAC_END)
-
-        enc_mode = (int(bits[2]) << 1) | int(bits[3])
+        }.get(f.pdu_type_int, PDUType.MAC_END)
+        enc_mode = f.enc_mode
         encrypted = enc_mode > 0
-
-        address: int | None = None
-        length = 0
-        data_bytes = b""
-        fill_bit = 0
+        address = f.address
+        data_bytes = f.data_bytes
 
         if pdu_type == PDUType.MAC_RESOURCE:
-            fill_bit = int(bits[4])
-            pos = 5
-            if len(bits) < pos + 24:
-                return None
-            address = burst_mod.bits_to_uint(bits[pos:pos + 24])
-            pos += 24
-            if len(bits) < pos + 6:
-                return None
-            length = burst_mod.bits_to_uint(bits[pos:pos + 6])
-            pos += 6
-            data_len_bits = length * 8
-            if data_len_bits > len(bits) - pos + 16:
-                return None
-            if 0 < data_len_bits <= len(bits) - pos:
-                data_bits = bits[pos:pos + data_len_bits]
-            else:
-                data_bits = bits[pos:]
-            data_bytes = burst_mod.bits_to_bytes(data_bits)
             # Start a fragmentation chain.
             self.fragment_buffer = bytearray(data_bytes)
             self.fragment_metadata = {
                 "address": address, "encrypted": encrypted, "mode": enc_mode,
             }
-
         elif pdu_type == PDUType.MAC_FRAG:
-            fill_bit = int(bits[4])
-            data_bytes = burst_mod.bits_to_bytes(bits[5:])
             self.fragment_buffer.extend(data_bytes)
             if self.fragment_metadata:
                 encrypted = self.fragment_metadata.get("encrypted", False)
                 address = self.fragment_metadata.get("address")
-
         elif pdu_type == PDUType.MAC_BROADCAST:
-            broadcast_type = (int(bits[2]) << 1) | int(bits[3])
-            pos = 4
-            if broadcast_type == 0:  # SYSINFO: MCC(10) MNC(14) CC(6)
-                if len(bits) < pos + 30:
-                    return None
-                mcc = burst_mod.bits_to_uint(bits[pos:pos + 10])
-                mnc = burst_mod.bits_to_uint(bits[pos + 10:pos + 24])
-                cc = burst_mod.bits_to_uint(bits[pos + 24:pos + 30])
-                # ITU-T E.212 sanity gate (protocol.py:487-495)
-                if mcc < 200 or mcc > 799:
-                    return None
-                if mnc > 999:
-                    return None
-                self.mcc, self.mnc, self.colour_code = mcc, mnc, cc
-                logger.info("Valid TETRA SYNC: MCC=%s MNC=%s", mcc, mnc)
-            data_bytes = burst_mod.bits_to_bytes(bits[pos:])
-
+            if f.sysinfo is not None:
+                self.mcc, self.mnc, self.colour_code = f.sysinfo
+                logger.info("Valid TETRA SYNC: MCC=%s MNC=%s",
+                            self.mcc, self.mnc)
         else:  # MAC_END / fallback
-            fill_bit = int(bits[4])
-            pos = 5
-            if len(bits) < pos + 6:
-                return None
-            length = burst_mod.bits_to_uint(bits[pos:pos + 6])
-            pos += 6
-            data_len_bits = length * 8
-            if data_len_bits > len(bits) - pos + 16:
-                return None
-            if 0 < data_len_bits <= len(bits) - pos:
-                data_bits = bits[pos:pos + data_len_bits]
-            else:
-                data_bits = bits[pos:]
-            data_bytes = burst_mod.bits_to_bytes(data_bits)
             self.fragment_buffer.extend(data_bytes)
             if self.fragment_metadata:
                 encrypted = self.fragment_metadata.get("encrypted", False)
@@ -188,9 +232,9 @@ class MacParser:
             pdu_type=pdu_type,
             encrypted=encrypted,
             address=address,
-            length=length,
+            length=f.length,
             data=data_bytes,
-            fill_bits=fill_bit,
+            fill_bits=f.fill_bit,
             encryption_mode=enc_mode,
         )
 

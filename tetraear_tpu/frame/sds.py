@@ -9,6 +9,8 @@ the structured [BIN] preview with TLV / u16 views.
 
 from __future__ import annotations
 
+import numpy as np
+
 from tetraear_tpu.frame import lip as lip_mod
 
 # GSM 03.38 default alphabet (code point -> character)
@@ -32,15 +34,29 @@ def gsm7_map(code: int) -> str:
     return ""
 
 
+# escape-free fast path: map septet codes through one str.translate
+# (codes are 7-bit, so a latin-1 decode of the code bytes feeds it)
+_GSM7_TABLE = str.maketrans(
+    {i: ("" if GSM7_ALPHABET[i] == "\x1b" else GSM7_ALPHABET[i])
+     for i in range(len(GSM7_ALPHABET))})
+_POW7 = None
+
+
 def unpack_gsm7(data: bytes, septet_count: int | None = None,
                 skip_bits: int = 0) -> str:
-    """Unpack GSM 03.38 7-bit packed octets (LSB-first within octets)."""
+    """Unpack GSM 03.38 7-bit packed octets (LSB-first within octets).
+
+    Vectorized septet extraction (the per-bit Python loop was a
+    measured per-hit hot spot); the 0x1B escape state machine runs
+    per-septet only when an escape code is present.  Identical output
+    to the reference formulation
+    (tests/unit/test_protocol.py::test_unpack_gsm7_vectorized)."""
     if not data:
         return ""
-    bits = []
-    for b in data:
-        for i in range(8):
-            bits.append((b >> i) & 1)
+    global _POW7
+    if _POW7 is None:
+        _POW7 = (1 << np.arange(7)).astype(np.int16)
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
     if skip_bits:
         if skip_bits >= len(bits):
             return ""
@@ -48,13 +64,15 @@ def unpack_gsm7(data: bytes, septet_count: int | None = None,
     max_septets = len(bits) // 7
     if septet_count is None or septet_count > max_septets:
         septet_count = max_septets
+    if septet_count <= 0:
+        return ""
+    codes = bits[:7 * septet_count].reshape(-1, 7).astype(np.int16) @ _POW7
+    if not (codes == 0x1B).any():
+        return (codes.astype(np.uint8).tobytes()
+                .decode("latin-1").translate(_GSM7_TABLE))
     out = []
     escaped = False
-    for idx in range(septet_count):
-        base = idx * 7
-        code = 0
-        for off in range(7):
-            code |= bits[base + off] << off
+    for code in codes.tolist():
         if escaped:
             out.append(GSM7_EXTENSION.get(code, ""))
             escaped = False
@@ -101,13 +119,45 @@ def pack_gsm7(text: str) -> bytes:
     return bytes(out)
 
 
+# Fast character-class gates: the per-character generator passes were
+# the dominant host cost of the per-hit frame layer once the native
+# parse engine landed (every CRC-pass clear frame runs the SDS
+# cascade).  Latin-1-encodable text (every SDS-1/SDS-TL decode and most
+# GSM7 output) counts character classes via bytes.translate deletion
+# tables — one C pass per class; anything else falls back to the
+# per-character reference path.  Predicates are IDENTICAL to the
+# reference's (protocol.py:1204-1235); equivalence is pinned by
+# tests/unit/test_protocol.py::test_text_gates_vectorized.
+def _del_table(pred) -> bytes:
+    """Bytes whose latin-1 character does NOT satisfy pred — the
+    translate 'delete' argument, so len(bt.translate(None, tbl))
+    counts the satisfying characters."""
+    return bytes(b for b in range(256) if not pred(chr(b)))
+
+
+_DEL_PRINT_V = _del_table(lambda c: c.isprintable() or c in "\n\r\t")
+_DEL_ALNUM_V = _del_table(lambda c: c.isalnum() or c == " ")
+_DEL_PRINT_S = _del_table(lambda c: c.isprintable() and c != "\x1b")
+_DEL_ALNUM_S = _del_table(lambda c: c.isalnum() or c.isspace())
+_DEL_ALPHA = _del_table(str.isalpha)
+
+
 def score_text(text: str) -> float:
     """Plausibility score for candidate decodes (protocol.py:1204-1211)."""
     if not text:
         return 0.0
-    printable = sum(1 for c in text if c.isprintable() and c != "\x1b")
-    alnum = sum(1 for c in text if c.isalnum() or c.isspace())
-    alpha = sum(1 for c in text if c.isalpha())
+    try:
+        bt = text.encode("latin-1")
+    except UnicodeEncodeError:
+        bt = None
+    if bt is None:
+        printable = sum(1 for c in text if c.isprintable() and c != "\x1b")
+        alnum = sum(1 for c in text if c.isalnum() or c.isspace())
+        alpha = sum(1 for c in text if c.isalpha())
+    else:
+        printable = len(bt.translate(None, _DEL_PRINT_S))
+        alnum = len(bt.translate(None, _DEL_ALNUM_S))
+        alpha = len(bt.translate(None, _DEL_ALPHA))
     return (printable / len(text)) + (alnum / len(text)) + (
         0.5 if alpha > 0 else 0.0)
 
@@ -116,15 +166,28 @@ def is_valid_text(text: str, threshold: float = 0.8) -> bool:
     """Human-readable text gate (protocol.py:1213-1235)."""
     if not text or len(text) < 2:
         return False
-    clean = "".join(c for c in text if c not in "\n\r\t ")
-    if not clean:
+    try:
+        bt = text.encode("latin-1")
+    except UnicodeEncodeError:
+        bt = None
+    if bt is None:
+        clean = "".join(c for c in text if c not in "\n\r\t ")
+        if not clean:
+            return False
+        printable = sum(1 for c in text if c.isprintable() or c in "\n\r\t")
+        if len(text) > 4 and text.count(text[0]) == len(text):
+            return False
+        alnum = sum(1 for c in text if c.isalnum() or c == " ")
+        return (printable / len(text) >= threshold
+                and (alnum / len(text)) > 0.5)
+    if not bt.translate(None, b"\n\r\t "):
         return False
-    printable = sum(1 for c in text if c.isprintable() or c in "\n\r\t")
-    ratio = printable / len(text)
-    if len(text) > 4 and text.count(text[0]) == len(text):
+    printable = len(bt.translate(None, _DEL_PRINT_V))
+    if len(text) > 4 and bt.count(bt[:1]) == len(bt):
         return False
-    alnum = sum(1 for c in text if c.isalnum() or c == " ")
-    return ratio >= threshold and (alnum / len(text)) > 0.5
+    alnum = len(bt.translate(None, _DEL_ALNUM_V))
+    return (printable / len(text) >= threshold
+            and (alnum / len(text)) > 0.5)
 
 
 def _hex_preview(buf: bytes, max_bytes: int = 48) -> str:
