@@ -57,6 +57,9 @@ class PipelineConfig:
     carrier_afc: bool = True            # per-carrier d^4 tracking loop
     fft_size: int = 2048
     voice: bool = True                  # decode voice when codec available
+    frame_workers: int = 0              # >0: shard the per-hit frame layer
+                                        # over worker processes
+                                        # (frame.parallel)
     raw_fm: bool = False                # FM-demod raw audio monitoring
 
 
@@ -122,9 +125,16 @@ class Pipeline:
         for d in self.decoders:
             if config.keys:
                 d.set_keys(list(config.keys))
-        from tetraear_tpu.frame.batch import BatchedFrameDecoder
-        self.batch = BatchedFrameDecoder(self.n_carriers,
-                                         decoders=self.decoders)
+        if config.frame_workers > 0:
+            from tetraear_tpu.frame.parallel import ShardedFrameLayer
+            self.batch = ShardedFrameLayer(
+                self.n_carriers, n_workers=config.frame_workers,
+                key_file=config.key_file,
+                auto_decrypt=config.auto_decrypt, keys=config.keys)
+        else:
+            from tetraear_tpu.frame.batch import BatchedFrameDecoder
+            self.batch = BatchedFrameDecoder(self.n_carriers,
+                                             decoders=self.decoders)
         self.validator = (TetraSignalValidator(config.expected_mcc)
                           if config.validate else None)
         from tetraear_tpu.frame.aggregator import CallAggregator

@@ -94,6 +94,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--records-dir", help="directory for JSONL + raw dumps")
     p.add_argument("--expected-mcc", type=int,
                    help="expected country MCC for validation (e.g. 260)")
+    p.add_argument("--frame-workers", type=int, default=0,
+                   help="shard the per-hit frame layer over N worker "
+                        "processes (0 = in-process)")
     p.add_argument("--max-blocks", type=int,
                    help="stop after N blocks (default: run to EOF)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -111,6 +114,7 @@ def _make_pipeline(args, on_frame=None, on_audio=None, on_status=None):
         records_dir=args.records_dir,
         expected_mcc=args.expected_mcc,
         detect_gate=args.source == "rtlsdr",
+        frame_workers=getattr(args, "frame_workers", 0),
     )
     return Pipeline(cfg, on_frame=on_frame, on_audio=on_audio,
                     on_status=on_status)

@@ -32,6 +32,47 @@ from tetraear_tpu.frame.decoder import (TetraDecoder, sync_cascade,
 TAIL_SYMS = 600        # > slot (255) + sync offset (108) + dedup margin
 
 
+def decode_candidates(decoders, emitted_until, cands, hb, hints,
+                      syms=None) -> list:
+    """Pass 2 of the per-hit frame layer: stateful decode of collected
+    candidates in stream order with the dynamic dedup gate.
+
+    ``decoders``: per-carrier TetraDecoder lookup (list or dict);
+    ``emitted_until``: per-carrier absolute-symbol dedup watermarks,
+    ADVANCED IN PLACE; ``cands``: [(carrier, start_bit, abs_sym,
+    window_bits)]; ``hb``: hitparse.HitBatch aligned with cands (or
+    None for the pure-Python path); ``hints``: per-candidate device CRC
+    hints.  Shared by the in-process layer (BatchedFrameDecoder) and
+    the worker side of the carrier-sharded layer (frame.parallel), so
+    both decode identically.  Frames are returned WITHOUT soft_symbols
+    (the caller holding the soft planes attaches them)."""
+    frames_out = []
+    for i, (ci, start, abs_sym, win) in enumerate(cands):
+        if abs_sym < emitted_until[ci]:
+            continue                  # superseded by an earlier emit
+        dec = decoders[ci]
+        if hb is not None:
+            frame = dec.decode_frame(
+                win, 0,
+                frame_number=int(abs_sym * 2) // FRAME_LENGTH,
+                pre=hb.pre(i, crc_hint=hints[i]))
+        else:
+            frame = dec.decode_frame(
+                win, 0,
+                (syms[ci, start // 2:start // 2 + 255]
+                 if syms is not None else None),
+                frame_number=int(abs_sym * 2) // FRAME_LENGTH,
+                crc_hint=hints[i])
+        if frame is None:
+            continue
+        emitted_until[ci] = abs_sym + 255
+        frame["position"] = start
+        frame["carrier"] = int(ci)
+        frame["stream_symbol"] = int(abs_sym)
+        frames_out.append(frame)
+    return frames_out
+
+
 class BatchedFrameDecoder:
     """Carrier-batched sync/CRC selection + per-hit frame decode."""
 
@@ -43,10 +84,12 @@ class BatchedFrameDecoder:
         self.decoders = decoders if decoders is not None else [
             TetraDecoder(key_manager=key_manager, auto_decrypt=auto_decrypt)
             for _ in range(n_carriers)]
-        for d in self.decoders:
-            # decryption is deferred per block and finished with one
-            # device keys x frames search (crypto.batch)
-            d.defer_decrypt = True
+        if isinstance(self.decoders, list):
+            for d in self.decoders:
+                # decryption is deferred per block and finished with one
+                # device keys x frames search (crypto.batch); lazy maps
+                # (frame.parallel._LazyDecoders) set the flag themselves
+                d.defer_decrypt = True
         self.T = int(tail_syms)
         # even-position scan: frame starts are symbol-aligned in the
         # assembled rows (all carries/drops move whole symbols), so odd
@@ -66,28 +109,17 @@ class BatchedFrameDecoder:
     # -- scan core (device outputs -> selected frames), also used by the
     #    fused offline runner which computes corr/crc inside its own jit --
 
-    def select_and_decode(self, syms: np.ndarray, softs: np.ndarray,
-                          n_valid: np.ndarray, valid_start_bits: np.ndarray,
-                          corr: np.ndarray, crc_err: np.ndarray) -> list:
-        """syms: (C, W) assembled symbol rows (tail + block, zero-padded);
-        softs: (C, W, 2); n_valid: (C,) valid symbols per row counted from
-        the row start; valid_start_bits: (C,) first real bit per row (the
-        zero pad before the stream head on early blocks); corr/crc_err:
-        device scan of the rows' bit planes, with self.scan_stride bits
-        between adjacent elements.  Returns decoded frame dicts (with
-        carrier/stream metadata)."""
-        from tetraear_tpu.frame import hitparse
-
-        frames_out = []
+    def collect_candidates(self, syms, n_valid, valid_start_bits,
+                           corr) -> list:
+        """Pass 1: candidate windows passing the static gates (the
+        dynamic dedup gate is re-applied in pass 2 — positions within a
+        block can overlap, so emitted_until advances there).  Returns
+        [(carrier, start_bit, abs_sym, 510-bit window)].  Shared with
+        the carrier-sharded layer (frame.parallel)."""
+        valid_bits = 2 * n_valid
         row_max = corr.max(axis=1) if corr.shape[1] else np.zeros(len(corr))
         active = np.flatnonzero(row_max >= 0.75)
-        valid_bits = 2 * n_valid
-
-        # pass 1: collect candidate windows passing the static gates
-        # (the dynamic dedup gate is re-applied in pass 2 — positions
-        # within a block can overlap, so emitted_until advances there)
-        cands = []                    # (ci, start, abs_sym, window)
-        bits_rows: dict = {}
+        cands = []
         for ci in active:
             positions = sync_cascade(corr[ci], stride=self.scan_stride)
             if not positions:
@@ -107,41 +139,42 @@ class BatchedFrameDecoder:
                     bits_row = np.empty(2 * len(s), np.uint8)
                     bits_row[0::2] = (s >> 1) & 1
                     bits_row[1::2] = s & 1
-                    bits_rows[int(ci)] = bits_row
                 cands.append((int(ci), int(start), int(abs_sym),
                               bits_row[start:start + FRAME_LENGTH]))
+        return cands
+
+    def select_and_decode(self, syms: np.ndarray, softs: np.ndarray,
+                          n_valid: np.ndarray, valid_start_bits: np.ndarray,
+                          corr: np.ndarray, crc_err: np.ndarray) -> list:
+        """syms: (C, W) assembled symbol rows (tail + block, zero-padded);
+        softs: (C, W, 2); n_valid: (C,) valid symbols per row counted from
+        the row start; valid_start_bits: (C,) first real bit per row (the
+        zero pad before the stream head on early blocks); corr/crc_err:
+        device scan of the rows' bit planes, with self.scan_stride bits
+        between adjacent elements.  Returns decoded frame dicts (with
+        carrier/stream metadata)."""
+        from tetraear_tpu.frame import hitparse
+
+        frames_out = []
+        cands = self.collect_candidates(syms, n_valid, valid_start_bits,
+                                        corr)
 
         # the native engine parses every candidate's stateless verdicts
         # (burst type, soft CRC, MAC fields) in ONE C call; without the
         # built library hb is None and decode_frame runs its Python path
         hb = (hitparse.parse_windows(
             np.stack([c[3] for c in cands])) if cands else None)
+        hints = [bool(crc_err[ci, start // self.scan_stride] <= 2)
+                 for ci, start, _a, _w in cands]
 
         # pass 2: stateful decode in stream order with the dynamic gate
-        for i, (ci, start, abs_sym, win) in enumerate(cands):
-            if abs_sym < self._emitted_until[ci]:
-                continue              # superseded by an earlier emit
-            dec = self.decoders[ci]
-            hint = bool(crc_err[ci, start // self.scan_stride] <= 2)
-            if hb is not None:
-                frame = dec.decode_frame(
-                    win, 0,
-                    frame_number=int(abs_sym * 2) // FRAME_LENGTH,
-                    pre=hb.pre(i, crc_hint=hint))
-            else:
-                frame = dec.decode_frame(
-                    win, 0, syms[ci, start // 2:start // 2 + 255],
-                    frame_number=int(abs_sym * 2) // FRAME_LENGTH,
-                    crc_hint=hint)
-            if frame is None:
-                continue
-            self._emitted_until[ci] = abs_sym + 255
-            frame["position"] = start
-            frame["carrier"] = int(ci)
-            frame["stream_symbol"] = int(abs_sym)
+        frames_out.extend(decode_candidates(
+            self.decoders, self._emitted_until, cands, hb, hints,
+            syms=syms))
+        for frame in frames_out:
+            ci, start = frame["carrier"], frame["position"]
             frame["soft_symbols"] = softs[ci, start // 2:
                                           start // 2 + 255]
-            frames_out.append(frame)
         # finish deferred decryption: one device keys x payloads search
         # for the whole block (exact host-loop semantics, crypto.batch)
         if any(f.get("decryption_pending") for f in frames_out):

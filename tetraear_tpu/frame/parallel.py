@@ -1,0 +1,256 @@
+"""Carrier-sharded per-hit frame layer over worker processes.
+
+The per-hit host path is embarrassingly parallel over carriers: every
+piece of its state (MacParser fragmentation, SYSINFO identity, the
+emitted-frame dedup watermark) is per-carrier.  This module shards the
+STATEFUL pass-2 (frame.batch.decode_candidates — MAC application, SDS,
+frame dicts) across spawn-based worker processes while the parent keeps
+everything vectorized: tail assembly, sync cascade, candidate window
+collection and the native hitparse batch call (~1 us/frame).
+
+Per-block IPC is O(hits): each candidate ships as (carrier, start,
+abs_sym, 510-bit window, HitPre) — ~1 KB pickled — and each decoded
+frame dict returns the same way.  soft_symbols are attached by the
+PARENT from its assembled soft planes, so the bulky (C, W, 2) float
+arrays never cross a process boundary.
+
+Division of labour (docs/ARCHITECTURE.md "host envelope"): one parent
+core feeds N worker cores; throughput scales with workers until the
+parent's vectorized collection (~1-3 us/frame) saturates.
+
+Workers never import JAX (frame.decoder / frame.batch are NumPy-only
+at import time); deferred decryption returns to the parent as
+``decryption_pending`` frames and is finished there with ONE device
+keys x payloads search per block (crypto.batch), exactly like the
+in-process layer.
+
+Equivalence with the in-process BatchedFrameDecoder is pinned by
+tests/unit/test_parallel_frames.py.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+
+import numpy as np
+
+from tetraear_tpu.frame.decoder import TetraDecoder
+from tetraear_tpu.frame.batch import (BatchedFrameDecoder, TAIL_SYMS,
+                                      decode_candidates)
+
+
+class _LazyDecoders:
+    """Per-carrier TetraDecoder map, constructed on first use."""
+
+    def __init__(self, key_file=None, auto_decrypt=True, keys=()):
+        self._m: dict = {}
+        self._key_file = key_file
+        self._auto = auto_decrypt
+        self._keys = tuple(keys)
+
+    def _make(self):
+        km = None
+        if self._key_file:
+            from tetraear_tpu.crypto.tea import TetraKeyManager
+            km = TetraKeyManager()
+            km.load_key_file(self._key_file)
+        d = TetraDecoder(key_manager=km, auto_decrypt=self._auto)
+        d.defer_decrypt = True
+        if self._keys:
+            d.set_keys(list(self._keys))
+        return d
+
+    def __getitem__(self, ci: int) -> TetraDecoder:
+        d = self._m.get(ci)
+        if d is None:
+            d = self._m[ci] = self._make()
+        return d
+
+
+class _Emitted(dict):
+    """Sparse emitted_until watermark map (missing carrier -> 0)."""
+
+    def __missing__(self, key):
+        return 0
+
+
+def _worker_main(conn, key_file, auto_decrypt, keys):
+    decoders = _LazyDecoders(key_file, auto_decrypt, keys)
+    emitted = _Emitted()
+    while True:
+        msg = conn.recv()
+        if msg is None:
+            conn.close()
+            return
+        cands, pres, hints = msg
+        hb = _PreList(pres) if pres is not None else None
+        frames = decode_candidates(decoders, emitted, cands, hb, hints)
+        conn.send(frames)
+
+
+class _PreList:
+    """Adapter: a list of HitPre presented through the HitBatch.pre
+    interface decode_candidates expects (hints are already folded in
+    by the parent, so crc_hint is ignored here)."""
+
+    def __init__(self, pres):
+        self._p = pres
+
+    def pre(self, i, crc_hint=None):
+        return self._p[i]
+
+
+class ShardedFrameLayer:
+    """Drop-in BatchedFrameDecoder with pass-2 sharded over workers.
+
+    Same process(hard, soft, valid) / select_and_decode interface and
+    identical output frames (ordering: carrier-ascending, as shards
+    are contiguous carrier ranges merged in order).
+    """
+
+    def __init__(self, n_carriers: int, n_workers: int = 2,
+                 key_file=None, key_manager=None, auto_decrypt=True,
+                 keys=(), tail_syms: int = TAIL_SYMS):
+        # parent-side vectorized bookkeeping reuses BatchedFrameDecoder
+        # (its per-carrier decoders stay UNUSED in pass 2; the parent
+        # only runs assemble/collection + the decrypt finishing)
+        self._inner = BatchedFrameDecoder(
+            n_carriers,
+            decoders=_LazyDecoders(key_file, auto_decrypt, keys),
+            key_manager=key_manager, auto_decrypt=auto_decrypt,
+            tail_syms=tail_syms)
+        self.n_carriers = n_carriers
+        self.n_workers = max(1, int(n_workers))
+        bounds = np.linspace(0, n_carriers, self.n_workers + 1).astype(int)
+        self._bounds = bounds
+        ctx = mp.get_context("spawn")
+        self._conns = []
+        self._procs = []
+        for _w in range(self.n_workers):
+            pc, cc = ctx.Pipe()
+            p = ctx.Process(target=_worker_main,
+                            args=(cc, key_file, auto_decrypt,
+                                  tuple(keys)),
+                            daemon=True)
+            p.start()
+            cc.close()
+            self._conns.append(pc)
+            self._procs.append(p)
+        # parent-side decrypt finishing needs the same key config
+        self._decrypt_template = _LazyDecoders(key_file, auto_decrypt,
+                                               keys)
+
+    # -- lifecycle -----------------------------------------------------
+
+    def close(self):
+        for c in self._conns:
+            try:
+                c.send(None)
+            except (BrokenPipeError, OSError):
+                pass
+        for p in self._procs:
+            p.join(timeout=10)
+        self._conns, self._procs = [], []
+
+    def __del__(self):  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # -- the sharded block step -----------------------------------------
+
+    def select_and_decode(self, syms, softs, n_valid, valid_start_bits,
+                          corr, crc_err) -> list:
+        from tetraear_tpu.frame import hitparse
+        inner = self._inner
+
+        # pass 1 (parent, vectorized helpers): candidate collection —
+        # the exact BatchedFrameDecoder gates
+        cands = inner.collect_candidates(syms, n_valid, valid_start_bits,
+                                         corr)
+        hb = (hitparse.parse_windows(np.stack([c[3] for c in cands]))
+              if cands and hitparse.available() else None)
+        hints = [bool(crc_err[ci, start // inner.scan_stride] <= 2)
+                 for ci, start, _a, _w in cands]
+
+        # shard by carrier range; ship (cands, HitPre list, hints)
+        shard_idx = [[] for _ in range(self.n_workers)]
+        for i, (ci, *_rest) in enumerate(cands):
+            w = int(np.searchsorted(self._bounds[1:], ci, side="right"))
+            shard_idx[w].append(i)
+        busy = []
+        for w, idx in enumerate(shard_idx):
+            if not idx:
+                continue
+            sub = [cands[i] for i in idx]
+            pres = ([hb.pre(i, crc_hint=hints[i]) for i in idx]
+                    if hb is not None else None)
+            sub_hints = [hints[i] for i in idx]
+            self._conns[w].send((sub, pres, sub_hints))
+            busy.append(w)
+
+        frames_out = []
+        for w in busy:
+            frames_out.extend(self._conns[w].recv())
+        frames_out.sort(key=lambda f: (f["carrier"], f["position"]))
+
+        # parent-side bookkeeping: the dedup watermark is reproducible
+        # from the emitted frames, so the parent copy stays exact
+        for f in frames_out:
+            inner._emitted_until[f["carrier"]] = max(
+                inner._emitted_until[f["carrier"]],
+                f["stream_symbol"] + 255)
+            ci, start = f["carrier"], f["position"]
+            f["soft_symbols"] = softs[ci, start // 2:start // 2 + 255]
+
+        if any(f.get("decryption_pending") for f in frames_out):
+            from tetraear_tpu.crypto.batch import batch_decrypt_frames
+            batch_decrypt_frames(self._decrypt_template, frames_out)
+        return frames_out
+
+    # -- BatchedFrameDecoder-compatible surface --------------------------
+
+    @property
+    def scan_stride(self):
+        return self._inner.scan_stride
+
+    @property
+    def T(self):
+        return self._inner.T
+
+    @property
+    def kernel(self):
+        return self._inner.kernel
+
+    @property
+    def _sym_base(self):
+        return self._inner._sym_base
+
+    @_sym_base.setter
+    def _sym_base(self, v):
+        self._inner._sym_base = v
+
+    @property
+    def _first(self):
+        return self._inner._first
+
+    @_first.setter
+    def _first(self, v):
+        self._inner._first = v
+
+    def assemble(self, hard, soft, valid):
+        return self._inner.assemble(hard, soft, valid)
+
+    def process(self, hard, soft, valid) -> list:
+        syms, softs, n_total, vstart = self._inner.assemble(
+            hard, soft, valid)
+        bits = np.empty((syms.shape[0], 2 * syms.shape[1]), np.uint8)
+        bits[:, 0::2] = (syms >> 1) & 1
+        bits[:, 1::2] = syms & 1
+        out = self._inner.kernel.scan(bits)
+        frames = self.select_and_decode(syms, softs, n_total, vstart,
+                                        out["corr"], out["crc_err"])
+        self._inner._sym_base = self._inner._sym_base + (
+            n_total - self._inner.T)
+        return frames
