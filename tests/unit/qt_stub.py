@@ -56,7 +56,7 @@ def pyqtSlot(*a, **k):
 
 
 _NOOP_PREFIXES = ("set", "scroll", "show", "hide", "resize", "adjust",
-                  "update", "clear", "raise", "activate", "move")
+                  "update", "clear", "raise", "activate", "move", "close")
 
 
 class QObject:
@@ -198,11 +198,28 @@ class QSlider(QWidget):
         self._value = 0
 
     def setValue(self, v):
-        self._value = int(v)
-        self.valueChanged.emit(self._value)
+        v = int(v)
+        if v != self._value:                   # Qt emits only on change
+            self._value = v
+            self.valueChanged.emit(self._value)
 
     def value(self):
         return self._value
+
+
+class QLineEdit(QWidget):
+    textChanged = pyqtSignal(str)
+
+    def __init__(self, text="", *a, **k):
+        super().__init__()
+        self._text = str(text)
+
+    def setText(self, t):
+        self._text = str(t)
+        self.textChanged.emit(self._text)
+
+    def text(self):
+        return self._text
 
 
 class QTableWidgetItem:

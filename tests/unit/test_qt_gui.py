@@ -122,3 +122,71 @@ def test_capture_thread_signal_wiring(qt):
     th.status_update.connect(got.append)
     th.status_update.emit("ok")
     assert got == [{"number": 1}, "ok"]
+
+
+def test_spectrum_sliders_and_auto_toggle(qt):
+    win = qt.ModernTetraGUI()
+    w = win.waterfall
+    assert w.auto_cal and w.zoom == 1.0
+    # manual mode: sliders drive the waterfall range
+    win.auto_sliders.setChecked(False)
+    win.top_slider.setValue(-30)
+    win.bottom_slider.setValue(-95)
+    win.zoom_slider.setValue(40)            # zoom x4
+    assert not w.auto_cal
+    assert w.manual_ceiling_db == -30.0
+    assert w.manual_floor_db == -95.0
+    assert w.zoom == 4.0
+    # a spectrum push respects the manual range and the zoom crop
+    p = np.linspace(-100.0, -20.0, 512)
+    w.push(p)
+    assert w.buf.ceiling_db == -30.0 and w.buf.floor_db == -95.0
+    # back to auto: sliders follow auto_calibrate's result
+    win.auto_sliders.setChecked(True)
+    w.push(p)
+    win._spectrum_changed()
+    assert win.top_slider.value() == int(w.last_cal["ceiling_db"])
+    assert win.bottom_slider.value() == int(w.last_cal["floor_db"])
+    # threshold slider persists to settings
+    win.threshold_slider.setValue(-60)
+    assert win.settings.get("peak_threshold_db") == -60.0
+
+
+def test_zoom_click_to_tune_scales(qt):
+    w = qt.WaterfallWidget(fs=2.4e6)
+    got = []
+    w.clicked_freq.connect(got.append)
+    w.zoom = 4.0
+
+    class _Ev:
+        def position(self):
+            class P:
+                def x(self):
+                    return 800.0      # right edge of the 800px default
+            return P()
+    w.mousePressEvent(_Ev())
+    assert got and abs(got[0] - (0.5 * 2.4e6 / 4.0)) < 1e-6
+
+
+def test_settings_dialog_roundtrip(qt, tmp_path):
+    win = qt.ModernTetraGUI()
+    win.on_settings()
+    dlg = win._settings_dialog
+    dlg.records_edit.setText(str(tmp_path / "recs"))
+    dlg.mp3_chk.setChecked(True)
+    dlg.silence_chk.setChecked(True)
+    dlg.save_btn.click()
+    assert win.settings.get("records_dir") == str(tmp_path / "recs")
+    assert win.settings.get("export_mp3") is True
+    assert win.settings.get("save_silence") is True
+    assert win.recorder.export_mp3 is True
+    assert win.recorder.delete_silent is False
+
+
+def test_pre_gui_scan_synthetic(qt):
+    """The pre-GUI scan path on a synthetic source: the scan machinery
+    runs end to end headlessly (hit-or-not depends on dwell alignment;
+    the contract is a float frequency or None)."""
+    best = qt.pre_gui_scan(392.49, 392.51, source="synthetic:0",
+                           sample_rate=2.4e6)
+    assert best is None or isinstance(best, float)

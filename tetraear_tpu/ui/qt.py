@@ -25,9 +25,9 @@ try:
     from PyQt6.QtGui import QImage, QPixmap
     from PyQt6.QtWidgets import (QApplication, QCheckBox, QComboBox,
                                  QDoubleSpinBox, QHBoxLayout, QLabel,
-                                 QMainWindow, QPushButton, QSlider,
-                                 QTableWidget, QTableWidgetItem, QTabWidget,
-                                 QVBoxLayout, QWidget)
+                                 QLineEdit, QMainWindow, QPushButton,
+                                 QSlider, QTableWidget, QTableWidgetItem,
+                                 QTabWidget, QVBoxLayout, QWidget)
     QT_AVAILABLE = True
 except ImportError:  # pragma: no cover - headless environments
     QT_AVAILABLE = False
@@ -100,12 +100,25 @@ if QT_AVAILABLE:
             self.buf = spec_mod.WaterfallBuffer(width, height)
             self.denoise = spec_mod.SpectrumDenoiser()
             self.setMinimumSize(width, height)
+            # spectrum sliders state (modern.py:3792-3887): auto mode
+            # tracks auto_calibrate; manual mode uses the slider values
+            self.auto_cal = True
+            self.zoom = 1.0
+            self.manual_floor_db = -90.0
+            self.manual_ceiling_db = -20.0
+            self.last_cal = {"floor_db": -90.0, "ceiling_db": -20.0}
 
         def push(self, power_db):
             p = self.denoise(np.asarray(power_db))
-            cal = spec_mod.auto_calibrate(p)
-            self.buf.floor_db = cal["floor_db"]
-            self.buf.ceiling_db = cal["ceiling_db"]
+            p = spec_mod.zoom_slice(p, self.zoom)
+            if self.auto_cal:
+                cal = spec_mod.auto_calibrate(p)
+                self.last_cal = cal
+                self.buf.floor_db = cal["floor_db"]
+                self.buf.ceiling_db = cal["ceiling_db"]
+            else:
+                self.buf.floor_db = self.manual_floor_db
+                self.buf.ceiling_db = self.manual_ceiling_db
             self.buf.push(p)
             rows = np.ascontiguousarray(self.buf.rows)
             img = QImage(rows.data, rows.shape[1], rows.shape[0],
@@ -114,7 +127,7 @@ if QT_AVAILABLE:
 
         def mousePressEvent(self, ev):
             x = ev.position().x() / max(self.width(), 1)
-            self.clicked_freq.emit((x - 0.5) * self.fs)
+            self.clicked_freq.emit((x - 0.5) * self.fs / self.zoom)
 
     class ScannerDialog(QWidget):
         """Threaded frequency-scan dialog (modern.py:1363-1782 analogue):
@@ -186,6 +199,45 @@ if QT_AVAILABLE:
             item = self.table.item(row, 0)
             if item:
                 self.tuned.emit(float(item.text()) * 1e6)
+
+    class SettingsDialog(QWidget):
+        """Settings editor (modern.py settings dialog analogue):
+        records directory, MP3 export, silent-file retention — persisted
+        through SettingsManager and applied to the live recorder."""
+
+        def __init__(self, settings, recorder=None):
+            super().__init__()
+            self.settings = settings
+            self.recorder = recorder
+            lay = QVBoxLayout(self)
+            row = QHBoxLayout()
+            row.addWidget(QLabel("Records dir"))
+            self.records_edit = QLineEdit(
+                str(settings.get("records_dir") or "records"))
+            row.addWidget(self.records_edit)
+            lay.addLayout(row)
+            self.mp3_chk = QCheckBox("Export MP3 after recording")
+            self.mp3_chk.setChecked(bool(settings.get("export_mp3",
+                                                      False)))
+            lay.addWidget(self.mp3_chk)
+            self.silence_chk = QCheckBox("Keep silent recordings")
+            self.silence_chk.setChecked(bool(settings.get("save_silence",
+                                                          False)))
+            lay.addWidget(self.silence_chk)
+            self.save_btn = QPushButton("Save")
+            self.save_btn.clicked.connect(self.on_save)
+            lay.addWidget(self.save_btn)
+
+        def on_save(self):
+            self.settings.set("records_dir", self.records_edit.text())
+            self.settings.set("export_mp3", self.mp3_chk.isChecked())
+            self.settings.set("save_silence", self.silence_chk.isChecked())
+            if self.recorder is not None:
+                from pathlib import Path
+                self.recorder.records_dir = Path(self.records_edit.text())
+                self.recorder.export_mp3 = self.mp3_chk.isChecked()
+                self.recorder.delete_silent = not self.silence_chk.isChecked()
+            self.close()
 
     class ModernTetraGUI(QMainWindow):
         """Main window (modern.py:2511 analogue)."""
@@ -294,6 +346,46 @@ if QT_AVAILABLE:
             self.waterfall.clicked_freq.connect(self._tune_offset)
             layout.addWidget(self.waterfall)
 
+            # spectrum zoom / top / bottom / threshold sliders + auto
+            # calibration toggle (modern.py:3792-3887)
+            sp = QHBoxLayout()
+            sp.addWidget(QLabel("Zoom"))
+            self.zoom_slider = QSlider(Qt.Orientation.Horizontal)
+            self.zoom_slider.setRange(10, 100)       # zoom x1.0 .. x10.0
+            self.zoom_slider.setValue(10)
+            self.zoom_slider.valueChanged.connect(self._spectrum_changed)
+            sp.addWidget(self.zoom_slider)
+            sp.addWidget(QLabel("Top"))
+            self.top_slider = QSlider(Qt.Orientation.Horizontal)
+            self.top_slider.setRange(-100, 0)
+            self.top_slider.setValue(-20)
+            self.top_slider.valueChanged.connect(self._spectrum_changed)
+            sp.addWidget(self.top_slider)
+            sp.addWidget(QLabel("Bottom"))
+            self.bottom_slider = QSlider(Qt.Orientation.Horizontal)
+            self.bottom_slider.setRange(-140, -20)
+            self.bottom_slider.setValue(-90)
+            self.bottom_slider.valueChanged.connect(self._spectrum_changed)
+            sp.addWidget(self.bottom_slider)
+            sp.addWidget(QLabel("Threshold"))
+            self.threshold_slider = QSlider(Qt.Orientation.Horizontal)
+            self.threshold_slider.setRange(-100, -30)
+            self.threshold_slider.setValue(int(self.settings.get(
+                "peak_threshold_db", -70)))
+            self.threshold_slider.valueChanged.connect(
+                self._spectrum_changed)
+            sp.addWidget(self.threshold_slider)
+            self.auto_sliders = QCheckBox("Auto")
+            self.auto_sliders.setChecked(True)
+            self.auto_sliders.toggled.connect(
+                lambda _on: self._spectrum_changed())
+            sp.addWidget(self.auto_sliders)
+            self.settings_btn = QPushButton("Settings")
+            self.settings_btn.clicked.connect(self.on_settings)
+            sp.addWidget(self.settings_btn)
+            sp.addStretch(1)
+            layout.addLayout(sp)
+
             # frames-table filters (modern.py:4326-4473)
             from tetraear_tpu.ui.filters import (ENC_CHOICES, READ_CHOICES,
                                                  TYPE_CHOICES)
@@ -389,6 +481,30 @@ if QT_AVAILABLE:
 
         def _tune_offset(self, offset_hz):
             self.freq_spin.setValue(self.freq_spin.value() + offset_hz / 1e6)
+
+        def _spectrum_changed(self, _v: int = 0):
+            """Apply the zoom/top/bottom/threshold sliders + auto toggle
+            (modern.py:3792-3887): auto mode keeps auto_calibrate and
+            reflects its result back into the sliders; manual mode
+            drives the waterfall range from the sliders."""
+            w = self.waterfall
+            w.zoom = self.zoom_slider.value() / 10.0
+            auto = self.auto_sliders.isChecked()
+            w.auto_cal = auto
+            if auto:
+                cal = w.last_cal
+                self.top_slider.setValue(int(cal["ceiling_db"]))
+                self.bottom_slider.setValue(int(cal["floor_db"]))
+            else:
+                w.manual_ceiling_db = float(self.top_slider.value())
+                w.manual_floor_db = float(self.bottom_slider.value())
+            self.settings.set("peak_threshold_db",
+                              float(self.threshold_slider.value()))
+
+        def on_settings(self):
+            self._settings_dialog = SettingsDialog(self.settings,
+                                                   self.recorder)
+            self._settings_dialog.show()
 
         def on_start(self):
             from tetraear_tpu.api import PipelineConfig
@@ -496,13 +612,53 @@ if QT_AVAILABLE:
                     table.setItem(r, 1, QTableWidgetItem(str(count)))
 
 
+def pre_gui_scan(lo_mhz: float, hi_mhz: float, source: str = "rtlsdr",
+                 sample_rate: float = 2.4e6):
+    """Pre-GUI frequency scan (reference modern.py:5452-5493): sweep the
+    range before the window opens and return the strongest validated
+    TETRA hit's frequency in Hz (None when nothing found).  Qt-free —
+    usable from any frontend."""
+    from tetraear_tpu.runtime.sources import open_source
+    from tetraear_tpu.scan.scanner import FrequencyScanner
+
+    src = open_source(source, sample_rate=sample_rate,
+                      frequency=lo_mhz * 1e6)
+    try:
+        sc = FrequencyScanner(src, sample_rate=sample_rate)
+        found = sc.scan_range(lo_mhz * 1e6, hi_mhz * 1e6)
+    finally:
+        close = getattr(src, "close", None)
+        if close:
+            close()
+    if not found:
+        return None
+    best = max(found, key=lambda ch: (ch.get("confidence", 0.0),
+                                      ch.get("power_db", -999.0)))
+    return float(best["frequency"])
+
+
 def main(argv=None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="tetraear_tpu.ui.qt")
+    parser.add_argument("--scan", nargs=2, type=float,
+                        metavar=("START_MHZ", "STOP_MHZ"),
+                        help="scan the range before opening the GUI and "
+                             "tune to the best hit (modern.py:5452-5493)")
+    parser.add_argument("--source", default="rtlsdr")
+    args, qt_args = parser.parse_known_args(argv)
+
     if not QT_AVAILABLE:
         print("PyQt6 is not installed; use the terminal dashboard instead:\n"
               "  python -m tetraear_tpu.ui.dashboard --source synthetic")
         return 1
-    app = QApplication(argv or [])
+    app = QApplication(qt_args)
     win = ModernTetraGUI()
+    if args.scan:
+        best = pre_gui_scan(args.scan[0], args.scan[1], source=args.source)
+        if best is not None:
+            win.settings.set("last_frequency", best)
+            win.freq_spin.setValue(best / 1e6)
     win.resize(1100, 760)
     win.show()
     return app.exec()

@@ -77,6 +77,18 @@ def estimate_bandwidth(power_db: np.ndarray, fs: float,
     return (hi - lo + 1) * fs / n
 
 
+def zoom_slice(power_db: np.ndarray, zoom: float) -> np.ndarray:
+    """Centered 1/zoom fraction of the spectrum bins (the reference's
+    spectrum zoom slider, modern.py:859-921).  zoom <= 1 returns the
+    full span; the slice always keeps >= 8 bins."""
+    n = len(power_db)
+    if zoom <= 1.0 or n < 16:
+        return power_db
+    keep = max(8, int(round(n / zoom)))
+    lo = (n - keep) // 2
+    return power_db[lo:lo + keep]
+
+
 def auto_calibrate(power_db: np.ndarray) -> dict:
     """Display floor/ceiling from power percentiles (modern.py:3792-3887).
 
