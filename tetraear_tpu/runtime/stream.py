@@ -199,17 +199,11 @@ class DecodeRunner:
                 (self.bank.n_carriers, self.t2), jnp.uint8)
         tail_bits = self._tail_bits
         frames_all = []
-        pos = 0
-        while pos + bl <= len(iq):
-            take = min(self.s, (len(iq) - pos) // bl)
-            xs = iq[pos:pos + take * bl].reshape(take, bl)
-            xs_r = jnp.asarray(kernels.c2r_np(xs))
-            if self.fused:
-                state, ys = self._scan(xs_r, state)
-            else:
-                state, tail_bits, ys = self._scan(xs_r, state,
-                                                  tail_bits)
-            self.dispatches += 1
+
+        def parse(take, ys):
+            # np.asarray blocks until the dispatch completes; with the
+            # NEXT dispatch already issued (async JAX dispatch), the
+            # device computes batch k+1 while the host parses batch k
             hard, soft, valid, corr, crc_err = (np.asarray(y) for y in ys)
             for b in range(take):
                 syms, softs, n_total, vstart = self.batch.assemble(
@@ -221,6 +215,24 @@ class DecodeRunner:
                 if frames and on_frames:
                     on_frames(frames)
                 frames_all.extend(frames)
+
+        pending = None                 # (take, ys) not yet host-parsed
+        pos = 0
+        while pos + bl <= len(iq):
+            take = min(self.s, (len(iq) - pos) // bl)
+            xs = iq[pos:pos + take * bl].reshape(take, bl)
+            xs_r = jnp.asarray(kernels.c2r_np(xs))
+            if self.fused:
+                state, ys = self._scan(xs_r, state)
+            else:
+                state, tail_bits, ys = self._scan(xs_r, state,
+                                                  tail_bits)
+            self.dispatches += 1
+            if pending is not None:
+                parse(*pending)
+            pending = (take, ys)
             pos += take * bl
+        if pending is not None:
+            parse(*pending)
         self._tail_bits = tail_bits
         return {"frames": frames_all, "state": state}
