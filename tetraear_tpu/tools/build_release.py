@@ -44,6 +44,10 @@ def build(out_dir: Path, with_codec: bool = True) -> Path:
                               str(REPO / "tetraear_tpu/voice/csrc")])
         if rc != 0:
             raise RuntimeError("codec build failed")
+        rc = subprocess.call(["make", "-C",
+                              str(REPO / "tetraear_tpu/frame/csrc")])
+        if rc != 0:
+            raise RuntimeError("hitparse build failed")
     name = f"tetraear-tpu-{version}"
     archive = out_dir / f"{name}.tar.gz"
 
