@@ -79,6 +79,33 @@ def test_pipeline_checkpoint_resume(tmp_path):
     assert np.array_equal(a, b)
 
 
+def test_pipeline_checkpoint_with_frame_workers(tmp_path):
+    """Checkpoint save/load works when the per-hit layer is sharded
+    over worker processes (the dedup watermark lives behind a property
+    on ShardedFrameLayer)."""
+    src = SyntheticTetraSource(sample_rate=2.4e6, snr_db=25, seed=9)
+    cfg = PipelineConfig(sample_rate=2.4e6, detect_gate=False,
+                         voice=False, frame_workers=2)
+    pipe = Pipeline(cfg)
+    try:
+        pipe.run(src, max_blocks=2)
+        ck = tmp_path / "state_workers.npz"
+        pipe.save_checkpoint(ck)
+        pipe2 = Pipeline(cfg)
+        try:
+            pipe2.load_checkpoint(ck)
+            np.testing.assert_array_equal(
+                np.asarray(pipe.batch._emitted_until),
+                np.asarray(pipe2.batch._emitted_until))
+            # the setter routes to the inner layer, not a shadow attr
+            assert pipe2.batch._inner._emitted_until is \
+                pipe2.batch._emitted_until
+        finally:
+            pipe2.batch.close()
+    finally:
+        pipe.batch.close()
+
+
 # -- sources ---------------------------------------------------------------
 
 @pytest.mark.parametrize("ext", [".cfile", ".cs16", ".cu8", ".npy"])

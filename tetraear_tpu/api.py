@@ -119,19 +119,23 @@ class Pipeline:
         if config.key_file:
             key_manager = TetraKeyManager()
             key_manager.load_key_file(config.key_file)
-        self.decoders = [TetraDecoder(key_manager=key_manager,
-                                      auto_decrypt=config.auto_decrypt)
-                         for _ in range(self.n_carriers)]
-        for d in self.decoders:
-            if config.keys:
-                d.set_keys(list(config.keys))
         if config.frame_workers > 0:
+            # per-carrier decoder state lives in the worker processes;
+            # building n_carriers host decoders here would only pin
+            # memory at exactly the fleet scale the sharded layer serves
             from tetraear_tpu.frame.parallel import ShardedFrameLayer
+            self.decoders = []
             self.batch = ShardedFrameLayer(
                 self.n_carriers, n_workers=config.frame_workers,
                 key_file=config.key_file,
                 auto_decrypt=config.auto_decrypt, keys=config.keys)
         else:
+            self.decoders = [TetraDecoder(key_manager=key_manager,
+                                          auto_decrypt=config.auto_decrypt)
+                             for _ in range(self.n_carriers)]
+            for d in self.decoders:
+                if config.keys:
+                    d.set_keys(list(config.keys))
             from tetraear_tpu.frame.batch import BatchedFrameDecoder
             self.batch = BatchedFrameDecoder(self.n_carriers,
                                              decoders=self.decoders)

@@ -84,8 +84,14 @@ def _worker_main(conn, key_file, auto_decrypt, keys):
             return
         cands, pres, hints = msg
         hb = _PreList(pres) if pres is not None else None
-        frames = decode_candidates(decoders, emitted, cands, hb, hints)
-        conn.send(frames)
+        try:
+            frames = decode_candidates(decoders, emitted, cands, hb,
+                                       hints)
+        except Exception:                       # propagate with context
+            import traceback
+            conn.send(("err", traceback.format_exc()))
+            continue
+        conn.send(("ok", frames))
 
 
 class _PreList:
@@ -111,6 +117,10 @@ class ShardedFrameLayer:
     def __init__(self, n_carriers: int, n_workers: int = 2,
                  key_file=None, key_manager=None, auto_decrypt=True,
                  keys=(), tail_syms: int = TAIL_SYMS):
+        if key_manager is not None:
+            raise ValueError(
+                "ShardedFrameLayer cannot ship a live TetraKeyManager to "
+                "worker processes; pass key_file= and/or keys= instead")
         # parent-side vectorized bookkeeping reuses BatchedFrameDecoder
         # (its per-carrier decoders stay UNUSED in pass 2; the parent
         # only runs assemble/collection + the decrypt finishing)
@@ -192,7 +202,11 @@ class ShardedFrameLayer:
 
         frames_out = []
         for w in busy:
-            frames_out.extend(self._conns[w].recv())
+            status, payload = self._conns[w].recv()
+            if status != "ok":
+                raise RuntimeError(
+                    f"frame worker {w} failed:\n{payload}")
+            frames_out.extend(payload)
         frames_out.sort(key=lambda f: (f["carrier"], f["position"]))
 
         # parent-side bookkeeping: the dedup watermark is reproducible
@@ -239,18 +253,23 @@ class ShardedFrameLayer:
     def _first(self, v):
         self._inner._first = v
 
+    @property
+    def _emitted_until(self):
+        # checkpoint surface (api.Pipeline.save/load_checkpoint); the
+        # parent copy is authoritative — collect_candidates pre-filters
+        # against it before anything reaches a worker
+        return self._inner._emitted_until
+
+    @_emitted_until.setter
+    def _emitted_until(self, v):
+        self._inner._emitted_until = v
+
     def assemble(self, hard, soft, valid):
         return self._inner.assemble(hard, soft, valid)
 
     def process(self, hard, soft, valid) -> list:
-        syms, softs, n_total, vstart = self._inner.assemble(
-            hard, soft, valid)
-        bits = np.empty((syms.shape[0], 2 * syms.shape[1]), np.uint8)
-        bits[:, 0::2] = (syms >> 1) & 1
-        bits[:, 1::2] = syms & 1
-        out = self._inner.kernel.scan(bits)
-        frames = self.select_and_decode(syms, softs, n_total, vstart,
-                                        out["corr"], out["crc_err"])
-        self._inner._sym_base = self._inner._sym_base + (
-            n_total - self._inner.T)
-        return frames
+        # one shared implementation: BatchedFrameDecoder.process only
+        # touches assemble/kernel/select_and_decode/_sym_base/T, all of
+        # which this class provides (select_and_decode is the sharded
+        # one), so the canonical body runs unmodified
+        return BatchedFrameDecoder.process(self, hard, soft, valid)

@@ -498,8 +498,12 @@ if QT_AVAILABLE:
             else:
                 w.manual_ceiling_db = float(self.top_slider.value())
                 w.manual_floor_db = float(self.bottom_slider.value())
-            self.settings.set("peak_threshold_db",
-                              float(self.threshold_slider.value()))
+            thr = float(self.threshold_slider.value())
+            # SettingsManager.set writes the JSON file; only touch disk
+            # when the threshold actually changed (slider drags fire
+            # per tick, and the auto-mode setValue reflection re-enters)
+            if thr != self.settings.get("peak_threshold_db", None):
+                self.settings.set("peak_threshold_db", thr)
 
         def on_settings(self):
             self._settings_dialog = SettingsDialog(self.settings,
