@@ -57,6 +57,39 @@ def main():
         res["batched_frames_per_s"] = round(n / dt)
         res["speedup"] = round(res["python_us_per_frame"]
                                / res["batched_us_per_frame"], 2)
+
+        # worker scaling: the sharded layer's pass-2 (stateful decode)
+        # round-tripped through spawn workers, 1 vs 2 vs 3
+        from tetraear_tpu.frame import parallel as par
+        hb = hitparse.parse_windows(wins)
+        cands = [(i % 64, 0, 10_000 * i, wins[i]) for i in range(n)]
+        pres = [hb.pre(i) for i in range(n)]
+        hints = [True] * n
+        for nw in (1, 2, 3):
+            layer = par.ShardedFrameLayer(64, n_workers=nw,
+                                          auto_decrypt=False)
+            try:
+                # warm the lazy worker decoders
+                for w in range(layer.n_workers):
+                    layer._conns[w].send((cands[:64], pres[:64],
+                                          hints[:64]))
+                for w in range(layer.n_workers):
+                    layer._conns[w].recv()
+                t0 = time.time()
+                per = (n + nw - 1) // nw
+                for w in range(nw):
+                    lo = w * per
+                    layer._conns[w].send((cands[lo:lo + per],
+                                          pres[lo:lo + per],
+                                          hints[lo:lo + per]))
+                got = 0
+                for w in range(nw):
+                    st, fr = layer._conns[w].recv()
+                    got += len(fr)
+                dt = time.time() - t0
+                res[f"workers{nw}_frames_per_s"] = round(got / dt)
+            finally:
+                layer.close()
     print(json.dumps(res))
 
 
