@@ -62,26 +62,26 @@ def main():
         # round-tripped through spawn workers, 1 vs 2 vs 3
         from tetraear_tpu.frame import parallel as par
         hb = hitparse.parse_windows(wins)
-        cands = [(i % 64, 0, 10_000 * i, wins[i]) for i in range(n)]
-        pres = [hb.pre(i) for i in range(n)]
-        hints = [True] * n
+        meta = [(i % 64, 0, 10_000 * i) for i in range(n)]
+        hints = np.ones(n, bool)
+
+        def send(layer, w, lo, hi):
+            layer._conns[w].send((meta[lo:hi], wins[lo:hi],
+                                  hb.subset(range(lo, hi)),
+                                  hints[lo:hi]))
         for nw in (1, 2, 3):
             layer = par.ShardedFrameLayer(64, n_workers=nw,
                                           auto_decrypt=False)
             try:
                 # warm the lazy worker decoders
                 for w in range(layer.n_workers):
-                    layer._conns[w].send((cands[:64], pres[:64],
-                                          hints[:64]))
+                    send(layer, w, 0, 64)
                 for w in range(layer.n_workers):
                     layer._conns[w].recv()
                 t0 = time.time()
                 per = (n + nw - 1) // nw
                 for w in range(nw):
-                    lo = w * per
-                    layer._conns[w].send((cands[lo:lo + per],
-                                          pres[lo:lo + per],
-                                          hints[lo:lo + per]))
+                    send(layer, w, w * per, min(n, (w + 1) * per))
                 got = 0
                 for w in range(nw):
                     st, fr = layer._conns[w].recv()

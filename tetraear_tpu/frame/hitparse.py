@@ -115,6 +115,25 @@ class HitBatch:
             sysinfo=sysinfo,
         )
 
+    def subset(self, idx) -> "HitBatch":
+        """New HitBatch with rows idx (fancy index) — the sharded frame
+        layer ships per-worker subsets as 15 arrays instead of N
+        per-candidate objects (pickle cost is per-object)."""
+        out = HitBatch.__new__(HitBatch)
+        idx = np.asarray(idx, np.int64)
+        out.n = int(len(idx))
+        for name in self.__slots__:
+            if name != "n":
+                setattr(out, name, getattr(self, name)[idx])
+        return out
+
+    def __getstate__(self):
+        return {name: getattr(self, name) for name in self.__slots__}
+
+    def __setstate__(self, state):
+        for name, v in state.items():
+            setattr(self, name, v)
+
     def pre(self, i: int, crc_hint: bool | None = None) -> HitPre:
         """HitPre for window i; a TRUE device CRC hint is trusted for
         normal bursts exactly as burst.parse_burst does."""

@@ -82,28 +82,22 @@ def _worker_main(conn, key_file, auto_decrypt, keys):
         if msg is None:
             conn.close()
             return
-        cands, pres, hints = msg
-        hb = _PreList(pres) if pres is not None else None
+        meta, wins, hb, hints = msg
+        cands = [(ci, start, abs_sym, wins[i])
+                 for i, (ci, start, abs_sym) in enumerate(meta)]
         try:
             frames = decode_candidates(decoders, emitted, cands, hb,
-                                       hints)
+                                       list(hints))
+            for f in frames:
+                # the parent holds the window matrix; it reattaches
+                # "bits" by (carrier, position) — don't pickle 510-byte
+                # arrays back per frame
+                f.pop("bits", None)
         except Exception:                       # propagate with context
             import traceback
             conn.send(("err", traceback.format_exc()))
             continue
         conn.send(("ok", frames))
-
-
-class _PreList:
-    """Adapter: a list of HitPre presented through the HitBatch.pre
-    interface decode_candidates expects (hints are already folded in
-    by the parent, so crc_hint is ignored here)."""
-
-    def __init__(self, pres):
-        self._p = pres
-
-    def pre(self, i, crc_hint=None):
-        return self._p[i]
 
 
 class ShardedFrameLayer:
@@ -184,20 +178,29 @@ class ShardedFrameLayer:
         hints = [bool(crc_err[ci, start // inner.scan_stride] <= 2)
                  for ci, start, _a, _w in cands]
 
-        # shard by carrier range; ship (cands, HitPre list, hints)
+        # shard by carrier range; the wire format is array-batched
+        # (one (N, 510) window matrix + one HitBatch subset per worker)
+        # because pickle cost is per-object, not per-byte
         shard_idx = [[] for _ in range(self.n_workers)]
         for i, (ci, *_rest) in enumerate(cands):
             w = int(np.searchsorted(self._bounds[1:], ci, side="right"))
             shard_idx[w].append(i)
+        win_by_pos = {}
         busy = []
         for w, idx in enumerate(shard_idx):
             if not idx:
                 continue
-            sub = [cands[i] for i in idx]
-            pres = ([hb.pre(i, crc_hint=hints[i]) for i in idx]
-                    if hb is not None else None)
-            sub_hints = [hints[i] for i in idx]
-            self._conns[w].send((sub, pres, sub_hints))
+            meta = []
+            rows = []
+            for i in idx:
+                ci, start, abs_sym, win = cands[i]
+                meta.append((ci, start, abs_sym))
+                rows.append(win)
+                win_by_pos[(ci, start)] = win
+            hb_sub = hb.subset(idx) if hb is not None else None
+            sub_hints = np.asarray([hints[i] for i in idx], bool)
+            self._conns[w].send((meta, np.stack(rows), hb_sub,
+                                 sub_hints))
             busy.append(w)
 
         frames_out = []
@@ -208,6 +211,8 @@ class ShardedFrameLayer:
                     f"frame worker {w} failed:\n{payload}")
             frames_out.extend(payload)
         frames_out.sort(key=lambda f: (f["carrier"], f["position"]))
+        for f in frames_out:
+            f["bits"] = win_by_pos[(f["carrier"], f["position"])]
 
         # parent-side bookkeeping: the dedup watermark is reproducible
         # from the emitted frames, so the parent copy stays exact
