@@ -60,3 +60,52 @@ def test_sharded_layer_matches_inprocess():
                                       layer_b._inner._emitted_until)
     finally:
         layer_b.close()
+
+
+@pytest.mark.unit
+def test_worker_death_recovery():
+    """A worker killed mid-run is respawned and its block replayed —
+    frames still delivered (SURVEY §5.3 failure recovery)."""
+    import os
+    import signal as _sig
+    from tetraear_tpu.frame import hitparse
+
+    if not hitparse.available():
+        pytest.skip("hitparse library not built")
+
+    from tetraear_tpu.ref import golden
+    wins = np.stack([golden.build_slot(golden.build_mac_resource_data_bits(
+        golden.sds_text_payload(f"RECOVERY {i}")))[:510]
+        for i in range(8)]).astype(np.uint8)
+    hb = hitparse.parse_windows(wins)
+
+    layer = ShardedFrameLayer(4, n_workers=2, auto_decrypt=False)
+    try:
+        # kill worker 0's process outright (simulates an OOM kill)
+        os.kill(layer._procs[0].pid, _sig.SIGKILL)
+        layer._procs[0].join(timeout=10)
+
+        # drive select_and_decode-equivalent traffic through both shards
+        syms = np.zeros((4, 600 + 300), np.uint8)
+        corr = np.zeros((4, 10), np.float32)     # no natural hits
+        crc_err = np.zeros((4, 10), np.int32)
+        n_valid = np.full(4, 900, np.int64)
+        vstart = np.zeros(4, np.int64)
+        # inject candidates directly via the wire path: carriers 0 (dead
+        # worker's shard) and 3 (live shard)
+        inner = layer._inner
+        inner._sym_base[:] = 0
+        cands = [(0, 0, 0, wins[0]), (3, 0, 0, wins[1])]
+        import tetraear_tpu.frame.batch as batch_mod
+        orig = inner.collect_candidates
+        inner.collect_candidates = lambda *a, **k: cands
+        try:
+            frames = layer.select_and_decode(
+                syms, np.zeros((4, 900, 2), np.float32), n_valid,
+                vstart, corr, crc_err)
+        finally:
+            inner.collect_candidates = orig
+        got = {f["carrier"] for f in frames}
+        assert got == {0, 3}, frames
+    finally:
+        layer.close()

@@ -127,22 +127,25 @@ class ShardedFrameLayer:
         self.n_workers = max(1, int(n_workers))
         bounds = np.linspace(0, n_carriers, self.n_workers + 1).astype(int)
         self._bounds = bounds
-        ctx = mp.get_context("spawn")
-        self._conns = []
-        self._procs = []
-        for _w in range(self.n_workers):
-            pc, cc = ctx.Pipe()
-            p = ctx.Process(target=_worker_main,
-                            args=(cc, key_file, auto_decrypt,
-                                  tuple(keys)),
-                            daemon=True)
-            p.start()
-            cc.close()
-            self._conns.append(pc)
-            self._procs.append(p)
+        self._spawn_args = (key_file, auto_decrypt, tuple(keys))
+        self._ctx = mp.get_context("spawn")
+        self._conns = [None] * self.n_workers
+        self._procs = [None] * self.n_workers
+        for w in range(self.n_workers):
+            self._spawn(w)
         # parent-side decrypt finishing needs the same key config
         self._decrypt_template = _LazyDecoders(key_file, auto_decrypt,
                                                keys)
+
+    def _spawn(self, w: int) -> None:
+        pc, cc = self._ctx.Pipe()
+        p = self._ctx.Process(target=_worker_main,
+                              args=(cc,) + self._spawn_args,
+                              daemon=True)
+        p.start()
+        cc.close()
+        self._conns[w] = pc
+        self._procs[w] = p
 
     # -- lifecycle -----------------------------------------------------
 
@@ -199,13 +202,41 @@ class ShardedFrameLayer:
                 win_by_pos[(ci, start)] = win
             hb_sub = hb.subset(idx) if hb is not None else None
             sub_hints = np.asarray([hints[i] for i in idx], bool)
-            self._conns[w].send((meta, np.stack(rows), hb_sub,
-                                 sub_hints))
-            busy.append(w)
+            msg = (meta, np.stack(rows), hb_sub, sub_hints)
+            try:
+                self._conns[w].send(msg)
+            except (BrokenPipeError, OSError):
+                # dead worker noticed at send time: respawn first
+                import logging
+                logging.getLogger(__name__).warning(
+                    "frame worker %d pipe broken; respawning", w)
+                self._spawn(w)
+                self._conns[w].send(msg)
+            busy.append((w, msg))
 
         frames_out = []
-        for w in busy:
-            status, payload = self._conns[w].recv()
+        for w, msg in busy:
+            try:
+                status, payload = self._conns[w].recv()
+            except (EOFError, ConnectionResetError):
+                # the worker process DIED (OOM kill, crash).  Recovery
+                # (SURVEY.md section 5.3): respawn and replay the block.
+                # Shard-local MacParser state resets — in-flight
+                # fragment chains on those carriers are lost (same
+                # bound as a reference restart) — but no duplicate
+                # frames: the parent's emitted watermark pre-filters
+                # collection.
+                import logging
+                logging.getLogger(__name__).warning(
+                    "frame worker %d died; respawning and replaying "
+                    "the block", w)
+                try:
+                    self._procs[w].join(timeout=5)
+                except Exception:
+                    pass
+                self._spawn(w)
+                self._conns[w].send(msg)
+                status, payload = self._conns[w].recv()
             if status != "ok":
                 raise RuntimeError(
                     f"frame worker {w} failed:\n{payload}")
