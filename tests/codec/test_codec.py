@@ -291,3 +291,50 @@ def test_encoder_snr_floor(vp):
     # ~12.4 dB with perceptual-weighted search (was 9.7 synthesis-domain,
     # 8.0 floor); 11.0 floor locks the weighting in
     assert snr >= 11.0, f"encode->decode SNR {snr:.2f} dB below floor"
+
+
+def test_per_carrier_decoder_states_independent(vp):
+    """Pipeline.voice_for: concurrent calls on different carriers must
+    decode through INDEPENDENT ACELP states.  Interleaving two streams
+    through one shared stateful decoder corrupts both (adaptive
+    codebook / gain predictors); per-carrier states reproduce exactly
+    the isolated decode of each stream."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+
+    fs = 8000
+    t = np.arange(6 * 240) / fs
+    pcm_a = (8000 * np.sin(2 * np.pi * 180 * t)).astype(np.int16)
+    pcm_b = (8000 * np.sign(np.sin(2 * np.pi * 95 * t))
+             * np.abs(np.sin(2 * np.pi * 400 * t))).astype(np.int16)
+    frames_a = _encode_speech(vp, pcm_a)
+    frames_b = _encode_speech(vp, pcm_b)
+    n = min(len(frames_a), len(frames_b))
+    assert n >= 4
+
+    # isolated references
+    ref_a = codec.VoiceProcessor().decode_params(np.asarray(frames_a[:n]))
+    ref_b = codec.VoiceProcessor().decode_params(np.asarray(frames_b[:n]))
+
+    pipe = Pipeline(PipelineConfig(detect_gate=False, voice=True,
+                                   carrier_offsets_hz=(0.0, 25e3)))
+    assert pipe.voice is not None
+    got_a, got_b = [], []
+    for i in range(n):          # interleave the two carriers' frames
+        got_a.append(pipe.voice_for(0).decode_params(
+            np.asarray(frames_a[i:i + 1])))
+        got_b.append(pipe.voice_for(1).decode_params(
+            np.asarray(frames_b[i:i + 1])))
+    got_a = np.concatenate(got_a)
+    got_b = np.concatenate(got_b)
+    np.testing.assert_array_equal(got_a, ref_a)
+    np.testing.assert_array_equal(got_b, ref_b)
+
+    # sanity: the OLD shared-state behavior really does corrupt
+    shared = codec.VoiceProcessor()
+    mixed_a = []
+    for i in range(n):
+        mixed_a.append(shared.decode_params(np.asarray(frames_a[i:i + 1])))
+        shared.decode_params(np.asarray(frames_b[i:i + 1]))
+    mixed_a = np.concatenate(mixed_a)
+    assert not np.array_equal(mixed_a, ref_a), \
+        "shared-state interleave unexpectedly clean; test is vacuous"

@@ -152,6 +152,7 @@ class Pipeline:
         self._afc_offset = 0.0
 
         self.voice = None
+        self._voice_states: dict = {}
         if config.voice:
             try:
                 from tetraear_tpu.voice.codec import VoiceProcessor
@@ -170,6 +171,19 @@ class Pipeline:
             self._jsonl = open(
                 self._records_dir / f"frames_{ts}.jsonl", "a",
                 encoding="utf-8")
+
+    def voice_for(self, carrier: int):
+        """Per-carrier ACELP decoder state.  The speech decoder is
+        STATEFUL (adaptive-codebook history, gain predictors, LSP
+        interpolation memory carry across frames); one shared state
+        would interleave concurrent calls on different carriers into
+        garbage.  The reference never hits this (one carrier per
+        process); a carrier bank must keep one state per carrier."""
+        vp = self._voice_states.get(carrier)
+        if vp is None:
+            from tetraear_tpu.voice.codec import VoiceProcessor
+            vp = self._voice_states[carrier] = VoiceProcessor()
+        return vp
 
     # -- detection gate ----------------------------------------------------
 
@@ -357,11 +371,12 @@ class Pipeline:
         if self._records_dir is not None:
             with open(self._records_dir / "tetra_frames.bin", "ab") as fh:
                 fh.write(block)
+        vp = self.voice_for(frame.get("carrier", 0))
         params = frame.pop("_voice_params", None)
         if params is not None:
-            audio = self.voice.decode_params(params)
+            audio = vp.decode_params(params)
         else:
-            audio = self.voice.decode_frame(block)
+            audio = vp.decode_frame(block)
         if len(audio):
             frame["has_voice"] = True
             self.stats.voice_frames += 1
@@ -382,10 +397,11 @@ class Pipeline:
         half = stolen_soft_bits(soft)
         if half is None:
             return
-        params = self.voice.channel_decode_stolen(half)
+        vp = self.voice_for(frame.get("carrier", 0))
+        params = vp.channel_decode_stolen(half)
         if params is None:
             return
-        audio = self.voice.decode_params(params)
+        audio = vp.decode_params(params)
         if len(audio):
             frame["has_voice"] = True
             self.stats.voice_frames += 1
