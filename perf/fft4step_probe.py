@@ -181,6 +181,36 @@ def main():
     timed2("fftseg32", make_chain_seg(32))
     timed2("fftseg64", make_chain_seg(64))
 
+    # segmented + four-step: each of the S sub-FFTs decomposed as
+    # fft(axis) -> twiddle -> fft(axis) (batch dims carried through) —
+    # measures whether XLA's batched medium FFT still hides passes
+    def make_chain_seg4(s):
+        m = N // s
+        m1 = 1 << (int(np.log2(m) + 1) // 2)
+        m2 = m // m1
+        twn = np.exp(-2j * np.pi * np.outer(np.arange(m2),
+                                            np.arange(m1)) / m)
+        twp_s = np.stack([twn.real, twn.imag]).astype(np.float32)
+
+        def chain(x_r, tw_p, n):
+            twc = jax.lax.complex(jnp.asarray(twp_s[0]),
+                                  jnp.asarray(twp_s[1]))
+
+            def body(carry, _2):
+                xx = kernels.r2c(x_r) + carry
+                xm = xx.reshape(s, m2, m1)
+                g = jnp.fft.fft(xm, axis=1)          # (s, k2, i1)
+                h = jnp.fft.fft(g * twc[None], axis=2)
+                ht = jnp.swapaxes(h, 1, 2)           # natural order
+                return ht[0, 0, 0] * 1e-30, ht[0, 0, 1].real
+            c, tails = jax.lax.scan(body, jnp.complex64(0), None,
+                                    length=n)
+            return tails
+        return chain
+
+    timed2("fftseg8_4step", make_chain_seg4(8))
+    timed2("fftseg16_4step", make_chain_seg4(16))
+
     # einsum-CT sub-transforms: each batched pow2 sub-FFT as two
     # DFT-matrix einsums + a twiddle on the MXU (the band-synthesis
     # trick applied to the forward transform)
