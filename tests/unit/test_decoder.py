@@ -1,6 +1,7 @@
 """Unit tests: TetraDecoder sync search, key handling, frame decode."""
 
 import numpy as np
+import pytest
 
 from tetraear_tpu.frame import decoder as dec_mod
 from tetraear_tpu.frame.decoder import TetraDecoder
@@ -113,3 +114,44 @@ def test_format_frame_info():
     assert "MAC-RESOURCE" in info
     assert "[CLR]" in info
     assert "ABC ABC" in info
+
+
+@pytest.mark.unit
+def test_vectorized_cascade_matches():
+    """frame.batch.collect_candidates' closed-form per-row threshold ==
+    sync_cascade row by row on adversarial correlation matrices
+    (values on the k/22 grid around every tier boundary)."""
+    import numpy as np
+    from tetraear_tpu.frame.batch import BatchedFrameDecoder
+    from tetraear_tpu.frame.decoder import sync_cascade
+
+    rng = np.random.default_rng(42)
+    m = 400
+    rows = []
+    grid = np.arange(23) / 22.0
+    for _ in range(200):
+        r = rng.choice(grid, m).astype(np.float32) * rng.uniform(0.6, 1.0)
+        rows.append(r.astype(np.float32))
+    # exact boundary rows
+    for peak in (0.75, 0.7499, 0.7501, 0.80, 0.85, 0.90, 0.8999,
+                 20 / 22, 19 / 22, 17 / 22, 16.5 / 22):
+        r = (rng.choice(grid, m) * 0.5).astype(np.float32)
+        r[m // 2] = peak
+        rows.append(r.astype(np.float32))
+    corr = np.stack(rows)
+
+    layer = BatchedFrameDecoder(len(corr), auto_decrypt=False)
+    # drive collect_candidates with gates wide open so only the cascade
+    # selection matters
+    syms = np.zeros((len(corr), (2 * m + 510) // 2 + 600), np.uint8)
+    n_valid = np.full(len(corr), syms.shape[1], np.int64)
+    vstart = np.full(len(corr), -10**9, np.int64)
+    layer._sym_base[:] = 10**6          # all positions pass the gates
+    layer._emitted_until[:] = 0
+    cands = layer.collect_candidates(syms, n_valid, vstart, corr)
+    got = {}
+    for ci, start, _abs, _w in cands:
+        got.setdefault(ci, []).append(start + 216)   # back to TS pos
+    for ci in range(len(corr)):
+        want = sync_cascade(corr[ci], stride=layer.scan_stride)
+        assert got.get(ci, []) == want, (ci, got.get(ci), want)

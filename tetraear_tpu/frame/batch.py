@@ -120,12 +120,51 @@ class BatchedFrameDecoder:
         row_max = corr.max(axis=1) if corr.shape[1] else np.zeros(len(corr))
         active = np.flatnonzero(row_max >= 0.75)
         cands = []
-        for ci in active:
-            positions = sync_cascade(corr[ci], stride=self.scan_stride)
-            if not positions:
+        if not len(active):
+            return cands
+        # VECTORIZED sync cascade: the per-row multi-threshold retry
+        # (sync_cascade) reduces to a closed-form per-row threshold —
+        #   rowmax >= 0.90        -> 0.90
+        #   0.75 <= rowmax < 0.90 -> max(0.75, rowmax - 0.02)
+        # (the 0.85/0.80 tiers can never fire: the 0.90 tier's adaptive
+        # fallback already returns hits whenever rowmax > 0.75).  One
+        # (active, M) comparison + one nonzero replaces ~8 numpy passes
+        # per active carrier; equality is pinned by
+        # test_decoder.py::test_vectorized_cascade_matches.  Thresholds
+        # stay float64 so the >= comparisons round exactly like the
+        # python-float path in greedy_positions.
+        all_active = len(active) == len(corr)
+        corr_act = corr if all_active else corr[active]
+        rm = row_max[active].astype(np.float64)
+        thr = np.where(rm >= 0.90, 0.90, np.maximum(0.75, rm - 0.02))
+        # f32 compare against a rounded-DOWN threshold (fast path), then
+        # re-check the few hits exactly in float64 — identical to the
+        # python-float comparison in greedy_positions
+        thr32 = np.nextafter(thr.astype(np.float32),
+                             np.float32(-np.inf))
+        hit_r, hit_c = np.nonzero(corr_act >= thr32[:, None])
+        exact = (corr_act[hit_r, hit_c].astype(np.float64)
+                 >= thr[hit_r])
+        hit_r, hit_c = hit_r[exact], hit_c[exact]
+        row_bounds = np.searchsorted(hit_r, np.arange(len(active) + 1))
+        # one vectorized bit expansion for every active row (the
+        # per-row builds were the measured collection hot spot)
+        s_act = syms if all_active else syms[active]
+        bits_all = np.empty((len(active), 2 * s_act.shape[1]), np.uint8)
+        bits_all[:, 0::2] = (s_act >> 1) & 1
+        bits_all[:, 1::2] = s_act & 1
+        from tetraear_tpu.frame.decoder import SYNC_SKIP
+        for ai in range(len(active)):
+            lo, hi = row_bounds[ai], row_bounds[ai + 1]
+            if lo == hi:
                 continue
-            bits_row = None
-            for pos in positions:
+            ci = active[ai]
+            # greedy skip-ahead dedup in bit units (greedy_positions)
+            last = -SYNC_SKIP
+            for pos in hit_c[lo:hi] * self.scan_stride:
+                if pos < last + SYNC_SKIP:
+                    continue
+                last = pos
                 start = pos - TS_OFFSET_BITS
                 if start < valid_start_bits[ci]:
                     continue
@@ -134,13 +173,8 @@ class BatchedFrameDecoder:
                 abs_sym = self._sym_base[ci] + start // 2
                 if abs_sym < self._emitted_until[ci]:
                     continue          # already emitted from the tail
-                if bits_row is None:
-                    s = syms[ci]
-                    bits_row = np.empty(2 * len(s), np.uint8)
-                    bits_row[0::2] = (s >> 1) & 1
-                    bits_row[1::2] = s & 1
                 cands.append((int(ci), int(start), int(abs_sym),
-                              bits_row[start:start + FRAME_LENGTH]))
+                              bits_all[ai, start:start + FRAME_LENGTH]))
         return cands
 
     def select_and_decode(self, syms: np.ndarray, softs: np.ndarray,
