@@ -66,7 +66,7 @@ def main():
         hints = np.ones(n, bool)
 
         def send(layer, w, lo, hi):
-            layer._conns[w].send((meta[lo:hi], wins[lo:hi],
+            layer._conns[w].send(("cands", meta[lo:hi], wins[lo:hi],
                                   hb.subset(range(lo, hi)),
                                   hints[lo:hi]))
         for nw in (1, 2, 3):

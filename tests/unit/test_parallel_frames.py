@@ -64,48 +64,45 @@ def test_sharded_layer_matches_inprocess():
 
 @pytest.mark.unit
 def test_worker_death_recovery():
-    """A worker killed mid-run is respawned and its block replayed —
-    frames still delivered (SURVEY §5.3 failure recovery)."""
+    """A worker killed mid-run is respawned (with its dedup watermarks
+    restored from the parent mirror) and its block replayed — frames
+    still delivered (SURVEY §5.3 failure recovery)."""
     import os
     import signal as _sig
-    from tetraear_tpu.frame import hitparse
-
-    if not hitparse.available():
-        pytest.skip("hitparse library not built")
 
     from tetraear_tpu.ref import golden
-    wins = np.stack([golden.build_slot(golden.build_mac_resource_data_bits(
-        golden.sds_text_payload(f"RECOVERY {i}")))[:510]
-        for i in range(8)]).astype(np.uint8)
-    hb = hitparse.parse_windows(wins)
+
+    # plant a CRC-passing slot in two carriers' symbol rows with a scan
+    # hit at the matching correlation column
+    slot = golden.build_slot(golden.build_mac_resource_data_bits(
+        golden.sds_text_payload("RECOVERY TEST")))[:510]
+    sym_slot = (slot[0::2] * 2 + slot[1::2]).astype(np.uint8)
+    W = 900
+    syms = np.zeros((4, W), np.uint8)
+    col = 150                       # pos = 300, start = 84, symbol 42
+    start_bit = 2 * col - 216
+    for ci in (0, 3):
+        syms[ci, start_bit // 2:start_bit // 2 + 255] = sym_slot
+    corr = np.zeros((4, 400), np.float32)
+    corr[0, col] = 0.95
+    corr[3, col] = 0.95
+    crc_err = np.zeros((4, 400), np.int32)
+    n_valid = np.full(4, W, np.int64)
+    vstart = np.zeros(4, np.int64)
 
     layer = ShardedFrameLayer(4, n_workers=2, auto_decrypt=False)
     try:
+        layer._inner._sym_base[:] = 0
         # kill worker 0's process outright (simulates an OOM kill)
         os.kill(layer._procs[0].pid, _sig.SIGKILL)
         layer._procs[0].join(timeout=10)
-
-        # drive select_and_decode-equivalent traffic through both shards
-        syms = np.zeros((4, 600 + 300), np.uint8)
-        corr = np.zeros((4, 10), np.float32)     # no natural hits
-        crc_err = np.zeros((4, 10), np.int32)
-        n_valid = np.full(4, 900, np.int64)
-        vstart = np.zeros(4, np.int64)
-        # inject candidates directly via the wire path: carriers 0 (dead
-        # worker's shard) and 3 (live shard)
-        inner = layer._inner
-        inner._sym_base[:] = 0
-        cands = [(0, 0, 0, wins[0]), (3, 0, 0, wins[1])]
-        import tetraear_tpu.frame.batch as batch_mod
-        orig = inner.collect_candidates
-        inner.collect_candidates = lambda *a, **k: cands
-        try:
-            frames = layer.select_and_decode(
-                syms, np.zeros((4, 900, 2), np.float32), n_valid,
-                vstart, corr, crc_err)
-        finally:
-            inner.collect_candidates = orig
+        frames = layer.select_and_decode(
+            syms, np.zeros((4, W, 2), np.float32), n_valid, vstart,
+            corr, crc_err)
         got = {f["carrier"] for f in frames}
         assert got == {0, 3}, frames
+        assert all("RECOVERY TEST" in (f.get("sds_message") or "")
+                   for f in frames), frames
+        np.testing.assert_array_equal(frames[0]["bits"], slot)
     finally:
         layer.close()

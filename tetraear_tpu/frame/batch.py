@@ -32,6 +32,79 @@ from tetraear_tpu.frame.decoder import (TetraDecoder, sync_cascade,
 TAIL_SYMS = 600        # > slot (255) + sync offset (108) + dedup margin
 
 
+def collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
+                 sym_base_rows, emitted_lookup, scan_stride,
+                 corr_rows) -> list:
+    """Candidate collection on a set of assembled rows labelled with
+    GLOBAL carrier ids (the worker side of the row-sharded layer
+    receives only its shard's active rows; BatchedFrameDecoder passes
+    all of its rows).  Returns [(carrier, start_bit, abs_sym,
+    510-bit window)] in (row, position) order.
+
+    VECTORIZED sync cascade: the per-row multi-threshold retry
+    (sync_cascade) reduces to a closed-form per-row threshold —
+      rowmax >= 0.90        -> 0.90
+      0.75 <= rowmax < 0.90 -> max(0.75, rowmax - 0.02)
+    (the 0.85/0.80 tiers can never fire: the 0.90 tier's adaptive
+    fallback already returns hits whenever rowmax > 0.75).  One
+    (active, M) comparison + one nonzero replaces ~8 numpy passes per
+    active carrier; equality is pinned by
+    test_decoder.py::test_vectorized_cascade_matches.  Thresholds stay
+    float64 so the >= comparisons round exactly like the python-float
+    path in greedy_positions."""
+    cands: list = []
+    if not corr_rows.shape[1]:
+        return cands
+    row_max = corr_rows.max(axis=1)
+    active = np.flatnonzero(row_max >= 0.75)
+    if not len(active):
+        return cands
+    all_active = len(active) == len(corr_rows)
+    corr_act = corr_rows if all_active else corr_rows[active]
+    rm = row_max[active].astype(np.float64)
+    thr = np.where(rm >= 0.90, 0.90, np.maximum(0.75, rm - 0.02))
+    # f32 compare against a rounded-DOWN threshold (fast path), then
+    # re-check the few hits exactly in float64 — identical to the
+    # python-float comparison in greedy_positions
+    thr32 = np.nextafter(thr.astype(np.float32), np.float32(-np.inf))
+    hit_r, hit_c = np.nonzero(corr_act >= thr32[:, None])
+    exact = corr_act[hit_r, hit_c].astype(np.float64) >= thr[hit_r]
+    hit_r, hit_c = hit_r[exact], hit_c[exact]
+    row_bounds = np.searchsorted(hit_r, np.arange(len(active) + 1))
+    # one vectorized bit expansion for every active row (the per-row
+    # builds were the measured collection hot spot)
+    s_act = syms_rows if all_active else syms_rows[active]
+    bits_all = np.empty((len(active), 2 * s_act.shape[1]), np.uint8)
+    bits_all[:, 0::2] = (s_act >> 1) & 1
+    bits_all[:, 1::2] = s_act & 1
+    from tetraear_tpu.frame.decoder import SYNC_SKIP
+    valid_bits = 2 * n_valid_rows
+    for ai in range(len(active)):
+        lo, hi = row_bounds[ai], row_bounds[ai + 1]
+        if lo == hi:
+            continue
+        ri = active[ai]
+        ci = int(carriers[ri])
+        emitted = emitted_lookup[ci]
+        # greedy skip-ahead dedup in bit units (greedy_positions)
+        last = -SYNC_SKIP
+        for pos in hit_c[lo:hi] * scan_stride:
+            if pos < last + SYNC_SKIP:
+                continue
+            last = pos
+            start = pos - TS_OFFSET_BITS
+            if start < vstart_rows[ri]:
+                continue
+            if start + FRAME_LENGTH > valid_bits[ri]:
+                continue              # straddles the pad; tail rescans it
+            abs_sym = sym_base_rows[ri] + start // 2
+            if abs_sym < emitted:
+                continue              # already emitted from the tail
+            cands.append((ci, int(start), int(abs_sym),
+                          bits_all[ai, start:start + FRAME_LENGTH]))
+    return cands
+
+
 def decode_candidates(decoders, emitted_until, cands, hb, hints,
                       syms=None) -> list:
     """Pass 2 of the per-hit frame layer: stateful decode of collected
@@ -116,66 +189,9 @@ class BatchedFrameDecoder:
         block can overlap, so emitted_until advances there).  Returns
         [(carrier, start_bit, abs_sym, 510-bit window)].  Shared with
         the carrier-sharded layer (frame.parallel)."""
-        valid_bits = 2 * n_valid
-        row_max = corr.max(axis=1) if corr.shape[1] else np.zeros(len(corr))
-        active = np.flatnonzero(row_max >= 0.75)
-        cands = []
-        if not len(active):
-            return cands
-        # VECTORIZED sync cascade: the per-row multi-threshold retry
-        # (sync_cascade) reduces to a closed-form per-row threshold —
-        #   rowmax >= 0.90        -> 0.90
-        #   0.75 <= rowmax < 0.90 -> max(0.75, rowmax - 0.02)
-        # (the 0.85/0.80 tiers can never fire: the 0.90 tier's adaptive
-        # fallback already returns hits whenever rowmax > 0.75).  One
-        # (active, M) comparison + one nonzero replaces ~8 numpy passes
-        # per active carrier; equality is pinned by
-        # test_decoder.py::test_vectorized_cascade_matches.  Thresholds
-        # stay float64 so the >= comparisons round exactly like the
-        # python-float path in greedy_positions.
-        all_active = len(active) == len(corr)
-        corr_act = corr if all_active else corr[active]
-        rm = row_max[active].astype(np.float64)
-        thr = np.where(rm >= 0.90, 0.90, np.maximum(0.75, rm - 0.02))
-        # f32 compare against a rounded-DOWN threshold (fast path), then
-        # re-check the few hits exactly in float64 — identical to the
-        # python-float comparison in greedy_positions
-        thr32 = np.nextafter(thr.astype(np.float32),
-                             np.float32(-np.inf))
-        hit_r, hit_c = np.nonzero(corr_act >= thr32[:, None])
-        exact = (corr_act[hit_r, hit_c].astype(np.float64)
-                 >= thr[hit_r])
-        hit_r, hit_c = hit_r[exact], hit_c[exact]
-        row_bounds = np.searchsorted(hit_r, np.arange(len(active) + 1))
-        # one vectorized bit expansion for every active row (the
-        # per-row builds were the measured collection hot spot)
-        s_act = syms if all_active else syms[active]
-        bits_all = np.empty((len(active), 2 * s_act.shape[1]), np.uint8)
-        bits_all[:, 0::2] = (s_act >> 1) & 1
-        bits_all[:, 1::2] = s_act & 1
-        from tetraear_tpu.frame.decoder import SYNC_SKIP
-        for ai in range(len(active)):
-            lo, hi = row_bounds[ai], row_bounds[ai + 1]
-            if lo == hi:
-                continue
-            ci = active[ai]
-            # greedy skip-ahead dedup in bit units (greedy_positions)
-            last = -SYNC_SKIP
-            for pos in hit_c[lo:hi] * self.scan_stride:
-                if pos < last + SYNC_SKIP:
-                    continue
-                last = pos
-                start = pos - TS_OFFSET_BITS
-                if start < valid_start_bits[ci]:
-                    continue
-                if start + FRAME_LENGTH > valid_bits[ci]:
-                    continue          # straddles the pad; tail rescans it
-                abs_sym = self._sym_base[ci] + start // 2
-                if abs_sym < self._emitted_until[ci]:
-                    continue          # already emitted from the tail
-                cands.append((int(ci), int(start), int(abs_sym),
-                              bits_all[ai, start:start + FRAME_LENGTH]))
-        return cands
+        return collect_rows(np.arange(len(corr)), syms, n_valid,
+                            valid_start_bits, self._sym_base,
+                            self._emitted_until, self.scan_stride, corr)
 
     def select_and_decode(self, syms: np.ndarray, softs: np.ndarray,
                           n_valid: np.ndarray, valid_start_bits: np.ndarray,

@@ -3,20 +3,22 @@
 The per-hit host path is embarrassingly parallel over carriers: every
 piece of its state (MacParser fragmentation, SYSINFO identity, the
 emitted-frame dedup watermark) is per-carrier.  This module shards the
-STATEFUL pass-2 (frame.batch.decode_candidates — MAC application, SDS,
-frame dicts) across spawn-based worker processes while the parent keeps
-everything vectorized: tail assembly, sync cascade, candidate window
-collection and the native hitparse batch call (~1 us/frame).
+WHOLE per-block host path — candidate collection, the native hitparse
+batch call and the stateful decode (frame.batch.collect_rows /
+decode_candidates) — across spawn-based worker processes.  The parent
+only: assembles tails (vectorized), prefilters active rows (one
+rowmax pass), ships each shard its active rows, reattaches
+soft_symbols, and finishes deferred decryption.
 
-Per-block IPC is O(hits): each candidate ships as (carrier, start,
-abs_sym, 510-bit window, HitPre) — ~1 KB pickled — and each decoded
-frame dict returns the same way.  soft_symbols are attached by the
-PARENT from its assembled soft planes, so the bulky (C, W, 2) float
-arrays never cross a process boundary.
+Per-block IPC is O(active rows) down ((row arrays: symbols, corr, crc
+planes for rows whose scan found anything) and O(frames) up; idle
+carriers never cross the process boundary, and the bulky (C, W, 2)
+soft planes never leave the parent.
 
 Division of labour (docs/ARCHITECTURE.md "host envelope"): one parent
-core feeds N worker cores; throughput scales with workers until the
-parent's vectorized collection (~1-3 us/frame) saturates.
+core feeds N worker cores; the parent's per-block work is a handful of
+vectorized passes, so throughput scales with workers until assembly
+saturates.
 
 Workers never import JAX (frame.decoder / frame.batch are NumPy-only
 at import time); deferred decryption returns to the parent as
@@ -74,6 +76,29 @@ class _Emitted(dict):
         return 0
 
 
+def _worker_block(decoders, emitted, msg) -> list:
+    """Full per-block host path on this shard's ACTIVE rows: candidate
+    collection, the native batch parse, stateful decode.  The worker's
+    ``emitted`` map is the authoritative dedup state for its carriers
+    (the parent keeps an exactly-reproducible mirror from the emitted
+    frames)."""
+    from tetraear_tpu.frame import hitparse
+    from tetraear_tpu.frame.batch import collect_rows
+
+    (carriers, syms_rows, n_valid_rows, vstart_rows, sym_base_rows,
+     corr_rows, crc_rows, scan_stride) = msg
+    cands = collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
+                         sym_base_rows, emitted, scan_stride, corr_rows)
+    if not cands:
+        return []
+    hb = (hitparse.parse_windows(np.stack([c[3] for c in cands]))
+          if hitparse.available() else None)
+    row_of = {int(c): i for i, c in enumerate(carriers)}
+    hints = [bool(crc_rows[row_of[ci], start // scan_stride] <= 2)
+             for ci, start, _a, _w in cands]
+    return decode_candidates(decoders, emitted, cands, hb, hints)
+
+
 def _worker_main(conn, key_file, auto_decrypt, keys):
     decoders = _LazyDecoders(key_file, auto_decrypt, keys)
     emitted = _Emitted()
@@ -82,18 +107,22 @@ def _worker_main(conn, key_file, auto_decrypt, keys):
         if msg is None:
             conn.close()
             return
-        meta, wins, hb, hints = msg
-        cands = [(ci, start, abs_sym, wins[i])
-                 for i, (ci, start, abs_sym) in enumerate(meta)]
+        kind = msg[0]
+        if kind == "set_emitted":
+            emitted.update(msg[1])
+            continue
         try:
-            frames = decode_candidates(decoders, emitted, cands, hb,
-                                       list(hints))
-            for f in frames:
-                # the parent holds the window matrix; it reattaches
-                # "bits" by (carrier, position) — don't pickle 510-byte
-                # arrays back per frame
-                f.pop("bits", None)
-        except Exception:                       # propagate with context
+            if kind == "block":
+                frames = _worker_block(decoders, emitted, msg[1:])
+            else:                       # "cands": pre-collected windows
+                meta, wins, hb, hints = msg[1:]
+                cands = [(ci, start, abs_sym, wins[i])
+                         for i, (ci, start, abs_sym) in enumerate(meta)]
+                frames = decode_candidates(decoders, emitted, cands, hb,
+                                           list(hints))
+                for f in frames:
+                    f.pop("bits", None)   # parent reattaches by position
+        except Exception:                 # propagate with context
             import traceback
             conn.send(("err", traceback.format_exc()))
             continue
@@ -167,51 +196,57 @@ class ShardedFrameLayer:
 
     # -- the sharded block step -----------------------------------------
 
+    def _send_with_respawn(self, w: int, msg) -> None:
+        try:
+            self._conns[w].send(msg)
+        except (BrokenPipeError, OSError):
+            # dead worker noticed at send time: respawn first
+            import logging
+            logging.getLogger(__name__).warning(
+                "frame worker %d pipe broken; respawning", w)
+            self._respawn(w)
+            self._conns[w].send(msg)
+
+    def _respawn(self, w: int) -> None:
+        """Restart worker w and restore its dedup watermarks from the
+        parent's exactly-reproducible mirror (collection now lives in
+        the worker, so its emitted state must be authoritative again
+        after a crash — SURVEY.md section 5.3 recovery).  Shard-local
+        MacParser fragment chains are lost: the same bound as a
+        reference restart."""
+        try:
+            self._procs[w].join(timeout=5)
+        except Exception:
+            pass
+        self._spawn(w)
+        lo, hi = self._bounds[w], self._bounds[w + 1]
+        em = self._inner._emitted_until
+        self._conns[w].send(("set_emitted",
+                             {int(c): int(em[c]) for c in range(lo, hi)
+                              if em[c] > 0}))
+
     def select_and_decode(self, syms, softs, n_valid, valid_start_bits,
                           corr, crc_err) -> list:
-        from tetraear_tpu.frame import hitparse
         inner = self._inner
 
-        # pass 1 (parent, vectorized helpers): candidate collection —
-        # the exact BatchedFrameDecoder gates
-        cands = inner.collect_candidates(syms, n_valid, valid_start_bits,
-                                         corr)
-        hb = (hitparse.parse_windows(np.stack([c[3] for c in cands]))
-              if cands and hitparse.available() else None)
-        hints = [bool(crc_err[ci, start // inner.scan_stride] <= 2)
-                 for ci, start, _a, _w in cands]
-
-        # shard by carrier range; the wire format is array-batched
-        # (one (N, 510) window matrix + one HitBatch subset per worker)
-        # because pickle cost is per-object, not per-byte
-        shard_idx = [[] for _ in range(self.n_workers)]
-        for i, (ci, *_rest) in enumerate(cands):
-            w = int(np.searchsorted(self._bounds[1:], ci, side="right"))
-            shard_idx[w].append(i)
-        win_by_pos = {}
+        # parent does only the vectorized prefilter: rows whose scan
+        # found anything (rowmax >= 0.75).  Each worker receives ITS
+        # shard's active rows and runs the full host path (collection,
+        # native batch parse, stateful decode) locally.
+        row_max = corr.max(axis=1) if corr.shape[1] else np.zeros(
+            len(corr))
+        active = np.flatnonzero(row_max >= 0.75)
         busy = []
-        for w, idx in enumerate(shard_idx):
-            if not idx:
+        for w in range(self.n_workers):
+            lo, hi = self._bounds[w], self._bounds[w + 1]
+            rows = active[(active >= lo) & (active < hi)]
+            if not len(rows):
                 continue
-            meta = []
-            rows = []
-            for i in idx:
-                ci, start, abs_sym, win = cands[i]
-                meta.append((ci, start, abs_sym))
-                rows.append(win)
-                win_by_pos[(ci, start)] = win
-            hb_sub = hb.subset(idx) if hb is not None else None
-            sub_hints = np.asarray([hints[i] for i in idx], bool)
-            msg = (meta, np.stack(rows), hb_sub, sub_hints)
-            try:
-                self._conns[w].send(msg)
-            except (BrokenPipeError, OSError):
-                # dead worker noticed at send time: respawn first
-                import logging
-                logging.getLogger(__name__).warning(
-                    "frame worker %d pipe broken; respawning", w)
-                self._spawn(w)
-                self._conns[w].send(msg)
+            msg = ("block", rows.astype(np.int64), syms[rows],
+                   n_valid[rows], valid_start_bits[rows],
+                   inner._sym_base[rows], corr[rows], crc_err[rows],
+                   inner.scan_stride)
+            self._send_with_respawn(w, msg)
             busy.append((w, msg))
 
         frames_out = []
@@ -219,22 +254,15 @@ class ShardedFrameLayer:
             try:
                 status, payload = self._conns[w].recv()
             except (EOFError, ConnectionResetError):
-                # the worker process DIED (OOM kill, crash).  Recovery
-                # (SURVEY.md section 5.3): respawn and replay the block.
-                # Shard-local MacParser state resets — in-flight
-                # fragment chains on those carriers are lost (same
-                # bound as a reference restart) — but no duplicate
-                # frames: the parent's emitted watermark pre-filters
-                # collection.
+                # the worker DIED mid-block (OOM kill, crash): respawn,
+                # restore its watermarks, replay the block — no
+                # duplicate frames (the restored watermarks gate the
+                # replayed collection exactly).
                 import logging
                 logging.getLogger(__name__).warning(
                     "frame worker %d died; respawning and replaying "
                     "the block", w)
-                try:
-                    self._procs[w].join(timeout=5)
-                except Exception:
-                    pass
-                self._spawn(w)
+                self._respawn(w)
                 self._conns[w].send(msg)
                 status, payload = self._conns[w].recv()
             if status != "ok":
@@ -242,11 +270,9 @@ class ShardedFrameLayer:
                     f"frame worker {w} failed:\n{payload}")
             frames_out.extend(payload)
         frames_out.sort(key=lambda f: (f["carrier"], f["position"]))
-        for f in frames_out:
-            f["bits"] = win_by_pos[(f["carrier"], f["position"])]
 
         # parent-side bookkeeping: the dedup watermark is reproducible
-        # from the emitted frames, so the parent copy stays exact
+        # from the emitted frames, so the parent mirror stays exact
         for f in frames_out:
             inner._emitted_until[f["carrier"]] = max(
                 inner._emitted_until[f["carrier"]],
@@ -291,14 +317,20 @@ class ShardedFrameLayer:
 
     @property
     def _emitted_until(self):
-        # checkpoint surface (api.Pipeline.save/load_checkpoint); the
-        # parent copy is authoritative — collect_candidates pre-filters
-        # against it before anything reaches a worker
+        # checkpoint surface (api.Pipeline.save/load_checkpoint)
         return self._inner._emitted_until
 
     @_emitted_until.setter
     def _emitted_until(self, v):
-        self._inner._emitted_until = v
+        # collection runs IN the workers, so a restored watermark must
+        # reach their authoritative copies too
+        self._inner._emitted_until = np.asarray(v, np.int64)
+        em = self._inner._emitted_until
+        for w in range(self.n_workers):
+            lo, hi = self._bounds[w], self._bounds[w + 1]
+            self._send_with_respawn(
+                w, ("set_emitted",
+                    {int(c): int(em[c]) for c in range(lo, hi)}))
 
     def assemble(self, hard, soft, valid):
         return self._inner.assemble(hard, soft, valid)
