@@ -168,6 +168,9 @@ class QComboBox(QWidget):
     def currentIndex(self):
         return self._idx
 
+    def itemText(self, i):
+        return self._items[i][0]
+
     def currentText(self):
         return self._items[self._idx][0] if self._items else ""
 

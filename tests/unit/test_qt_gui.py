@@ -175,12 +175,15 @@ def test_settings_dialog_roundtrip(qt, tmp_path):
     dlg.records_edit.setText(str(tmp_path / "recs"))
     dlg.mp3_chk.setChecked(True)
     dlg.silence_chk.setChecked(True)
+    dlg.maxrec_edit.setText("5")
     dlg.save_btn.click()
     assert win.settings.get("records_dir") == str(tmp_path / "recs")
     assert win.settings.get("export_mp3") is True
     assert win.settings.get("save_silence") is True
+    assert win.settings.get("max_recordings") == 5
     assert win.recorder.export_mp3 is True
     assert win.recorder.delete_silent is False
+    assert win.recorder.max_recordings == 5
 
 
 def test_pre_gui_scan_synthetic(qt):

@@ -102,3 +102,21 @@ def test_qt_gated_import():
         assert qt.main([]) == 1          # graceful message, no crash
     else:  # pragma: no cover
         assert hasattr(qt, "ModernTetraGUI")
+
+
+def test_recording_max_prune(tmp_path):
+    """RecordingController.max_recordings deletes the oldest finished
+    files beyond the limit (the reference's 'Max Recordings' setting)."""
+    import numpy as np
+    from tetraear_tpu.ui.recording import RecordingController
+
+    rc = RecordingController(tmp_path, delete_silent=False,
+                             max_recordings=2)
+    paths = []
+    for i in range(4):
+        rc.start()
+        rc.feed(0.2 * np.ones(800, np.float32))
+        paths.append(rc.stop())
+    assert len(rc.recordings) == 2
+    assert not paths[0].exists() and not paths[1].exists()
+    assert paths[2].exists() and paths[3].exists()

@@ -224,6 +224,23 @@ if QT_AVAILABLE:
             self.silence_chk.setChecked(bool(settings.get("save_silence",
                                                           False)))
             lay.addWidget(self.silence_chk)
+            row2 = QHBoxLayout()
+            row2.addWidget(QLabel("Max recordings (0 = unlimited)"))
+            self.maxrec_edit = QLineEdit(
+                str(settings.get("max_recordings", 0)))
+            row2.addWidget(self.maxrec_edit)
+            lay.addLayout(row2)
+            row3 = QHBoxLayout()
+            row3.addWidget(QLabel("Log level"))
+            self.loglevel_box = QComboBox()
+            for lvl in ("DEBUG", "INFO", "WARNING", "ERROR"):
+                self.loglevel_box.addItem(lvl)
+            cur = str(settings.get("log_level", "INFO"))
+            for i in range(self.loglevel_box.count()):
+                if self.loglevel_box.itemText(i) == cur:
+                    self.loglevel_box.setCurrentIndex(i)
+            row3.addWidget(self.loglevel_box)
+            lay.addLayout(row3)
             self.save_btn = QPushButton("Save")
             self.save_btn.clicked.connect(self.on_save)
             lay.addWidget(self.save_btn)
@@ -232,11 +249,20 @@ if QT_AVAILABLE:
             self.settings.set("records_dir", self.records_edit.text())
             self.settings.set("export_mp3", self.mp3_chk.isChecked())
             self.settings.set("save_silence", self.silence_chk.isChecked())
+            try:
+                maxrec = max(0, int(self.maxrec_edit.text() or 0))
+            except ValueError:
+                maxrec = 0
+            self.settings.set("max_recordings", maxrec)
+            level = self.loglevel_box.currentText()
+            self.settings.set("log_level", level)
+            logging.getLogger("tetraear_tpu").setLevel(level)
             if self.recorder is not None:
                 from pathlib import Path
                 self.recorder.records_dir = Path(self.records_edit.text())
                 self.recorder.export_mp3 = self.mp3_chk.isChecked()
                 self.recorder.delete_silent = not self.silence_chk.isChecked()
+                self.recorder.max_recordings = maxrec or None
             self.close()
 
     class ModernTetraGUI(QMainWindow):
@@ -257,7 +283,9 @@ if QT_AVAILABLE:
             self.recorder = RecordingController(
                 records_dir=self.settings.get("records_dir") or "records",
                 export_mp3=bool(self.settings.get("export_mp3", False)),
-                delete_silent=not self.settings.get("save_silence", False))
+                delete_silent=not self.settings.get("save_silence", False),
+                max_recordings=int(self.settings.get("max_recordings", 0))
+                or None)
             self._all_frames = []
             self.setWindowTitle("tetraear-tpu")
             self.setStyleSheet(DARK_QSS)

@@ -41,10 +41,12 @@ class RecordingController:
     recorder and the live player."""
 
     def __init__(self, records_dir, export_mp3: bool = False,
-                 delete_silent: bool = True, player=None):
+                 delete_silent: bool = True, player=None,
+                 max_recordings: int | None = None):
         self.records_dir = Path(records_dir)
         self.export_mp3 = export_mp3
         self.delete_silent = delete_silent
+        self.max_recordings = max_recordings
         self._player = player
         self._recorder = None
         self.monitor = False
@@ -84,7 +86,24 @@ class RecordingController:
                 logger.warning("mp3 export failed: %s", e)
         if path is not None:
             self.recordings.append((path, mp3))
+            self._prune()
         return path
+
+    def _prune(self) -> None:
+        """Keep at most max_recordings newest files (the reference's
+        'Max Recordings' setting): delete the oldest finished WAV/MP3
+        pairs beyond the limit."""
+        if not self.max_recordings or self.max_recordings <= 0:
+            return
+        while len(self.recordings) > self.max_recordings:
+            wav, mp3 = self.recordings.pop(0)
+            for f in (wav, mp3):
+                if f is None:
+                    continue
+                try:
+                    Path(f).unlink(missing_ok=True)
+                except OSError as e:
+                    logger.warning("prune failed for %s: %s", f, e)
 
     def set_monitor(self, enabled: bool) -> None:
         self.monitor = bool(enabled)
