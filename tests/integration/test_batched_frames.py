@@ -74,3 +74,42 @@ def test_batched_pipeline_matches_host_decode():
         pos_sorted = sorted(f["stream_symbol"] for f in crc_pass)
         gaps = np.diff(pos_sorted)
         assert all(g % 255 == 0 for g in gaps), gaps
+
+
+def test_spurious_sync_rescued_by_crc():
+    """Payload bits matching a sync word at >= 20/22 positions fire a
+    spurious hit before the true training sequence; the reference's
+    first-wins skip-250 dedup then loses the slot.  The device scan's
+    dense CRC verdicts rescue it (documented deviation,
+    frame/batch.py collect_rows): the CRC-passing candidate replaces
+    the accepted CRC-failing one inside the dedup window."""
+    import numpy as np
+    from tetraear_tpu.dsp.pipeline import CarrierBankDemod
+    from tetraear_tpu.frame.batch import BatchedFrameDecoder
+    from tetraear_tpu.frame.decoder import sync_correlate, greedy_positions
+    from tetraear_tpu.ref import golden, modulator
+    from tetraear_tpu.runtime.stream import DecodeRunner
+
+    # this payload's bits embed a >=0.90 sync match ~154 bits before
+    # every true TS (verified below), which defeats the reference dedup
+    text = "ENGINE 4 ON SCENE"
+    bits = golden.build_stream([golden.sds_text_payload(text)] * 4)
+    corr = sync_correlate(bits)
+    g = greedy_positions(corr, 0.90)
+    true_ts = [510 * i + 216 for i in range(4)]
+    assert not any(p in g for p in true_ts), \
+        "fixture no longer triggers the spurious-sync case"
+
+    iq = modulator.generate_carrier(bits, fs=2.4e6, snr_db=25,
+                                    rng=np.random.default_rng(5))
+    bank = CarrierBankDemod(fs=2.4e6, freqs_hz=[0.0], frontend="fft")
+    if len(iq) < 2 * bank.block_len:
+        pad = 0.001 * np.random.default_rng(6).standard_normal(
+            2 * bank.block_len - len(iq))
+        iq = np.concatenate([iq, pad.astype(np.complex64)])
+    layer = BatchedFrameDecoder(1, auto_decrypt=False)
+    out = DecodeRunner(bank, layer, blocks_per_dispatch=2).run(iq)
+    good = [f for f in out["frames"]
+            if f.get("burst_crc") and text in (f.get("sds_message") or "")]
+    assert len(good) >= 3, [(f.get("burst_crc"), f.get("sds_message"))
+                            for f in out["frames"]]

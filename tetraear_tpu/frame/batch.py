@@ -34,7 +34,7 @@ TAIL_SYMS = 600        # > slot (255) + sync offset (108) + dedup margin
 
 def collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
                  sym_base_rows, emitted_lookup, scan_stride,
-                 corr_rows) -> list:
+                 corr_rows, crc_rows=None) -> list:
     """Candidate collection on a set of assembled rows labelled with
     GLOBAL carrier ids (the worker side of the row-sharded layer
     receives only its shard's active rows; BatchedFrameDecoder passes
@@ -86,12 +86,34 @@ def collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
         ri = active[ai]
         ci = int(carriers[ri])
         emitted = emitted_lookup[ci]
-        # greedy skip-ahead dedup in bit units (greedy_positions)
-        last = -SYNC_SKIP
+        # greedy skip-ahead dedup in bit units (greedy_positions).
+        # DELIBERATE DEVIATION from the reference's first-wins dedup
+        # (tetraear/core/decoder.py:231-259): payload bits agreeing
+        # with a sync word at >= 20/22 positions fire a spurious hit
+        # up to 250 bits BEFORE the true training sequence, and
+        # first-wins then drops the whole slot (~1-3% of random-payload
+        # slots; the reference silently eats this loss).  The device
+        # scan has a burst-CRC verdict at EVERY position, so inside a
+        # dedup window a CRC-passing candidate replaces an accepted
+        # CRC-failing one.  Host paths without dense verdicts
+        # (crc_rows=None, e.g. TetraDecoder.decode) keep the exact
+        # reference behavior.
+        positions: list = []
+        last_ok = False
         for pos in hit_c[lo:hi] * scan_stride:
-            if pos < last + SYNC_SKIP:
+            # dense CRC verdicts are indexed by frame START bit
+            scol = (pos - TS_OFFSET_BITS) // scan_stride
+            ok = bool(crc_rows is not None
+                      and 0 <= scol < crc_rows.shape[1]
+                      and crc_rows[ri, scol] <= 2)
+            if positions and pos < positions[-1] + SYNC_SKIP:
+                if ok and not last_ok:
+                    positions[-1] = pos        # rescue the true sync
+                    last_ok = True
                 continue
-            last = pos
+            positions.append(int(pos))
+            last_ok = ok
+        for pos in positions:
             start = pos - TS_OFFSET_BITS
             if start < vstart_rows[ri]:
                 continue
@@ -183,15 +205,17 @@ class BatchedFrameDecoder:
     #    fused offline runner which computes corr/crc inside its own jit --
 
     def collect_candidates(self, syms, n_valid, valid_start_bits,
-                           corr) -> list:
+                           corr, crc_err=None) -> list:
         """Pass 1: candidate windows passing the static gates (the
         dynamic dedup gate is re-applied in pass 2 — positions within a
         block can overlap, so emitted_until advances there).  Returns
         [(carrier, start_bit, abs_sym, 510-bit window)].  Shared with
-        the carrier-sharded layer (frame.parallel)."""
+        the carrier-sharded layer (frame.parallel).  ``crc_err``
+        enables the CRC-aware dedup rescue (see collect_rows)."""
         return collect_rows(np.arange(len(corr)), syms, n_valid,
                             valid_start_bits, self._sym_base,
-                            self._emitted_until, self.scan_stride, corr)
+                            self._emitted_until, self.scan_stride, corr,
+                            crc_rows=crc_err)
 
     def select_and_decode(self, syms: np.ndarray, softs: np.ndarray,
                           n_valid: np.ndarray, valid_start_bits: np.ndarray,
@@ -207,7 +231,7 @@ class BatchedFrameDecoder:
 
         frames_out = []
         cands = self.collect_candidates(syms, n_valid, valid_start_bits,
-                                        corr)
+                                        corr, crc_err=crc_err)
 
         # the native engine parses every candidate's stateless verdicts
         # (burst type, soft CRC, MAC fields) in ONE C call; without the

@@ -88,7 +88,8 @@ def _worker_block(decoders, emitted, msg) -> list:
     (carriers, syms_rows, n_valid_rows, vstart_rows, sym_base_rows,
      corr_rows, crc_rows, scan_stride) = msg
     cands = collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
-                         sym_base_rows, emitted, scan_stride, corr_rows)
+                         sym_base_rows, emitted, scan_stride, corr_rows,
+                         crc_rows=crc_rows)
     if not cands:
         return []
     hb = (hitparse.parse_windows(np.stack([c[3] for c in cands]))
