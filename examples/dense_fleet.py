@@ -63,6 +63,8 @@ def main():
 
     by_carrier: dict = {}
     for f in out["frames"]:
+        if not f.get("burst_crc"):
+            continue          # noise decodes via the adaptive cascade
         by_carrier.setdefault(f["carrier"], []).append(f)
     for ci in sorted(by_carrier):
         fl = by_carrier[ci]

@@ -159,6 +159,8 @@ class Pipeline:
                 vp = VoiceProcessor()
                 if vp.working:
                     self.voice = vp
+                    # the probe doubles as carrier 0's decoder state
+                    self._voice_states[0] = vp
             except Exception as e:
                 logger.debug("voice codec unavailable: %s", e)
 

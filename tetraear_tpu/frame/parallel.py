@@ -168,6 +168,18 @@ class ShardedFrameLayer:
                                                keys)
 
     def _spawn(self, w: int) -> None:
+        # close stale handles from a previous incarnation (respawn
+        # path) so repeated worker deaths don't leak pipe fds
+        if self._conns[w] is not None:
+            try:
+                self._conns[w].close()
+            except OSError:
+                pass
+        if self._procs[w] is not None:
+            try:
+                self._procs[w].close()
+            except Exception:
+                pass
         pc, cc = self._ctx.Pipe()
         p = self._ctx.Process(target=_worker_main,
                               args=(cc,) + self._spawn_args,

@@ -252,7 +252,10 @@ if QT_AVAILABLE:
             try:
                 maxrec = max(0, int(self.maxrec_edit.text() or 0))
             except ValueError:
-                maxrec = 0
+                # bad input: KEEP the previous value (coercing to 0
+                # would silently disable pruning)
+                maxrec = int(self.settings.get("max_recordings", 0))
+                self.maxrec_edit.setText(str(maxrec))
             self.settings.set("max_recordings", maxrec)
             level = self.loglevel_box.currentText()
             self.settings.set("log_level", level)
@@ -287,6 +290,10 @@ if QT_AVAILABLE:
                 max_recordings=int(self.settings.get("max_recordings", 0))
                 or None)
             self._all_frames = []
+            # apply the persisted log level at startup (the settings
+            # dialog writes it; parity with the reference's behavior)
+            logging.getLogger("tetraear_tpu").setLevel(
+                str(self.settings.get("log_level", "INFO")))
             self.setWindowTitle("tetraear-tpu")
             self.setStyleSheet(DARK_QSS)
             self._build_ui()
