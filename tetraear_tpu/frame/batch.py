@@ -32,6 +32,40 @@ from tetraear_tpu.frame.decoder import (TetraDecoder, sync_cascade,
 TAIL_SYMS = 600        # > slot (255) + sync offset (108) + dedup margin
 
 
+class SoftView:
+    """Lazy [tail ++ block] soft-symbol view.
+
+    Materializing the concatenated (C, T+K, 2) float planes cost
+    ~1.3 s/block at C=10240 on the host (the measured dense-fleet
+    assemble bottleneck), while only O(frames) 255-sample slices are
+    ever read.  ``slice`` returns exactly what
+    ``concat([tail, block])[ci, a:a+n]`` would."""
+
+    __slots__ = ("tail", "block", "T")
+
+    def __init__(self, tail: np.ndarray, block: np.ndarray):
+        self.tail = tail                     # (C, T, 2) pre-update
+        self.block = block                   # (C, K, 2) raw block soft
+        self.T = tail.shape[1]
+
+    def slice(self, ci: int, a: int, n: int = 255) -> np.ndarray:
+        t = self.T
+        if a >= t:
+            return self.block[ci, a - t:a - t + n]
+        if a + n <= t:
+            return self.tail[ci, a:a + n]
+        return np.concatenate([self.tail[ci, a:],
+                               self.block[ci, :a + n - t]])
+
+
+def soft_slice(softs, ci: int, a: int, n: int = 255) -> np.ndarray:
+    """Per-frame soft-symbol slice from either a SoftView or a plain
+    concatenated (C, W, 2) array."""
+    if isinstance(softs, SoftView):
+        return softs.slice(ci, a, n)
+    return softs[ci, a:a + n]
+
+
 def collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
                  sym_base_rows, emitted_lookup, scan_stride,
                  corr_rows, crc_rows=None) -> list:
@@ -247,8 +281,7 @@ class BatchedFrameDecoder:
             syms=syms))
         for frame in frames_out:
             ci, start = frame["carrier"], frame["position"]
-            frame["soft_symbols"] = softs[ci, start // 2:
-                                          start // 2 + 255]
+            frame["soft_symbols"] = soft_slice(softs, ci, start // 2)
         # finish deferred decryption: one device keys x payloads search
         # for the whole block (exact host-loop semantics, crypto.batch)
         if any(f.get("decryption_pending") for f in frames_out):
@@ -275,18 +308,36 @@ class BatchedFrameDecoder:
             hard, soft, valid = hard[:, 1:], soft[:, 1:], valid[:, 1:]
             self._first = False
         n_c = valid.sum(axis=1)
+        t = self.T
         syms = np.concatenate(
             [self._tail_hard, np.where(valid, hard, 0)], axis=1)
-        softs = np.concatenate(
-            [self._tail_soft, soft * valid[..., None]], axis=1)
-        n_total = self.T + n_c
-        valid_start = 2 * (self.T - self._tail_valid)   # pre-update state
+        # softs stay a LAZY view: the concatenated float planes were
+        # the measured dense-fleet assemble bottleneck (~1.3 s/block at
+        # C=10240) while only O(frames) slices are read.  No masking
+        # multiply either — every downstream read (per-frame slices,
+        # the tail gather below) is gated to the valid region.
+        softs = SoftView(self._tail_soft, soft)
+        n_total = t + n_c
+        valid_start = 2 * (t - self._tail_valid)        # pre-update state
 
-        # next tail = last T valid symbols, per-row offset = n_c
-        off = n_c[:, None] + np.arange(self.T)[None, :]
-        self._tail_hard = np.take_along_axis(syms, off, axis=1)
-        self._tail_soft = np.take_along_axis(softs, off[..., None], axis=1)
-        self._tail_valid = np.minimum(self.T, self._tail_valid + n_c)
+        # next tail = last T valid symbols, per-row offset = n_c.  The
+        # slices are contiguous per row, so plain slice copies beat the
+        # generic take_along_axis gather ~15x at C=10240.
+        c = len(n_c)
+        new_th = np.empty((c, t), np.uint8)
+        new_ts = np.empty((c, t, 2), np.float32)
+        old_ts = self._tail_soft
+        for ci in range(c):
+            o = int(n_c[ci])
+            new_th[ci] = syms[ci, o:o + t]
+            if o >= t:                       # steady state: block only
+                new_ts[ci] = soft[ci, o - t:o]
+            else:                            # early blocks: mix old tail
+                new_ts[ci, :t - o] = old_ts[ci, o:]
+                new_ts[ci, t - o:] = soft[ci, :o]
+        self._tail_hard = new_th
+        self._tail_soft = new_ts
+        self._tail_valid = np.minimum(t, self._tail_valid + n_c)
         return syms, softs, n_total, valid_start
 
     def process(self, hard, soft, valid) -> list:

@@ -291,7 +291,8 @@ class ShardedFrameLayer:
                 inner._emitted_until[f["carrier"]],
                 f["stream_symbol"] + 255)
             ci, start = f["carrier"], f["position"]
-            f["soft_symbols"] = softs[ci, start // 2:start // 2 + 255]
+            from tetraear_tpu.frame.batch import soft_slice
+            f["soft_symbols"] = soft_slice(softs, ci, start // 2)
 
         if any(f.get("decryption_pending") for f in frames_out):
             from tetraear_tpu.crypto.batch import batch_decrypt_frames
