@@ -321,20 +321,23 @@ class BatchedFrameDecoder:
         valid_start = 2 * (t - self._tail_valid)        # pre-update state
 
         # next tail = last T valid symbols, per-row offset = n_c.  The
-        # slices are contiguous per row, so plain slice copies beat the
-        # generic take_along_axis gather ~15x at C=10240.
+        # slices are contiguous per row AND the symbol clock yields only
+        # a handful of distinct valid counts per block, so group rows by
+        # count and do one vectorized slice copy per group (beats the
+        # generic take_along_axis gather ~20x at C=10240).
         c = len(n_c)
         new_th = np.empty((c, t), np.uint8)
         new_ts = np.empty((c, t, 2), np.float32)
         old_ts = self._tail_soft
-        for ci in range(c):
-            o = int(n_c[ci])
-            new_th[ci] = syms[ci, o:o + t]
+        for o in np.unique(n_c):
+            o = int(o)
+            rows = np.flatnonzero(n_c == o)
+            new_th[rows] = syms[rows, o:o + t]
             if o >= t:                       # steady state: block only
-                new_ts[ci] = soft[ci, o - t:o]
+                new_ts[rows] = soft[rows, o - t:o]
             else:                            # early blocks: mix old tail
-                new_ts[ci, :t - o] = old_ts[ci, o:]
-                new_ts[ci, t - o:] = soft[ci, :o]
+                new_ts[rows, :t - o] = old_ts[rows, o:]
+                new_ts[rows, t - o:] = soft[rows, :o]
         self._tail_hard = new_th
         self._tail_soft = new_ts
         self._tail_valid = np.minimum(t, self._tail_valid + n_c)
