@@ -58,10 +58,9 @@ def test_decode_runner_matches_streaming_pipeline():
            for f in got_stream if f["burst_crc"]]
     got = [(f["stream_symbol"], f["burst_crc"], f.get("sds_message"))
            for f in out["frames"] if f["burst_crc"]]
-    # the fused path skips the first-diff-symbol drop, shifting stream
-    # positions by exactly one symbol
-    got_shifted = [(p - 1, c, s) for p, c, s in got]
-    assert got_shifted == ref
+    # both paths carry the device bit tail and skip the first-diff-
+    # symbol drop, so stream positions align exactly
+    assert got == ref
     assert len(ref) >= 6
 
 

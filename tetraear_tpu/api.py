@@ -61,6 +61,8 @@ class PipelineConfig:
                                         # over worker processes
                                         # (frame.parallel)
     raw_fm: bool = False                # FM-demod raw audio monitoring
+    device_scan: bool = True            # fuse the sync/CRC scan into the
+                                        # per-block demod dispatch
 
 
 @dataclass
@@ -114,6 +116,17 @@ class Pipeline:
         self.n_carriers = self.bank.n_carriers
         self.state = self.bank.init_state()
         self._first_block = True
+        # one traced program per block: demod + on-device sync/CRC scan
+        # with a carried device bit tail (the split formulation paid a
+        # second dispatch and a (C, 2W) bit-plane transfer per block)
+        self._device_scan = bool(config.device_scan)
+        self._tail_bits = None
+        if self._device_scan:
+            import jax
+            from tetraear_tpu.dsp.backhalf import block_step_scan
+            self._block_step = jax.jit(
+                lambda x_r, st, tb: block_step_scan(self.bank, x_r,
+                                                    st, tb))
 
         key_manager = None
         if config.key_file:
@@ -247,13 +260,38 @@ class Pipeline:
             audio, self._fm_prev = fm.fm_demod(block, self._fm_prev)
             self.on_raw_audio(audio)
 
-        out, self.state = self.bank.step(block, self.state)
+        if self._device_scan:
+            import jax.numpy as jnp
+            from tetraear_tpu.dsp import kernels
+            from tetraear_tpu.dsp.backhalf import TAILBITS
+            if self._tail_bits is None:
+                self._tail_bits = jnp.zeros(
+                    (self.n_carriers, TAILBITS), jnp.uint8)
+                # the device tail replicates the host tail; the
+                # first-diff-symbol drop is skipped on both sides (one
+                # garbage symbol at the stream head cannot form a frame)
+                self.batch._first = False
+            x_r = jnp.asarray(kernels.c2r_np(block))
+            scan, self.state, self._tail_bits, _n_c, out = \
+                self._block_step(x_r, self.state, self._tail_bits)
+            hard = np.asarray(out["hard"])
+            soft = np.asarray(out["soft"])
+            valid = np.asarray(out["valid"]).astype(bool)
+            syms, softs, n_total, vstart = self.batch.assemble(
+                hard, soft, valid)
+            frames_out = self.batch.select_and_decode(
+                syms, softs, n_total, vstart, np.asarray(scan["corr"]),
+                np.asarray(scan["crc_err"]))
+            self.batch._sym_base = self.batch._sym_base + (
+                n_total - self.batch.T)
+        else:
+            out, self.state = self.bank.step(block, self.state)
 
-        # batched frame layer: device sync+CRC for every carrier in one
-        # dispatch, host work O(hits) (frame.batch; round-1 looped a full
-        # TetraDecoder.decode over every carrier here)
-        frames_out = self.batch.process(out["hard"], out["soft"],
-                                        out["valid"])
+            # batched frame layer: device sync+CRC for every carrier in
+            # one dispatch, host work O(hits) (frame.batch; round-1
+            # looped a full TetraDecoder.decode over every carrier here)
+            frames_out = self.batch.process(out["hard"], out["soft"],
+                                            out["valid"])
         self._prepare_voice_batch(frames_out)
         for f in frames_out:
             ci = f["carrier"]

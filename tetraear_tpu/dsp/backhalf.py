@@ -349,6 +349,17 @@ def classic_step_scan(bank, x_r, state, bit_tail_bits):
     bit_tail_bits: (C, 1200) uint8.  Returns (scan dict, new bank
     state, new tail bits, n_valid).
     """
+    scan, st2, tl2, n_c, _out = block_step_scan(bank, x_r, state,
+                                                bit_tail_bits)
+    return scan, st2, tl2, n_c
+
+
+def block_step_scan(bank, x_r, state, bit_tail_bits):
+    """classic_step_scan that ALSO returns the demod block outputs —
+    one traced program per block for the streaming Pipeline (demod +
+    on-device sync/CRC scan in a single dispatch; the split
+    demod-then-FrameScanKernel formulation pays a second dispatch and
+    a (C, 2W) host bit-plane transfer every block)."""
     k = bank.k_max
     out, st2 = bank._step_impl(x_r, state)
     hard = out["hard"]
@@ -367,4 +378,4 @@ def classic_step_scan(bank, x_r, state, bit_tail_bits):
             z, 2 * k - 4 + 2 * d, 2 * k - 4 + 2 * d + TAILBITS, 1,
             axis=1)
         tl2 = jnp.where((n_c == k - 2 + d)[:, None], cand, tl2)
-    return scan, st2, tl2, n_c
+    return scan, st2, tl2, n_c, out
