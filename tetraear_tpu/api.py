@@ -274,16 +274,10 @@ class Pipeline:
             x_r = jnp.asarray(kernels.c2r_np(block))
             scan, self.state, self._tail_bits, _n_c, out = \
                 self._block_step(x_r, self.state, self._tail_bits)
-            hard = np.asarray(out["hard"])
-            soft = np.asarray(out["soft"])
-            valid = np.asarray(out["valid"]).astype(bool)
-            syms, softs, n_total, vstart = self.batch.assemble(
-                hard, soft, valid)
-            frames_out = self.batch.select_and_decode(
-                syms, softs, n_total, vstart, np.asarray(scan["corr"]),
-                np.asarray(scan["crc_err"]))
-            self.batch._sym_base = self.batch._sym_base + (
-                n_total - self.batch.T)
+            frames_out = self.batch.process_scanned(
+                np.asarray(out["hard"]), np.asarray(out["soft"]),
+                np.asarray(out["valid"]).astype(bool),
+                np.asarray(scan["corr"]), np.asarray(scan["crc_err"]))
         else:
             out, self.state = self.bank.step(block, self.state)
 

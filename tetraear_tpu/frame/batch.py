@@ -343,6 +343,20 @@ class BatchedFrameDecoder:
         self._tail_valid = np.minimum(t, self._tail_valid + n_c)
         return syms, softs, n_total, valid_start
 
+    def process_scanned(self, hard, soft, valid, corr, crc_err) -> list:
+        """Full per-block host path when the sync/CRC scan already ran
+        on device with the carried bit tail (api.Pipeline's fused
+        block step, runtime.stream.DecodeRunner): assemble rows,
+        select and decode, advance the stream bases.  Keeps the
+        ordering invariant (_sym_base advances AFTER selection, which
+        reads it as the current assembly base) in ONE place for every
+        consumer."""
+        syms, softs, n_total, vstart = self.assemble(hard, soft, valid)
+        frames = self.select_and_decode(syms, softs, n_total, vstart,
+                                        corr, crc_err)
+        self._sym_base = self._sym_base + (n_total - self.T)
+        return frames
+
     def process(self, hard, soft, valid) -> list:
         """One block for all carriers: assemble, device scan, select."""
         syms, softs, n_total, vstart = self.assemble(hard, soft, valid)

@@ -38,7 +38,7 @@ import numpy as np
 
 from tetraear_tpu.frame.decoder import TetraDecoder
 from tetraear_tpu.frame.batch import (BatchedFrameDecoder, TAIL_SYMS,
-                                      decode_candidates)
+                                      decode_candidates, soft_slice)
 
 
 class _LazyDecoders:
@@ -291,7 +291,6 @@ class ShardedFrameLayer:
                 inner._emitted_until[f["carrier"]],
                 f["stream_symbol"] + 255)
             ci, start = f["carrier"], f["position"]
-            from tetraear_tpu.frame.batch import soft_slice
             f["soft_symbols"] = soft_slice(softs, ci, start // 2)
 
         if any(f.get("decryption_pending") for f in frames_out):
@@ -348,6 +347,11 @@ class ShardedFrameLayer:
 
     def assemble(self, hard, soft, valid):
         return self._inner.assemble(hard, soft, valid)
+
+    def process_scanned(self, hard, soft, valid, corr, crc_err) -> list:
+        # canonical body (assemble -> sharded select -> base advance)
+        return BatchedFrameDecoder.process_scanned(
+            self, hard, soft, valid, corr, crc_err)
 
     def process(self, hard, soft, valid) -> list:
         # one shared implementation: BatchedFrameDecoder.process only

@@ -206,12 +206,9 @@ class DecodeRunner:
             # device computes batch k+1 while the host parses batch k
             hard, soft, valid, corr, crc_err = (np.asarray(y) for y in ys)
             for b in range(take):
-                syms, softs, n_total, vstart = self.batch.assemble(
-                    hard[b], soft[b], valid[b].astype(bool))
-                frames = self.batch.select_and_decode(
-                    syms, softs, n_total, vstart, corr[b], crc_err[b])
-                self.batch._sym_base = self.batch._sym_base \
-                    + (n_total - self.batch.T)
+                frames = self.batch.process_scanned(
+                    hard[b], soft[b], valid[b].astype(bool),
+                    corr[b], crc_err[b])
                 if frames and on_frames:
                     on_frames(frames)
                 frames_all.extend(frames)

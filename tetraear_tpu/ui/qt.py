@@ -253,8 +253,13 @@ if QT_AVAILABLE:
                 maxrec = max(0, int(self.maxrec_edit.text() or 0))
             except ValueError:
                 # bad input: KEEP the previous value (coercing to 0
-                # would silently disable pruning)
-                maxrec = int(self.settings.get("max_recordings", 0))
+                # would silently disable pruning); the persisted value
+                # is untrusted too
+                try:
+                    maxrec = max(0, int(self.settings.get(
+                        "max_recordings", 0)))
+                except (TypeError, ValueError):
+                    maxrec = 0
                 self.maxrec_edit.setText(str(maxrec))
             self.settings.set("max_recordings", maxrec)
             level = self.loglevel_box.currentText()
@@ -291,9 +296,12 @@ if QT_AVAILABLE:
                 or None)
             self._all_frames = []
             # apply the persisted log level at startup (the settings
-            # dialog writes it; parity with the reference's behavior)
-            logging.getLogger("tetraear_tpu").setLevel(
-                str(self.settings.get("log_level", "INFO")))
+            # dialog writes it; parity with the reference's behavior) —
+            # persisted data is untrusted, fall back to INFO
+            lvl = str(self.settings.get("log_level", "INFO")).upper()
+            if lvl not in ("DEBUG", "INFO", "WARNING", "ERROR"):
+                lvl = "INFO"
+            logging.getLogger("tetraear_tpu").setLevel(lvl)
             self.setWindowTitle("tetraear-tpu")
             self.setStyleSheet(DARK_QSS)
             self._build_ui()
