@@ -338,3 +338,34 @@ def test_pipeline_raw_fm_hook(synth_source):
     assert len(chunks) == 2
     assert len(chunks[0]) == pipe.block_len
     assert np.isfinite(chunks[0]).all()
+
+
+def test_pipeline_device_scan_equivalence():
+    """The fused per-block step (device_scan=True, demod + scan in one
+    dispatch) finds the same CRC-passing frames as the split
+    demod-then-FrameScanKernel path, modulo the one-symbol stream
+    offset from the first-diff-symbol convention."""
+    from tetraear_tpu.ref import golden
+
+    payloads = [golden.sds_text_payload("SCAN PATH EQ")] * 6
+    iq = golden.golden_iq(payloads, fs=2.4e6, snr_db=25, seed=44)
+
+    def run(device_scan):
+        got = []
+        cfg = PipelineConfig(sample_rate=2.4e6, detect_gate=False,
+                             voice=False, auto_decrypt=False,
+                             validate=False, block_len=48_000,
+                             device_scan=device_scan)
+        pipe = Pipeline(cfg, on_frame=got.append)
+        n_blocks = len(iq) // pipe.block_len
+        for b in range(n_blocks):
+            pipe.process_block(
+                iq[b * pipe.block_len:(b + 1) * pipe.block_len])
+        return [(f["stream_symbol"], f.get("sds_message"))
+                for f in got if f["burst_crc"]]
+
+    fused = run(True)
+    split = run(False)
+    # split path drops the first diff symbol -> positions shift by one
+    assert [(p - 1, m) for p, m in fused] == split
+    assert len(fused) >= 4
