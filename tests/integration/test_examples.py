@@ -42,3 +42,12 @@ def test_offair_fixture_example():
     assert "FIXTURE CAPTURE OK" in r.stdout
     assert "SECRET FIX MSG" in r.stdout
     assert "decrypted" in r.stdout
+
+
+@pytest.mark.slow
+def test_dense_fleet_example():
+    r = _run("dense_fleet.py")
+    assert r.returncode == 0, r.stderr
+    assert "COVERT OPS GO" in r.stdout
+    assert "ENGINE 4 ON SCENE" in r.stdout
+    assert "3 frame workers" in r.stdout
