@@ -11,9 +11,14 @@ Run:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
         PYTHONPATH=. python examples/dense_fleet.py
 """
 
+import sys
+from pathlib import Path
+
 import numpy as np
 
-from tetraear_tpu.crypto.tea import TEADecryptor
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tetraear_tpu.crypto.tea import TEADecryptor  # noqa: E402
 from tetraear_tpu.dsp.pipeline import CarrierBankDemod
 from tetraear_tpu.frame.parallel import ShardedFrameLayer
 from tetraear_tpu.ref import golden, modulator
