@@ -99,3 +99,35 @@ def test_decode_runner_fused_backhalf_matches_classic(monkeypatch):
     fused = frames_with("fused", True)
     assert len(classic) >= 4
     assert fused == classic
+
+
+def test_decode_runner_no_soft_fetch():
+    """fetch_soft=False skips materializing the soft planes (the voice
+    path is the only consumer): identical frames, soft_symbols None."""
+    from tetraear_tpu.frame.batch import BatchedFrameDecoder
+    from tetraear_tpu.runtime.stream import DecodeRunner
+    from tetraear_tpu.ref import golden
+
+    payloads = [golden.sds_text_payload("NO SOFT FETCH")] * 6
+    iq = golden.golden_iq(payloads, fs=2.4e6, snr_db=25, seed=52)
+
+    def run(fetch_soft):
+        bank = CarrierBankDemod(fs=2.4e6, freqs_hz=[0.0],
+                                block_len=48_000)
+        runner = DecodeRunner(bank, BatchedFrameDecoder(
+            1, auto_decrypt=False), blocks_per_dispatch=3,
+            fetch_soft=fetch_soft)
+        return runner.run(iq)["frames"]
+
+    with_soft = run(True)
+    without = run(False)
+    assert len(with_soft) == len(without) >= 5
+    for a, b in zip(with_soft, without):
+        assert a["soft_symbols"] is not None
+        assert b["soft_symbols"] is None
+        ka = {k: v for k, v in a.items()
+              if k not in ("soft_symbols", "bits")}
+        kb = {k: v for k, v in b.items()
+              if k not in ("soft_symbols", "bits")}
+        assert ka == kb
+        assert np.array_equal(a["bits"], b["bits"])

@@ -503,6 +503,7 @@ class Pipeline:
         offline scripts do (listen_clear.py:108-196)."""
         from tetraear_tpu.runtime.stream import DecodeRunner
         runner = DecodeRunner(self.bank, self.batch,
+                              fetch_soft=self.voice is not None,
                               blocks_per_dispatch=blocks_per_dispatch)
 
         def on_frames(frames):

@@ -58,9 +58,12 @@ class SoftView:
                                self.block[ci, :a + n - t]])
 
 
-def soft_slice(softs, ci: int, a: int, n: int = 255) -> np.ndarray:
+def soft_slice(softs, ci: int, a: int, n: int = 255):
     """Per-frame soft-symbol slice from either a SoftView or a plain
-    concatenated (C, W, 2) array."""
+    concatenated (C, W, 2) array; None passes through (soft planes not
+    fetched — offline decode with voice disabled)."""
+    if softs is None:
+        return None
     if isinstance(softs, SoftView):
         return softs.slice(ci, a, n)
     return softs[ci, a:a + n]
@@ -301,11 +304,15 @@ class BatchedFrameDecoder:
         updates the carried tails.
         """
         hard = np.asarray(hard)
-        soft = np.asarray(soft)
+        fetch_soft = soft is not None
+        if fetch_soft:
+            soft = np.asarray(soft)
         valid = np.asarray(valid).astype(bool)
         if self._first:
             # drop the zero-prev differential output (oracle semantics)
-            hard, soft, valid = hard[:, 1:], soft[:, 1:], valid[:, 1:]
+            hard, valid = hard[:, 1:], valid[:, 1:]
+            if fetch_soft:
+                soft = soft[:, 1:]
             self._first = False
         n_c = valid.sum(axis=1)
         t = self.T
@@ -316,7 +323,7 @@ class BatchedFrameDecoder:
         # C=10240) while only O(frames) slices are read.  No masking
         # multiply either — every downstream read (per-frame slices,
         # the tail gather below) is gated to the valid region.
-        softs = SoftView(self._tail_soft, soft)
+        softs = SoftView(self._tail_soft, soft) if fetch_soft else None
         n_total = t + n_c
         valid_start = 2 * (t - self._tail_valid)        # pre-update state
 
@@ -327,12 +334,15 @@ class BatchedFrameDecoder:
         # generic take_along_axis gather ~20x at C=10240).
         c = len(n_c)
         new_th = np.empty((c, t), np.uint8)
-        new_ts = np.empty((c, t, 2), np.float32)
+        new_ts = (np.empty((c, t, 2), np.float32) if fetch_soft
+                  else self._tail_soft)
         old_ts = self._tail_soft
         for o in np.unique(n_c):
             o = int(o)
             rows = np.flatnonzero(n_c == o)
             new_th[rows] = syms[rows, o:o + t]
+            if not fetch_soft:
+                continue
             if o >= t:                       # steady state: block only
                 new_ts[rows] = soft[rows, o - t:o]
             else:                            # early blocks: mix old tail

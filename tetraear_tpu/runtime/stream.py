@@ -96,11 +96,16 @@ class DecodeRunner:
     amortize the relay's ~5 ms per-dispatch latency (CLAUDE.md rule 4).
     """
 
-    def __init__(self, bank, batch, blocks_per_dispatch: int = 16):
+    def __init__(self, bank, batch, blocks_per_dispatch: int = 16,
+                 fetch_soft: bool = True):
         from tetraear_tpu.dsp import framescan
         self.bank = bank
         self.batch = batch
         self.s = int(blocks_per_dispatch)
+        # soft planes are only read by the voice path; skipping their
+        # materialization avoids a (S, C, K, 2) float fetch per
+        # dispatch (~170 MB/block at C=10240 through the relay)
+        self.fetch_soft = bool(fetch_soft)
         self.k = bank.k_max
         self.t2 = 2 * batch.T                 # carried tail bits
         # even-position scan; batch.select_and_decode maps indices via
@@ -204,11 +209,16 @@ class DecodeRunner:
             # np.asarray blocks until the dispatch completes; with the
             # NEXT dispatch already issued (async JAX dispatch), the
             # device computes batch k+1 while the host parses batch k
-            hard, soft, valid, corr, crc_err = (np.asarray(y) for y in ys)
+            hard_d, soft_d, valid_d, corr_d, crc_d = ys
+            hard = np.asarray(hard_d)
+            soft = np.asarray(soft_d) if self.fetch_soft else None
+            valid = np.asarray(valid_d)
+            corr = np.asarray(corr_d)
+            crc_err = np.asarray(crc_d)
             for b in range(take):
                 frames = self.batch.process_scanned(
-                    hard[b], soft[b], valid[b].astype(bool),
-                    corr[b], crc_err[b])
+                    hard[b], soft[b] if soft is not None else None,
+                    valid[b].astype(bool), corr[b], crc_err[b])
                 if frames and on_frames:
                     on_frames(frames)
                 frames_all.extend(frames)
