@@ -275,7 +275,9 @@ class Pipeline:
             scan, self.state, self._tail_bits, _n_c, out = \
                 self._block_step(x_r, self.state, self._tail_bits)
             frames_out = self.batch.process_scanned(
-                np.asarray(out["hard"]), np.asarray(out["soft"]),
+                np.asarray(out["hard"]),
+                (np.asarray(out["soft"]) if self.voice is not None
+                 else None),
                 np.asarray(out["valid"]).astype(bool),
                 np.asarray(scan["corr"]), np.asarray(scan["crc_err"]))
         else:
