@@ -132,3 +132,48 @@ def test_crc_hint_semantics():
     assert hb.is_sync[1]
     assert hb.pre(1, crc_hint=True).crc_ok == bool(hb.crc_ok[1])
     assert hb.pre(0, crc_hint=False).crc_ok == bool(hb.crc_ok[0])
+
+
+@pytest.mark.unit
+def test_fallback_path_without_engine(monkeypatch):
+    """With the native library unavailable, the batched layer falls
+    back to the per-hit Python oracles and produces identical frames."""
+    import numpy as np
+    from tetraear_tpu.frame.batch import BatchedFrameDecoder
+    from tetraear_tpu.ref import golden
+
+    slot = golden.build_slot(golden.build_mac_resource_data_bits(
+        golden.sds_text_payload("FALLBACK EQ")))[:510]
+    sym_slot = (slot[0::2] * 2 + slot[1::2]).astype(np.uint8)
+    W = 900
+    col = 150
+    start_bit = 2 * col - 216
+    syms = np.zeros((2, W), np.uint8)
+    syms[0, start_bit // 2:start_bit // 2 + 255] = sym_slot
+    syms[1, start_bit // 2:start_bit // 2 + 255] = sym_slot
+    corr = np.zeros((2, 400), np.float32)
+    corr[:, col] = 0.95
+    crc_err = np.zeros((2, 400), np.int32)
+    n_valid = np.full(2, W, np.int64)
+    vstart = np.zeros(2, np.int64)
+
+    def run(disable):
+        if disable:
+            monkeypatch.setattr(hitparse, "_LIB", None)
+        layer = BatchedFrameDecoder(2, auto_decrypt=False)
+        layer._sym_base[:] = 0
+        frames = layer.select_and_decode(
+            syms, np.zeros((2, W, 2), np.float32), n_valid, vstart,
+            corr, crc_err)
+        return frames
+
+    with_engine = run(False)
+    without = run(True)
+    assert len(with_engine) == len(without) == 2
+    for a, b in zip(with_engine, without):
+        ka = {k: v for k, v in a.items()
+              if not isinstance(v, np.ndarray)}
+        kb = {k: v for k, v in b.items()
+              if not isinstance(v, np.ndarray)}
+        assert ka == kb
+        assert "FALLBACK EQ" in (a.get("sds_message") or "")
