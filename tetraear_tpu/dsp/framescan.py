@@ -406,6 +406,140 @@ def frame_scan_packed_mm(bits: jnp.ndarray) -> dict:
             "crc_err": jnp.where(degenerate, jnp.int32(99), err)}
 
 
+# ---------------------------------------------------------------------------
+# Sparse hit extraction (SURVEY §7 "ship compact per-hit indices+bits").
+#
+# The dense verdict planes are ~(C, Pe) float32 + int32 — ~268 MB per
+# block at C=10240 through the relay, while the host selection only ever
+# READS O(hits) entries (frame.batch.collect_rows probes positions above
+# its cascade threshold, plus each hit's frame-start CRC verdict).  Here
+# the compaction runs on device: each possible hit packs into ONE int32
+#
+#     key = (Pe - pe) << 11  |  min(crc_at_sync, 63) << 5  |  n_agree
+#
+# (rank field: ascending position = descending key, so lax.top_k returns
+# the first K hits in position order; n_agree = corr * 22, an exact
+# small integer; crc_at_sync = the frame-start CRC error count aligned
+# to the sync position, i.e. dense column pe - TS_OFFSET_BITS//2).  The
+# host scatters the keys back into virtual dense planes whose values at
+# every position the selection reads are bit-identical to the dense
+# scan's, so frame.batch consumes either path unchanged.
+#
+# Superset-by-construction: the device threshold backs off the host
+# cascade (closed form in frame.batch.collect_rows: 0.90 if rowmax >=
+# 0.90 else max(0.75, rowmax - 0.02), float64) by ~2e-3 — far below the
+# 1/22 correlation grid step (~0.045), so every host-selectable position
+# is fetched and only exact row-max ties / >= 20-of-22 positions ride
+# along.  Rows with more than K hits (counts > K) are flagged and
+# recomputed exactly on the host from their bits (host_scan_rows_even).
+# ---------------------------------------------------------------------------
+
+SPARSE_K = 32                 # default per-carrier hit budget per block
+_RANK_SHIFT = 11
+_CRC_SHIFT = 5
+_CRC_CLAMP = 63
+
+
+def sparse_hits(corr: jnp.ndarray, crc_err: jnp.ndarray,
+                kh: int = SPARSE_K) -> tuple:
+    """Compact a dense even-position scan into per-carrier hit keys.
+
+    corr (C, Pe) float32 and crc_err (C, Pc) as returned by
+    frame_scan_packed_even (element pe <-> bit position 2*pe).  Returns
+    (keys (C, kh) int32 — descending, 0 = no hit — and counts (C,)
+    int32, the TOTAL above-threshold positions for overflow detection).
+    Traceable; meant to run inside the per-block jit so only ~C*(kh+1)
+    int32s cross the relay instead of the dense planes.
+    """
+    c, pe_n = corr.shape
+    if pe_n >= (1 << (31 - _RANK_SHIFT)):
+        raise ValueError(f"scan width {pe_n} overflows the rank field")
+    n_agree = jnp.round(corr * SYNC_LEN).astype(jnp.int32)
+    crcc = jnp.clip(crc_err.astype(jnp.int32), 0, _CRC_CLAMP)
+    off = TS_OFFSET_BITS // 2
+    pad_r = max(0, pe_n - off - crcc.shape[1])
+    crc_at = jnp.pad(crcc, ((0, 0), (off, pad_r)),
+                     constant_values=_CRC_CLAMP)[:, :pe_n]
+    rowmax = jnp.max(corr, axis=1)
+    thr = jnp.where(rowmax >= 0.8999, jnp.float32(0.8999),
+                    jnp.maximum(jnp.float32(0.7499),
+                                rowmax - jnp.float32(0.0221)))
+    mask = corr >= thr[:, None]
+    pe = jax.lax.iota(jnp.int32, pe_n)[None, :]
+    key = ((pe_n - pe) << _RANK_SHIFT) | (crc_at << _CRC_SHIFT) | n_agree
+    key = jnp.where(mask, key, 0)
+    keys, _ = jax.lax.top_k(key, kh)
+    counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+    return keys, counts
+
+
+def unpack_hits_to_planes(keys: np.ndarray, counts: np.ndarray,
+                          pe_n: int, pc_n: int, bits_rows_fn) -> tuple:
+    """Host side of the sparse scan: keys -> virtual dense planes.
+
+    Returns (corr (C, pe_n) float32, crc_err (C, pc_n) int32) whose
+    values at every position frame.batch reads are DECISION-equivalent
+    to the dense scan's: CRC verdicts are bitwise (clamped to 63, same
+    <= 2 outcome); corr is rebuilt from the exact integer agreement
+    count as f32(n)/f32(22), within 1.2e-7 of the device plane (the
+    Pallas path multiplies by a reciprocal) — every cascade comparison
+    in frame.batch.collect_rows has >= 0.008 margin to the 1/22 value
+    grid except exact row-max ties, which the injective n -> corr map
+    preserves.  Sub-threshold filler is 0.0 / 99.  Rows whose hit count
+    overflowed the device budget are recomputed exactly from their
+    assembled bits: ``bits_rows_fn(row_indices) -> (R, N) uint8``.
+    """
+    keys = np.asarray(keys)
+    counts = np.asarray(counts)
+    c, kh = keys.shape
+    corr = np.zeros((c, pe_n), np.float32)
+    crc = np.full((c, pc_n), 99, np.int32)
+    r, i = np.nonzero(keys > 0)
+    kv = keys[r, i]
+    pe = pe_n - (kv >> _RANK_SHIFT)
+    corr[r, pe] = ((kv & ((1 << _CRC_SHIFT) - 1))
+                   .astype(np.float32) / np.float32(SYNC_LEN))
+    qc = pe - TS_OFFSET_BITS // 2
+    ok = (qc >= 0) & (qc < pc_n)
+    crc[r[ok], qc[ok]] = (kv[ok] >> _CRC_SHIFT) & _CRC_CLAMP
+    over = np.flatnonzero(counts > kh)
+    if len(over):
+        co, ce = host_scan_rows_even(bits_rows_fn(over))
+        corr[over] = co[:, :pe_n]
+        crc[over] = ce[:, :pc_n]
+    return corr, crc
+
+
+def host_scan_rows_even(bits: np.ndarray) -> tuple:
+    """Exact NumPy even-position scan of a few rows (overflow fallback).
+
+    Same values as frame_scan_packed_even: corr = n_agree/22 at
+    float32 (within 1.2e-7 of the device plane — see
+    unpack_hits_to_planes for why that is decision-exact), crc_err =
+    forward-orientation syndrome weight with degenerate rows pinned to
+    99, bitwise equal.  All sums are exact small integers (f64 dot of
+    {0,1} vectors) — tests/unit/test_sparse_hits.py.
+    """
+    bits = np.asarray(bits, np.uint8)
+    rr, n = bits.shape
+    pe_n = (n - SYNC_LEN) // 2 + 1
+    pc_n = (n - CRC_SPAN) // 2 + 1
+    swv = np.lib.stride_tricks.sliding_window_view
+    x = bits.astype(np.float64) * 2.0 - 1.0
+    win = swv(x, SYNC_LEN, axis=1)[:, ::2][:, :pe_n]       # (R, Pe, 22)
+    pat = _PATTERNS.astype(np.float64) * 2.0 - 1.0
+    n_agree = ((win @ pat.T).max(axis=2) + SYNC_LEN) / 2.0
+    corr = n_agree.astype(np.float32) / np.float32(SYNC_LEN)
+    k = _CRC_KERNEL[:, 0, :].astype(np.float64)            # (33, 230)
+    winb = swv(bits.astype(np.float64), CRC_SPAN, axis=1)[:, ::2][:, :pc_n]
+    out_i = np.rint(winb @ k.T).astype(np.int64)           # (R, Pc, 33)
+    syn = (out_i[..., 0:16] & 1) ^ _CRC_C0.astype(np.int64)[None, None, :]
+    e_fwd = syn.sum(axis=2)
+    ones = out_i[..., 32]
+    err = np.where((ones == 0) | (ones == DATA_BITS), 99, e_fwd)
+    return corr, err.astype(np.int32)
+
+
 class FrameScanKernel:
     """Jitted standalone wrapper (the Pipeline's per-block dispatch).
 

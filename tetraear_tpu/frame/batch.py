@@ -367,6 +367,31 @@ class BatchedFrameDecoder:
         self._sym_base = self._sym_base + (n_total - self.T)
         return frames
 
+    def process_scanned_sparse(self, hard, soft, valid, keys, counts,
+                               pe_n: int, pc_n: int) -> list:
+        """Per-block host path when the device shipped SPARSE hit keys
+        (dsp.framescan.sparse_hits) instead of the dense verdict planes
+        (runtime.stream.DecodeRunner sparse mode): assemble, scatter the
+        keys back into virtual planes (recomputing overflowed rows
+        exactly from their bits), then run the identical selection."""
+        from tetraear_tpu.dsp import framescan
+
+        syms, softs, n_total, vstart = self.assemble(hard, soft, valid)
+
+        def bits_rows(rows):
+            s = syms[rows]
+            b = np.empty((len(rows), 2 * s.shape[1]), np.uint8)
+            b[:, 0::2] = (s >> 1) & 1
+            b[:, 1::2] = s & 1
+            return b
+
+        corr, crc_err = framescan.unpack_hits_to_planes(
+            keys, counts, pe_n, pc_n, bits_rows)
+        frames = self.select_and_decode(syms, softs, n_total, vstart,
+                                        corr, crc_err)
+        self._sym_base = self._sym_base + (n_total - self.T)
+        return frames
+
     def process(self, hard, soft, valid) -> list:
         """One block for all carriers: assemble, device scan, select."""
         syms, softs, n_total, vstart = self.assemble(hard, soft, valid)

@@ -97,7 +97,9 @@ class DecodeRunner:
     """
 
     def __init__(self, bank, batch, blocks_per_dispatch: int = 16,
-                 fetch_soft: bool = True):
+                 fetch_soft: bool = True, sparse: bool | None = None,
+                 sparse_k: int | None = None):
+        import os
         from tetraear_tpu.dsp import framescan
         self.bank = bank
         self.batch = batch
@@ -106,8 +108,23 @@ class DecodeRunner:
         # materialization avoids a (S, C, K, 2) float fetch per
         # dispatch (~170 MB/block at C=10240 through the relay)
         self.fetch_soft = bool(fetch_soft)
+        # sparse hit extraction (framescan.sparse_hits): the dense
+        # corr/crc planes (~268 MB per block at C=10240) compact to
+        # ~C*(K+1) int32s on device; the host scatters them back into
+        # virtual planes read-identical to the dense ones
+        # (batch.process_scanned_sparse).  Opt-in until the real-chip
+        # A/B lands (perf/tpu_agenda3.sh).
+        self.sparse = (os.environ.get("TETRAEAR_SPARSE_HITS") == "1"
+                       if sparse is None else bool(sparse))
+        self.sparse_k = int(sparse_k if sparse_k is not None else
+                            os.environ.get("TETRAEAR_SPARSE_K",
+                                           framescan.SPARSE_K))
+        self._sparse_hits = framescan.sparse_hits
         self.k = bank.k_max
         self.t2 = 2 * batch.T                 # carried tail bits
+        n_bits = self.t2 + 2 * self.k
+        self._pe_n = (n_bits - framescan.SYNC_LEN) // 2 + 1
+        self._pc_n = (n_bits - framescan.CRC_SPAN) // 2 + 1
         # even-position scan; batch.select_and_decode maps indices via
         # its scan_stride (frame starts are symbol-aligned — framescan
         # .frame_scan_packed_even)
@@ -163,8 +180,9 @@ class DecodeRunner:
                     z, k2 - 4 + 2 * d, k2 - 4 + 2 * d + self.t2, 1, axis=1)
                 tail2 = jnp.where((n_c == self.k - 2 + d)[:, None],
                                   cand, tail2)
+            scan_out = self._scan_outputs(res)
             return (st2, tail2), (out["hard"], out["soft"], out["valid"],
-                                  res["corr"], res["crc_err"])
+                                  *scan_out)
 
         (state, tail_bits), ys = jax.lax.scan(body, (state, tail_bits),
                                               xs_r)
@@ -184,11 +202,23 @@ class DecodeRunner:
             lsb = (soft[:, :, 1] > 0).astype(jnp.uint8)
             hard = (msb << 1) | lsb
             valid = k_r < out["n_valid"][:, None]
-            return st2, (hard, soft, valid, out["corr"],
-                         out["crc_err"])
+            scan_out = self._scan_outputs(out)
+            return st2, (hard, soft, valid, *scan_out)
 
         fstate, ys = jax.lax.scan(body, fstate, xs_r)
         return fstate, ys
+
+    def _scan_outputs(self, res: dict) -> tuple:
+        """Per-block scan results to fetch: dense verdict planes, or the
+        compacted top-K hit keys + counts in sparse mode (traceable;
+        trace-time shape check against the host reconstruction dims)."""
+        if not self.sparse:
+            return (res["corr"], res["crc_err"])
+        assert res["corr"].shape[1] == self._pe_n, (
+            res["corr"].shape, self._pe_n)
+        keys, counts = self._sparse_hits(res["corr"], res["crc_err"],
+                                         self.sparse_k)
+        return (keys, counts)
 
     def run(self, iq: np.ndarray, state=None, on_frames=None) -> dict:
         """Decode a capture; returns {"frames": [...], "state": ...}.
@@ -209,16 +239,22 @@ class DecodeRunner:
             # np.asarray blocks until the dispatch completes; with the
             # NEXT dispatch already issued (async JAX dispatch), the
             # device computes batch k+1 while the host parses batch k
-            hard_d, soft_d, valid_d, corr_d, crc_d = ys
+            hard_d, soft_d, valid_d, scan_a, scan_b = ys
             hard = np.asarray(hard_d)
             soft = np.asarray(soft_d) if self.fetch_soft else None
             valid = np.asarray(valid_d)
-            corr = np.asarray(corr_d)
-            crc_err = np.asarray(crc_d)
+            scan_a = np.asarray(scan_a)       # corr | sparse keys
+            scan_b = np.asarray(scan_b)       # crc_err | hit counts
             for b in range(take):
-                frames = self.batch.process_scanned(
-                    hard[b], soft[b] if soft is not None else None,
-                    valid[b].astype(bool), corr[b], crc_err[b])
+                if self.sparse:
+                    frames = self.batch.process_scanned_sparse(
+                        hard[b], soft[b] if soft is not None else None,
+                        valid[b].astype(bool), scan_a[b], scan_b[b],
+                        self._pe_n, self._pc_n)
+                else:
+                    frames = self.batch.process_scanned(
+                        hard[b], soft[b] if soft is not None else None,
+                        valid[b].astype(bool), scan_a[b], scan_b[b])
                 if frames and on_frames:
                     on_frames(frames)
                 frames_all.extend(frames)
