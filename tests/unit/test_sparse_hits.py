@@ -138,3 +138,37 @@ def test_decode_runner_sparse_matches_dense():
     assert frames(True) == dense
     # kh=1 starves the budget -> overflow fallback on busy blocks
     assert frames(True, sparse_k=1) == dense
+
+
+@pytest.mark.integration
+def test_pipeline_sparse_matches_dense(tmp_path):
+    """Streaming Pipeline with sparse hit fetch == dense, in-process
+    and through the row-sharded worker layer (the reconstruction runs
+    before the shard split, so workers see ordinary dense rows)."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.ref import golden
+
+    payloads = [golden.sds_text_payload("PIPE SPARSE")] * 8
+    iq = golden.golden_iq(payloads, fs=2.4e6, snr_db=25, seed=43)
+
+    def frames(sparse, workers=0):
+        got = []
+        cfg = PipelineConfig(carrier_offsets_hz=(0.0,), detect_gate=False,
+                             voice=False, auto_decrypt=False,
+                             validate=False, block_len=48_000,
+                             sparse_hits=sparse, frame_workers=workers)
+        pipe = Pipeline(cfg, on_frame=got.append)
+        try:
+            for b in range(len(iq) // pipe.block_len):
+                pipe.process_block(
+                    iq[b * pipe.block_len:(b + 1) * pipe.block_len])
+        finally:
+            if workers:
+                pipe.batch.close()
+        return [(f["stream_symbol"], f["burst_crc"],
+                 f.get("sds_message")) for f in got]
+
+    dense = frames(False)
+    assert sum(1 for f in dense if f[1]) >= 6
+    assert frames(True) == dense
+    assert frames(True, workers=2) == dense

@@ -63,6 +63,10 @@ class PipelineConfig:
     raw_fm: bool = False                # FM-demod raw audio monitoring
     device_scan: bool = True            # fuse the sync/CRC scan into the
                                         # per-block demod dispatch
+    sparse_hits: bool | None = None     # fetch packed top-K hit keys
+                                        # instead of the dense verdict
+                                        # planes (framescan.sparse_hits);
+                                        # None = TETRAEAR_SPARSE_HITS env
 
 
 @dataclass
@@ -122,11 +126,29 @@ class Pipeline:
         self._device_scan = bool(config.device_scan)
         self._tail_bits = None
         if self._device_scan:
+            import os
             import jax
-            from tetraear_tpu.dsp.backhalf import block_step_scan
-            self._block_step = jax.jit(
-                lambda x_r, st, tb: block_step_scan(self.bank, x_r,
-                                                    st, tb))
+            from tetraear_tpu.dsp import framescan
+            from tetraear_tpu.dsp.backhalf import block_step_scan, TAILBITS
+            self._sparse = (
+                os.environ.get("TETRAEAR_SPARSE_HITS") == "1"
+                if config.sparse_hits is None else bool(config.sparse_hits))
+            n_bits = TAILBITS + 2 * self.bank.k_max
+            self._pe_n = (n_bits - framescan.SYNC_LEN) // 2 + 1
+            self._pc_n = (n_bits - framescan.CRC_SPAN) // 2 + 1
+            sparse_k = int(os.environ.get("TETRAEAR_SPARSE_K",
+                                          framescan.SPARSE_K))
+
+            def step(x_r, st, tb):
+                scan, st2, tl2, n_c, out = block_step_scan(
+                    self.bank, x_r, st, tb)
+                if self._sparse:
+                    keys, counts = framescan.sparse_hits(
+                        scan["corr"], scan["crc_err"], sparse_k)
+                    scan = {"keys": keys, "counts": counts}
+                return scan, st2, tl2, n_c, out
+
+            self._block_step = jax.jit(step)
 
         key_manager = None
         if config.key_file:
@@ -274,12 +296,18 @@ class Pipeline:
             x_r = jnp.asarray(kernels.c2r_np(block))
             scan, self.state, self._tail_bits, _n_c, out = \
                 self._block_step(x_r, self.state, self._tail_bits)
-            frames_out = self.batch.process_scanned(
-                np.asarray(out["hard"]),
-                (np.asarray(out["soft"]) if self.voice is not None
-                 else None),
-                np.asarray(out["valid"]).astype(bool),
-                np.asarray(scan["corr"]), np.asarray(scan["crc_err"]))
+            hard = np.asarray(out["hard"])
+            soft = (np.asarray(out["soft"]) if self.voice is not None
+                    else None)
+            valid = np.asarray(out["valid"]).astype(bool)
+            if self._sparse:
+                frames_out = self.batch.process_scanned_sparse(
+                    hard, soft, valid, np.asarray(scan["keys"]),
+                    np.asarray(scan["counts"]), self._pe_n, self._pc_n)
+            else:
+                frames_out = self.batch.process_scanned(
+                    hard, soft, valid, np.asarray(scan["corr"]),
+                    np.asarray(scan["crc_err"]))
         else:
             out, self.state = self.bank.step(block, self.state)
 

@@ -353,6 +353,13 @@ class ShardedFrameLayer:
         return BatchedFrameDecoder.process_scanned(
             self, hard, soft, valid, corr, crc_err)
 
+    def process_scanned_sparse(self, hard, soft, valid, keys, counts,
+                               pe_n: int, pc_n: int) -> list:
+        # canonical body: the plane reconstruction happens BEFORE the
+        # shard split, so workers receive ordinary dense rows
+        return BatchedFrameDecoder.process_scanned_sparse(
+            self, hard, soft, valid, keys, counts, pe_n, pc_n)
+
     def process(self, hard, soft, valid) -> list:
         # one shared implementation: BatchedFrameDecoder.process only
         # touches assemble/kernel/select_and_decode/_sym_base/T, all of
