@@ -110,6 +110,17 @@ def test_sparse_overflow_rows_recomputed_exactly():
     np.testing.assert_array_equal(crc_r[0], crc_d[0])
 
 
+def test_pack_syms_round_trip():
+    """2-bit symbol packing survives non-multiple-of-4 widths."""
+    from tetraear_tpu.runtime.stream import pack_syms, unpack_syms
+    for k in (1, 4, 7, 255, 256):
+        h = np.random.default_rng(k).integers(
+            0, 4, (3, k)).astype(np.uint8)
+        packed = np.asarray(pack_syms(h))
+        assert packed.shape == (3, -(-k // 4))
+        np.testing.assert_array_equal(unpack_syms(packed, k), h)
+
+
 @pytest.mark.integration
 def test_decode_runner_sparse_matches_dense():
     """Full path: DecodeRunner in sparse mode (compact hit keys over

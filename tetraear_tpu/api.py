@@ -140,12 +140,20 @@ class Pipeline:
                                           framescan.SPARSE_K))
 
             def step(x_r, st, tb):
+                import jax.numpy as jnp
+                from tetraear_tpu.runtime.stream import pack_syms
                 scan, st2, tl2, n_c, out = block_step_scan(
                     self.bank, x_r, st, tb)
                 if self._sparse:
                     keys, counts = framescan.sparse_hits(
                         scan["corr"], scan["crc_err"], sparse_k)
                     scan = {"keys": keys, "counts": counts}
+                    # compact transfer: packed 2-bit symbols + valid
+                    # counts instead of the (C, K) planes (stream
+                    # .pack_syms; validity is contiguous from 0)
+                    h = jnp.where(out["valid"], out["hard"],
+                                  0).astype(jnp.uint8)
+                    out = dict(out, hard=pack_syms(h), valid=n_c)
                 return scan, st2, tl2, n_c, out
 
             self._block_step = jax.jit(step)
@@ -296,18 +304,22 @@ class Pipeline:
             x_r = jnp.asarray(kernels.c2r_np(block))
             scan, self.state, self._tail_bits, _n_c, out = \
                 self._block_step(x_r, self.state, self._tail_bits)
-            hard = np.asarray(out["hard"])
             soft = (np.asarray(out["soft"]) if self.voice is not None
                     else None)
-            valid = np.asarray(out["valid"]).astype(bool)
             if self._sparse:
+                from tetraear_tpu.runtime.stream import unpack_syms
+                k = self.bank.k_max
+                hard = unpack_syms(out["hard"], k)
+                valid = (np.arange(k)[None, :]
+                         < np.asarray(out["valid"])[:, None])
                 frames_out = self.batch.process_scanned_sparse(
                     hard, soft, valid, np.asarray(scan["keys"]),
                     np.asarray(scan["counts"]), self._pe_n, self._pc_n)
             else:
                 frames_out = self.batch.process_scanned(
-                    hard, soft, valid, np.asarray(scan["corr"]),
-                    np.asarray(scan["crc_err"]))
+                    np.asarray(out["hard"]), soft,
+                    np.asarray(out["valid"]).astype(bool),
+                    np.asarray(scan["corr"]), np.asarray(scan["crc_err"]))
         else:
             out, self.state = self.bank.step(block, self.state)
 

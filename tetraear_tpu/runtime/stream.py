@@ -21,6 +21,31 @@ import numpy as np
 from tetraear_tpu.dsp import kernels
 
 
+# hard-symbol transfer packing (sparse mode): 2-bit symbols ride 4 to a
+# byte across the relay; the host expands via one table lookup.  The
+# valid plane never crosses at all — validity is contiguous from index
+# 0 by construction (dsp.timing), so the per-carrier count suffices.
+_SYM_LUT = np.stack([(np.arange(256, dtype=np.uint16) >> (2 * j)) & 3
+                     for j in range(4)], axis=1).astype(np.uint8)
+
+
+def pack_syms(h: jnp.ndarray) -> jnp.ndarray:
+    """(C, K) uint8 symbols in [0, 4) -> (C, ceil(K/4)) uint8,
+    little-endian 2-bit lanes within each byte.  Traceable."""
+    c, k = h.shape
+    hp = jnp.pad(h, ((0, 0), (0, -k % 4))).reshape(
+        c, -1, 4).astype(jnp.int32)
+    packed = (hp[..., 0] | (hp[..., 1] << 2) | (hp[..., 2] << 4)
+              | (hp[..., 3] << 6))
+    return packed.astype(jnp.uint8)
+
+
+def unpack_syms(packed: np.ndarray, k: int) -> np.ndarray:
+    """Host inverse of pack_syms: (C, ceil(K/4)) -> (C, k) uint8."""
+    p = np.asarray(packed)
+    return _SYM_LUT[p].reshape(len(p), -1)[:, :k]
+
+
 class ScanRunner:
     """Process many blocks per device dispatch via lax.scan."""
 
@@ -181,6 +206,12 @@ class DecodeRunner:
                 tail2 = jnp.where((n_c == self.k - 2 + d)[:, None],
                                   cand, tail2)
             scan_out = self._scan_outputs(res)
+            if self.sparse:
+                # compact transfer: packed symbols + valid COUNTS (the
+                # masked h and the contiguous-validity invariant make
+                # the host reconstruction exact — see pack_syms)
+                return (st2, tail2), (pack_syms(h), out["soft"], n_c,
+                                      *scan_out)
             return (st2, tail2), (out["hard"], out["soft"], out["valid"],
                                   *scan_out)
 
@@ -203,6 +234,10 @@ class DecodeRunner:
             hard = (msb << 1) | lsb
             valid = k_r < out["n_valid"][:, None]
             scan_out = self._scan_outputs(out)
+            if self.sparse:
+                h = jnp.where(valid, hard, 0)
+                return st2, (pack_syms(h), soft, out["n_valid"],
+                             *scan_out)
             return st2, (hard, soft, valid, *scan_out)
 
         fstate, ys = jax.lax.scan(body, fstate, xs_r)
@@ -240,16 +275,19 @@ class DecodeRunner:
             # NEXT dispatch already issued (async JAX dispatch), the
             # device computes batch k+1 while the host parses batch k
             hard_d, soft_d, valid_d, scan_a, scan_b = ys
-            hard = np.asarray(hard_d)
+            hard = np.asarray(hard_d)         # symbols | packed symbols
             soft = np.asarray(soft_d) if self.fetch_soft else None
-            valid = np.asarray(valid_d)
+            valid = np.asarray(valid_d)       # bool plane | valid counts
             scan_a = np.asarray(scan_a)       # corr | sparse keys
             scan_b = np.asarray(scan_b)       # crc_err | hit counts
             for b in range(take):
                 if self.sparse:
+                    hard_b = unpack_syms(hard[b], self.k)
+                    valid_b = (np.arange(self.k)[None, :]
+                               < valid[b][:, None])
                     frames = self.batch.process_scanned_sparse(
-                        hard[b], soft[b] if soft is not None else None,
-                        valid[b].astype(bool), scan_a[b], scan_b[b],
+                        hard_b, soft[b] if soft is not None else None,
+                        valid_b, scan_a[b], scan_b[b],
                         self._pe_n, self._pc_n)
                 else:
                     frames = self.batch.process_scanned(
