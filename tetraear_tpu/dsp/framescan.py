@@ -510,6 +510,68 @@ def unpack_hits_to_planes(keys: np.ndarray, counts: np.ndarray,
     return corr, crc
 
 
+def hits_from_keys(keys: np.ndarray, counts: np.ndarray, pe_n: int,
+                   pc_n: int, bits_rows_fn) -> tuple:
+    """Host side of the sparse scan, O(hits) flat form.
+
+    Decodes the packed keys into flat per-hit arrays sorted by (row,
+    position): (rows int64, pe int64, corr float32, crc int32).  corr
+    is rebuilt from the exact agreement count (decision-equivalent to
+    the device plane — unpack_hits_to_planes docstring); crc is the
+    frame-start verdict aligned to the sync position, 63 when the
+    frame-start column falls outside the crc plane.  Rows whose hit
+    count overflowed the device budget are recomputed exactly from
+    their bits and their entries replaced by that row's full
+    host-cascade selection set (a superset of anything the downstream
+    cascade can pick, so selection equality is preserved).
+
+    Preferred over unpack_hits_to_planes at fleet scale: materializing
+    and re-scanning the virtual (C, Pe) planes costs ~0.5 s/block at
+    C=10240 on the host — more than the block's realtime budget —
+    while this path touches only the hits.
+    """
+    keys = np.asarray(keys)
+    counts = np.asarray(counts)
+    kh = keys.shape[1]
+    r, i = np.nonzero(keys > 0)
+    kv = keys[r, i]
+    pe = (pe_n - (kv >> _RANK_SHIFT)).astype(np.int64)
+    corr = ((kv & ((1 << _CRC_SHIFT) - 1))
+            .astype(np.float32) / np.float32(SYNC_LEN))
+    crc = ((kv >> _CRC_SHIFT) & _CRC_CLAMP).astype(np.int32)
+    r = r.astype(np.int64)
+    over = np.flatnonzero(counts > kh)
+    if len(over):
+        keep = ~np.isin(r, over)
+        r, pe, corr, crc = r[keep], pe[keep], corr[keep], crc[keep]
+        co, ce = host_scan_rows_even(bits_rows_fn(over))
+        off = TS_OFFSET_BITS // 2
+        add = [[], [], [], []]
+        for k2, ri in enumerate(over):
+            row = co[k2][:pe_n].astype(np.float64)
+            rm = row.max() if row.size else 0.0
+            if rm < 0.75:
+                continue
+            thr = 0.90 if rm >= 0.90 else max(0.75, rm - 0.02)
+            sel = np.flatnonzero(row >= thr)
+            qc = sel - off
+            inb = (qc >= 0) & (qc < pc_n)
+            cv = np.full(len(sel), _CRC_CLAMP, np.int32)
+            cv[inb] = np.minimum(ce[k2][qc[inb]], _CRC_CLAMP)
+            add[0].append(np.full(len(sel), ri, np.int64))
+            add[1].append(sel.astype(np.int64))
+            add[2].append(co[k2][:pe_n][sel])
+            add[3].append(cv)
+        if add[0]:
+            r = np.concatenate([r, *add[0]])
+            pe = np.concatenate([pe, *add[1]])
+            corr = np.concatenate([corr, *add[2]]).astype(np.float32)
+            crc = np.concatenate([crc, *add[3]])
+            order = np.lexsort((pe, r))
+            r, pe, corr, crc = r[order], pe[order], corr[order], crc[order]
+    return r, pe, corr, crc
+
+
 def host_scan_rows_even(bits: np.ndarray) -> tuple:
     """Exact NumPy even-position scan of a few rows (overflow fallback).
 

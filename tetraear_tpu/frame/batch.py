@@ -27,7 +27,8 @@ from __future__ import annotations
 import numpy as np
 
 from tetraear_tpu.frame.decoder import (TetraDecoder, sync_cascade,
-                                        TS_OFFSET_BITS, FRAME_LENGTH)
+                                        TS_OFFSET_BITS, FRAME_LENGTH,
+                                        SYNC_SKIP)
 
 TAIL_SYMS = 600        # > slot (255) + sync offset (108) + dedup margin
 
@@ -67,6 +68,29 @@ def soft_slice(softs, ci: int, a: int, n: int = 255):
     if isinstance(softs, SoftView):
         return softs.slice(ci, a, n)
     return softs[ci, a:a + n]
+
+
+def _dedup_positions(pos_seq, ok_seq) -> tuple:
+    """Greedy skip-ahead dedup with the CRC rescue (collect_rows
+    docstring: a CRC-passing candidate inside the dedup window replaces
+    an accepted CRC-failing one).  Returns (positions, oks) — the
+    surviving bit positions and their CRC-pass flags (the flags double
+    as the decode_frame crc hints).  Single implementation shared by
+    the dense-plane and sparse-hit collectors."""
+    positions: list = []
+    oks: list = []
+    last_ok = False
+    for pos, ok in zip(pos_seq, ok_seq):
+        if positions and pos < positions[-1] + SYNC_SKIP:
+            if ok and not last_ok:
+                positions[-1] = pos        # rescue the true sync
+                oks[-1] = True
+                last_ok = True
+            continue
+        positions.append(int(pos))
+        oks.append(bool(ok))
+        last_ok = ok
+    return positions, oks
 
 
 def collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
@@ -114,7 +138,6 @@ def collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
     bits_all = np.empty((len(active), 2 * s_act.shape[1]), np.uint8)
     bits_all[:, 0::2] = (s_act >> 1) & 1
     bits_all[:, 1::2] = s_act & 1
-    from tetraear_tpu.frame.decoder import SYNC_SKIP
     valid_bits = 2 * n_valid_rows
     for ai in range(len(active)):
         lo, hi = row_bounds[ai], row_bounds[ai + 1]
@@ -132,24 +155,19 @@ def collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
         # slots; the reference silently eats this loss).  The device
         # scan has a burst-CRC verdict at EVERY position, so inside a
         # dedup window a CRC-passing candidate replaces an accepted
-        # CRC-failing one.  Host paths without dense verdicts
-        # (crc_rows=None, e.g. TetraDecoder.decode) keep the exact
-        # reference behavior.
-        positions: list = []
-        last_ok = False
-        for pos in hit_c[lo:hi] * scan_stride:
+        # CRC-failing one (_dedup_positions).  Host paths without
+        # dense verdicts (crc_rows=None, e.g. TetraDecoder.decode)
+        # keep the exact reference behavior.
+        pos_arr = hit_c[lo:hi] * scan_stride
+        if crc_rows is None:
+            ok_arr = np.zeros(len(pos_arr), bool)
+        else:
             # dense CRC verdicts are indexed by frame START bit
-            scol = (pos - TS_OFFSET_BITS) // scan_stride
-            ok = bool(crc_rows is not None
-                      and 0 <= scol < crc_rows.shape[1]
-                      and crc_rows[ri, scol] <= 2)
-            if positions and pos < positions[-1] + SYNC_SKIP:
-                if ok and not last_ok:
-                    positions[-1] = pos        # rescue the true sync
-                    last_ok = True
-                continue
-            positions.append(int(pos))
-            last_ok = ok
+            scol = (pos_arr - TS_OFFSET_BITS) // scan_stride
+            inb = (scol >= 0) & (scol < crc_rows.shape[1])
+            ok_arr = np.zeros(len(pos_arr), bool)
+            ok_arr[inb] = crc_rows[ri, scol[inb]] <= 2
+        positions, _oks = _dedup_positions(pos_arr, ok_arr)
         for pos in positions:
             start = pos - TS_OFFSET_BITS
             if start < vstart_rows[ri]:
@@ -162,6 +180,85 @@ def collect_rows(carriers, syms_rows, n_valid_rows, vstart_rows,
             cands.append((ci, int(start), int(abs_sym),
                           bits_all[ai, start:start + FRAME_LENGTH]))
     return cands
+
+
+def collect_hits(carriers, syms_rows, n_valid_rows, vstart_rows,
+                 sym_base_rows, emitted_lookup, scan_stride,
+                 rows_h, pe_h, corr_h, crc_h) -> tuple:
+    """Sparse-hit counterpart of collect_rows: candidates from the flat
+    per-hit arrays of framescan.hits_from_keys (sorted by (row, pe))
+    instead of dense verdict planes, touching O(hits) data — the dense
+    prologue's full-plane rowmax/compare/nonzero passes cost more than
+    a block's realtime budget at C=10240.  Returns (cands, hints):
+    hints are the per-candidate device CRC verdicts (error count <= 2),
+    the same values select_and_decode reads from the dense crc plane.
+
+    Selection equality with collect_rows is by construction: the
+    fetched set is a superset of every host-selectable position with
+    decision-equivalent corr values (framescan.sparse_hits), the
+    cascade arithmetic below is collect_rows' (same float64 closed
+    form; its f32-fast-path + f64-recheck equals one f64 compare), and
+    the dedup is the shared _dedup_positions.  Pinned end-to-end by
+    tests/unit/test_sparse_hits.py."""
+    if not len(rows_h):
+        return [], []
+    urows, starts = np.unique(rows_h, return_index=True)
+    bounds = np.r_[starts, len(rows_h)]
+    corr64 = corr_h.astype(np.float64)
+    rmax = np.maximum.reduceat(corr64, starts)
+    # fetched values are all >= 0.75 (the device floor sits below the
+    # 17/22 grid point), so every row present is active; a defensive
+    # sub-0.75 row yields keep=all-False and drops out below
+    thr = np.where(rmax >= 0.90, 0.90, np.maximum(0.75, rmax - 0.02))
+    keep = corr64 >= np.repeat(thr, np.diff(bounds))
+    kidx = np.flatnonzero(keep)
+    if not len(kidx):
+        return [], []
+    # flat kept-hit arrays converted to Python lists ONCE — the per-row
+    # numpy slicing/nonzero calls were the measured hot spot (~20 us a
+    # row x 10k rows); the dedup loop itself is O(kept hits)
+    krows = rows_h[kidx]
+    kpos = (pe_h[kidx] * scan_stride).tolist()
+    kok = (crc_h[kidx] <= 2).tolist()
+    gurows, gstarts = np.unique(krows, return_index=True)
+    gb = np.r_[gstarts, len(krows)].tolist()
+    valid_bits = (2 * n_valid_rows[gurows]).tolist()
+    vstart_l = np.asarray(vstart_rows)[gurows].tolist()
+    base_l = np.asarray(sym_base_rows)[gurows].tolist()
+    carr_l = np.asarray(carriers)[gurows].tolist()
+    meta: list = []                       # (ci, start, abs_sym, ok, ri)
+    for ui, ri in enumerate(gurows.tolist()):
+        lo, hi = gb[ui], gb[ui + 1]
+        ci = carr_l[ui]
+        emitted = emitted_lookup[ci]
+        positions, oks = _dedup_positions(kpos[lo:hi], kok[lo:hi])
+        vs, vb, ab = vstart_l[ui], valid_bits[ui], base_l[ui]
+        for pos, ok in zip(positions, oks):
+            start = pos - TS_OFFSET_BITS
+            if start < vs:
+                continue
+            if start + FRAME_LENGTH > vb:
+                continue              # straddles the pad; tail rescans it
+            abs_sym = ab + start // 2
+            if abs_sym < emitted:
+                continue              # already emitted from the tail
+            meta.append((int(ci), int(start), int(abs_sym), bool(ok),
+                         int(ri)))
+    if not meta:
+        return [], []
+    # one vectorized window build for all candidates: gather the 255
+    # symbol slices, then expand to 510-bit windows (frame starts are
+    # even, so start//2 is exact and the window is whole symbols)
+    rows_c = np.fromiter((m[4] for m in meta), np.int64, len(meta))
+    s0 = np.fromiter((m[1] // 2 for m in meta), np.int64, len(meta))
+    idx = s0[:, None] + np.arange(FRAME_LENGTH // 2)[None, :]
+    wins_s = syms_rows[rows_c[:, None], idx]
+    wins = np.empty((len(meta), FRAME_LENGTH), np.uint8)
+    wins[:, 0::2] = (wins_s >> 1) & 1
+    wins[:, 1::2] = wins_s & 1
+    cands = [(m[0], m[1], m[2], wins[i]) for i, m in enumerate(meta)]
+    hints = [m[3] for m in meta]
+    return cands, hints
 
 
 def decode_candidates(decoders, emitted_until, cands, hb, hints,
@@ -292,6 +389,32 @@ class BatchedFrameDecoder:
             batch_decrypt_frames(self.decoders, frames_out)
         return frames_out
 
+    def select_and_decode_hits(self, syms, softs, n_valid,
+                               valid_start_bits, rows_h, pe_h, corr_h,
+                               crc_h) -> list:
+        """select_and_decode fed by flat sparse-hit arrays
+        (framescan.hits_from_keys) instead of dense planes: the
+        collection touches O(hits) data and the crc hints ride in the
+        hit records, so no virtual-plane reconstruction happens."""
+        from tetraear_tpu.frame import hitparse
+
+        cands, hints = collect_hits(
+            np.arange(len(syms)), syms, n_valid, valid_start_bits,
+            self._sym_base, self._emitted_until, self.scan_stride,
+            rows_h, pe_h, corr_h, crc_h)
+        hb = (hitparse.parse_windows(
+            np.stack([c[3] for c in cands])) if cands else None)
+        frames_out = decode_candidates(
+            self.decoders, self._emitted_until, cands, hb, hints,
+            syms=syms)
+        for frame in frames_out:
+            ci, start = frame["carrier"], frame["position"]
+            frame["soft_symbols"] = soft_slice(softs, ci, start // 2)
+        if any(f.get("decryption_pending") for f in frames_out):
+            from tetraear_tpu.crypto.batch import batch_decrypt_frames
+            batch_decrypt_frames(self.decoders, frames_out)
+        return frames_out
+
     # -- per-block entry (standalone device dispatch) ----------------------
 
     def assemble(self, hard: np.ndarray, soft: np.ndarray,
@@ -371,9 +494,12 @@ class BatchedFrameDecoder:
                                pe_n: int, pc_n: int) -> list:
         """Per-block host path when the device shipped SPARSE hit keys
         (dsp.framescan.sparse_hits) instead of the dense verdict planes
-        (runtime.stream.DecodeRunner sparse mode): assemble, scatter the
-        keys back into virtual planes (recomputing overflowed rows
-        exactly from their bits), then run the identical selection."""
+        (runtime.stream.DecodeRunner sparse mode): assemble, decode the
+        keys to flat per-hit arrays (exact host recompute for
+        budget-overflow rows), then run the O(hits) selection — the
+        virtual-plane reconstruction alternative costs ~0.5 s/block of
+        host passes at C=10240, more than the block's realtime
+        budget."""
         from tetraear_tpu.dsp import framescan
 
         syms, softs, n_total, vstart = self.assemble(hard, soft, valid)
@@ -385,10 +511,10 @@ class BatchedFrameDecoder:
             b[:, 1::2] = s & 1
             return b
 
-        corr, crc_err = framescan.unpack_hits_to_planes(
+        rows_h, pe_h, corr_h, crc_h = framescan.hits_from_keys(
             keys, counts, pe_n, pc_n, bits_rows)
-        frames = self.select_and_decode(syms, softs, n_total, vstart,
-                                        corr, crc_err)
+        frames = self.select_and_decode_hits(
+            syms, softs, n_total, vstart, rows_h, pe_h, corr_h, crc_h)
         self._sym_base = self._sym_base + (n_total - self.T)
         return frames
 

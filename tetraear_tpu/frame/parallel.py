@@ -100,6 +100,24 @@ def _worker_block(decoders, emitted, msg) -> list:
     return decode_candidates(decoders, emitted, cands, hb, hints)
 
 
+def _worker_block_hits(decoders, emitted, msg) -> list:
+    """_worker_block fed by flat sparse-hit arrays (batch.collect_hits)
+    instead of dense plane rows — the sparse-mode worker path."""
+    from tetraear_tpu.frame import hitparse
+    from tetraear_tpu.frame.batch import collect_hits
+
+    (carriers, syms_rows, n_valid_rows, vstart_rows, sym_base_rows,
+     rows_l, pe_h, corr_h, crc_h, scan_stride) = msg
+    cands, hints = collect_hits(carriers, syms_rows, n_valid_rows,
+                                vstart_rows, sym_base_rows, emitted,
+                                scan_stride, rows_l, pe_h, corr_h, crc_h)
+    if not cands:
+        return []
+    hb = (hitparse.parse_windows(np.stack([c[3] for c in cands]))
+          if hitparse.available() else None)
+    return decode_candidates(decoders, emitted, cands, hb, hints)
+
+
 def _worker_main(conn, key_file, auto_decrypt, keys):
     decoders = _LazyDecoders(key_file, auto_decrypt, keys)
     emitted = _Emitted()
@@ -115,6 +133,8 @@ def _worker_main(conn, key_file, auto_decrypt, keys):
         try:
             if kind == "block":
                 frames = _worker_block(decoders, emitted, msg[1:])
+            elif kind == "block_hits":
+                frames = _worker_block_hits(decoders, emitted, msg[1:])
             else:                       # "cands": pre-collected windows
                 meta, wins, hb, hints = msg[1:]
                 cands = [(ci, start, abs_sym, wins[i])
@@ -261,7 +281,37 @@ class ShardedFrameLayer:
                    inner.scan_stride)
             self._send_with_respawn(w, msg)
             busy.append((w, msg))
+        return self._finish_block(busy, softs)
 
+    def select_and_decode_hits(self, syms, softs, n_valid,
+                               valid_start_bits, rows_h, pe_h, corr_h,
+                               crc_h) -> list:
+        """Sparse-mode sharded selection: each worker receives its
+        shard's rows-with-hits plus their flat hit arrays (O(hits)
+        IPC — no dense plane rows) and runs batch.collect_hits +
+        decode locally.  Same worker state, watermarks and recovery as
+        select_and_decode."""
+        inner = self._inner
+        urows = np.unique(rows_h)          # rows with any fetched hit
+        busy = []
+        for w in range(self.n_workers):
+            lo, hi = self._bounds[w], self._bounds[w + 1]
+            rows = urows[(urows >= lo) & (urows < hi)]
+            if not len(rows):
+                continue
+            sel = (rows_h >= lo) & (rows_h < hi)
+            # remap global row ids to indices into the shipped rows
+            local_r = np.searchsorted(rows, rows_h[sel])
+            msg = ("block_hits", rows.astype(np.int64), syms[rows],
+                   n_valid[rows], valid_start_bits[rows],
+                   inner._sym_base[rows], local_r, pe_h[sel],
+                   corr_h[sel], crc_h[sel], inner.scan_stride)
+            self._send_with_respawn(w, msg)
+            busy.append((w, msg))
+        return self._finish_block(busy, softs)
+
+    def _finish_block(self, busy, softs) -> list:
+        inner = self._inner
         frames_out = []
         for w, msg in busy:
             try:
@@ -355,8 +405,10 @@ class ShardedFrameLayer:
 
     def process_scanned_sparse(self, hard, soft, valid, keys, counts,
                                pe_n: int, pc_n: int) -> list:
-        # canonical body: the plane reconstruction happens BEFORE the
-        # shard split, so workers receive ordinary dense rows
+        # canonical body: key decode + overflow recompute happen in the
+        # parent; selection dispatches to THIS class's
+        # select_and_decode_hits, which ships each worker its shard's
+        # flat hit arrays (O(hits) IPC, no dense plane rows)
         return BatchedFrameDecoder.process_scanned_sparse(
             self, hard, soft, valid, keys, counts, pe_n, pc_n)
 
