@@ -57,8 +57,11 @@ def main():
         runner = DecodeRunner(bank, BatchedFrameDecoder(
             c, auto_decrypt=False), blocks_per_dispatch=2, sparse=sparse,
             fetch_soft=False)
-        # warm (compile + first dispatch), then measure a fresh pass
+        # warm (compile + first dispatch), then measure a CLEAN pass:
+        # reset_stream swaps in a fresh frame layer so the warm run's
+        # bit tail / dedup watermarks don't contaminate the decode
         runner.run(iq[:2 * bl])
+        runner.reset_stream(BatchedFrameDecoder(c, auto_decrypt=False))
         t0 = time.perf_counter()
         res = runner.run(iq)
         dt = time.perf_counter() - t0

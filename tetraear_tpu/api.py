@@ -133,27 +133,30 @@ class Pipeline:
             self._sparse = (
                 os.environ.get("TETRAEAR_SPARSE_HITS") == "1"
                 if config.sparse_hits is None else bool(config.sparse_hits))
-            n_bits = TAILBITS + 2 * self.bank.k_max
-            self._pe_n = (n_bits - framescan.SYNC_LEN) // 2 + 1
-            self._pc_n = (n_bits - framescan.CRC_SPAN) // 2 + 1
+            self._pe_n, self._pc_n = framescan.plane_dims(
+                TAILBITS + 2 * self.bank.k_max)
             sparse_k = int(os.environ.get("TETRAEAR_SPARSE_K",
                                           framescan.SPARSE_K))
 
             def step(x_r, st, tb):
-                import jax.numpy as jnp
-                from tetraear_tpu.runtime.stream import pack_syms
+                from tetraear_tpu.runtime.stream import masked_pack
                 scan, st2, tl2, n_c, out = block_step_scan(
                     self.bank, x_r, st, tb)
                 if self._sparse:
+                    # trace-time guard: a z-layout change that desyncs
+                    # the host width formulas must fail fast, not
+                    # decode keys to shifted positions
+                    assert scan["corr"].shape[1] == self._pe_n, (
+                        scan["corr"].shape, self._pe_n)
                     keys, counts = framescan.sparse_hits(
                         scan["corr"], scan["crc_err"], sparse_k)
                     scan = {"keys": keys, "counts": counts}
                     # compact transfer: packed 2-bit symbols + valid
                     # counts instead of the (C, K) planes (stream
-                    # .pack_syms; validity is contiguous from 0)
-                    h = jnp.where(out["valid"], out["hard"],
-                                  0).astype(jnp.uint8)
-                    out = dict(out, hard=pack_syms(h), valid=n_c)
+                    # .masked_pack; validity is contiguous from 0)
+                    out = dict(out, hard=masked_pack(out["hard"],
+                                                     out["valid"]),
+                               valid=n_c)
                 return scan, st2, tl2, n_c, out
 
             self._block_step = jax.jit(step)
@@ -307,11 +310,9 @@ class Pipeline:
             soft = (np.asarray(out["soft"]) if self.voice is not None
                     else None)
             if self._sparse:
-                from tetraear_tpu.runtime.stream import unpack_syms
-                k = self.bank.k_max
-                hard = unpack_syms(out["hard"], k)
-                valid = (np.arange(k)[None, :]
-                         < np.asarray(out["valid"])[:, None])
+                from tetraear_tpu.runtime.stream import unpack_block
+                hard, valid = unpack_block(out["hard"], out["valid"],
+                                           self.bank.k_max)
                 frames_out = self.batch.process_scanned_sparse(
                     hard, soft, valid, np.asarray(scan["keys"]),
                     np.asarray(scan["counts"]), self._pe_n, self._pc_n)

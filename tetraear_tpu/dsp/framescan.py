@@ -421,9 +421,10 @@ def frame_scan_packed_mm(bits: jnp.ndarray) -> dict:
 # the first K hits in position order; n_agree = corr * 22, an exact
 # small integer; crc_at_sync = the frame-start CRC error count aligned
 # to the sync position, i.e. dense column pe - TS_OFFSET_BITS//2).  The
-# host scatters the keys back into virtual dense planes whose values at
-# every position the selection reads are bit-identical to the dense
-# scan's, so frame.batch consumes either path unchanged.
+# host decodes the keys to flat per-hit arrays (hits_from_keys) and
+# selects in O(hits) (frame.batch.collect_hits); unpack_hits_to_planes,
+# the virtual-plane reconstruction, is kept as the equivalence oracle
+# for the tests.
 #
 # Superset-by-construction: the device threshold backs off the host
 # cascade (closed form in frame.batch.collect_rows: 0.90 if rowmax >=
@@ -438,6 +439,13 @@ SPARSE_K = 32                 # default per-carrier hit budget per block
 _RANK_SHIFT = 11
 _CRC_SHIFT = 5
 _CRC_CLAMP = 63
+
+
+def plane_dims(n_bits: int) -> tuple:
+    """(pe_n, pc_n) even-position scan plane widths for an assembled
+    bit row of ``n_bits`` — the single source of the width formulas the
+    sparse consumers (DecodeRunner, Pipeline) validate against."""
+    return ((n_bits - SYNC_LEN) // 2 + 1, (n_bits - CRC_SPAN) // 2 + 1)
 
 
 def sparse_hits(corr: jnp.ndarray, crc_err: jnp.ndarray,

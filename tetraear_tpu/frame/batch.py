@@ -202,7 +202,7 @@ def collect_hits(carriers, syms_rows, n_valid_rows, vstart_rows,
     tests/unit/test_sparse_hits.py."""
     if not len(rows_h):
         return [], []
-    urows, starts = np.unique(rows_h, return_index=True)
+    _, starts = np.unique(rows_h, return_index=True)
     bounds = np.r_[starts, len(rows_h)]
     corr64 = corr_h.astype(np.float64)
     rmax = np.maximum.reduceat(corr64, starts)
@@ -379,15 +379,7 @@ class BatchedFrameDecoder:
         frames_out.extend(decode_candidates(
             self.decoders, self._emitted_until, cands, hb, hints,
             syms=syms))
-        for frame in frames_out:
-            ci, start = frame["carrier"], frame["position"]
-            frame["soft_symbols"] = soft_slice(softs, ci, start // 2)
-        # finish deferred decryption: one device keys x payloads search
-        # for the whole block (exact host-loop semantics, crypto.batch)
-        if any(f.get("decryption_pending") for f in frames_out):
-            from tetraear_tpu.crypto.batch import batch_decrypt_frames
-            batch_decrypt_frames(self.decoders, frames_out)
-        return frames_out
+        return self._attach_and_decrypt(frames_out, softs)
 
     def select_and_decode_hits(self, syms, softs, n_valid,
                                valid_start_bits, rows_h, pe_h, corr_h,
@@ -407,6 +399,12 @@ class BatchedFrameDecoder:
         frames_out = decode_candidates(
             self.decoders, self._emitted_until, cands, hb, hints,
             syms=syms)
+        return self._attach_and_decrypt(frames_out, softs)
+
+    def _attach_and_decrypt(self, frames_out: list, softs) -> list:
+        """Shared epilogue of both selection paths: attach per-frame
+        soft-symbol slices, finish deferred decryption with one device
+        keys x payloads search for the whole block (crypto.batch)."""
         for frame in frames_out:
             ci, start = frame["carrier"], frame["position"]
             frame["soft_symbols"] = soft_slice(softs, ci, start // 2)

@@ -46,6 +46,23 @@ def unpack_syms(packed: np.ndarray, k: int) -> np.ndarray:
     return _SYM_LUT[p].reshape(len(p), -1)[:, :k]
 
 
+def masked_pack(hard: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """pack_syms of the validity-masked symbol block (traceable) — the
+    device half of the sparse-mode block transfer, shared by
+    DecodeRunner and the streaming Pipeline."""
+    return pack_syms(jnp.where(valid, hard, 0).astype(jnp.uint8))
+
+
+def unpack_block(packed: np.ndarray, n_valid: np.ndarray,
+                 k: int) -> tuple:
+    """Host inverse of the sparse-mode block transfer: packed symbols +
+    per-carrier valid counts -> ((C, k) uint8 masked symbols, (C, k)
+    bool validity plane, contiguous from index 0)."""
+    hard = unpack_syms(packed, k)
+    valid = np.arange(k)[None, :] < np.asarray(n_valid)[:, None]
+    return hard, valid
+
+
 class ScanRunner:
     """Process many blocks per device dispatch via lax.scan."""
 
@@ -135,8 +152,8 @@ class DecodeRunner:
         self.fetch_soft = bool(fetch_soft)
         # sparse hit extraction (framescan.sparse_hits): the dense
         # corr/crc planes (~268 MB per block at C=10240) compact to
-        # ~C*(K+1) int32s on device; the host scatters them back into
-        # virtual planes read-identical to the dense ones
+        # ~C*(K+1) int32s on device; the host decodes them to flat
+        # per-hit arrays and selects in O(hits)
         # (batch.process_scanned_sparse).  Opt-in until the real-chip
         # A/B lands (perf/tpu_agenda3.sh).
         self.sparse = (os.environ.get("TETRAEAR_SPARSE_HITS") == "1"
@@ -147,9 +164,8 @@ class DecodeRunner:
         self._sparse_hits = framescan.sparse_hits
         self.k = bank.k_max
         self.t2 = 2 * batch.T                 # carried tail bits
-        n_bits = self.t2 + 2 * self.k
-        self._pe_n = (n_bits - framescan.SYNC_LEN) // 2 + 1
-        self._pc_n = (n_bits - framescan.CRC_SPAN) // 2 + 1
+        self._pe_n, self._pc_n = framescan.plane_dims(
+            self.t2 + 2 * self.k)
         # even-position scan; batch.select_and_decode maps indices via
         # its scan_stride (frame starts are symbol-aligned — framescan
         # .frame_scan_packed_even)
@@ -160,7 +176,6 @@ class DecodeRunner:
         # planes and bit tails (tests/unit/test_backhalf.py), so the
         # host selection consumes either path's outputs unchanged
         self.fused = None
-        import os
         want = (jax.default_backend() == "tpu"        # interpret mode
                 or os.environ.get("TETRAEAR_FORCE_FUSED") == "1")
         if (os.environ.get("TETRAEAR_NO_FUSED") != "1" and want
@@ -235,13 +250,23 @@ class DecodeRunner:
             valid = k_r < out["n_valid"][:, None]
             scan_out = self._scan_outputs(out)
             if self.sparse:
-                h = jnp.where(valid, hard, 0)
-                return st2, (pack_syms(h), soft, out["n_valid"],
-                             *scan_out)
+                return st2, (masked_pack(hard, valid), soft,
+                             out["n_valid"], *scan_out)
             return st2, (hard, soft, valid, *scan_out)
 
         fstate, ys = jax.lax.scan(body, fstate, xs_r)
         return fstate, ys
+
+    def reset_stream(self, batch) -> None:
+        """Restart the decode stream on a FRESH batch layer (clean bit
+        tails, dedup watermarks and per-carrier protocol state) while
+        keeping the compiled device program — e.g. between independent
+        captures, or after a warm-up pass
+        (perf/fleet_decode_probe.py)."""
+        assert 2 * batch.T == self.t2, (batch.T, self.t2)
+        batch._first = False                # __init__ docstring: the
+        self.batch = batch                  # device tail replaces the drop
+        self._tail_bits = None
 
     def _scan_outputs(self, res: dict) -> tuple:
         """Per-block scan results to fetch: dense verdict planes, or the
@@ -282,9 +307,8 @@ class DecodeRunner:
             scan_b = np.asarray(scan_b)       # crc_err | hit counts
             for b in range(take):
                 if self.sparse:
-                    hard_b = unpack_syms(hard[b], self.k)
-                    valid_b = (np.arange(self.k)[None, :]
-                               < valid[b][:, None])
+                    hard_b, valid_b = unpack_block(hard[b], valid[b],
+                                                   self.k)
                     frames = self.batch.process_scanned_sparse(
                         hard_b, soft[b] if soft is not None else None,
                         valid_b, scan_a[b], scan_b[b],
