@@ -152,6 +152,48 @@ def test_frame_stealing_voice_through_rf(tmp_path):
     assert abs(peak - 57) <= 3
 
 
+def test_parallel_voice_synthesis_matches_sequential(tmp_path):
+    """voice_threads > 1 runs one synthesis task per carrier on a
+    thread pool (api._synth_voice_parallel); audio chunks, their order
+    and the voice stats must be identical to the sequential path."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.ref import golden
+    from tetraear_tpu.runtime.sources import FileIQSource, write_capture
+
+    fs = 2.4e6
+    v0 = golden.golden_voice_iq(_speech(6, pitch=57, seed=0), fs=fs,
+                                snr_db=None, seed=5)
+    v1 = golden.golden_voice_iq(_speech(6, pitch=44, seed=1), fs=fs,
+                                snr_db=None, seed=6)
+    n = min(len(v0), len(v1))
+    t = np.arange(n) / fs
+    iq = (v0[:n] * np.exp(-2j * np.pi * 250e3 * t)
+          + v1[:n] * np.exp(2j * np.pi * 250e3 * t)).astype(np.complex64)
+    path = tmp_path / "mc_voice.cfile"
+    write_capture(path, iq)
+
+    def run(threads):
+        audio, frames = [], []
+        cfg = PipelineConfig(sample_rate=fs,
+                             carrier_offsets_hz=(-250e3, 250e3),
+                             detect_gate=False, voice=True,
+                             validate=False, block_len=32_000,
+                             voice_threads=threads)
+        pipe = Pipeline(cfg, on_frame=frames.append,
+                        on_audio=audio.append)
+        if threads > 1:
+            assert pipe._voice_pool is not None
+        pipe.run(FileIQSource(path, sample_rate=fs))
+        return audio, pipe.stats.voice_frames
+
+    seq, n_seq = run(0)
+    par, n_par = run(4)
+    assert n_seq == n_par >= 8
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_listen_clear_tool_records_calls(tmp_path):
     """The listen-clear workload end-to-end: synthetic voice carrier ->
     decode -> VoiceAccumulator -> call WAV with the speech pitch."""

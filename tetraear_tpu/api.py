@@ -57,6 +57,10 @@ class PipelineConfig:
     carrier_afc: bool = True            # per-carrier d^4 tracking loop
     fft_size: int = 2048
     voice: bool = True                  # decode voice when codec available
+    voice_threads: int = 0              # >1: synthesize voice carriers
+                                        # concurrently (one pool task per
+                                        # carrier; ~420 realtime voice
+                                        # carriers per synthesis core)
     frame_workers: int = 0              # >0: shard the per-hit frame layer
                                         # over worker processes
                                         # (frame.parallel)
@@ -209,6 +213,12 @@ class Pipeline:
                     self._voice_states[0] = vp
             except Exception as e:
                 logger.debug("voice codec unavailable: %s", e)
+        self._voice_pool = None
+        if self.voice is not None and config.voice_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._voice_pool = ThreadPoolExecutor(
+                max_workers=int(config.voice_threads),
+                thread_name_prefix="voice-synth")
 
         self._records_dir = Path(config.records_dir) if config.records_dir \
             else None
@@ -330,6 +340,7 @@ class Pipeline:
             frames_out = self.batch.process(out["hard"], out["soft"],
                                             out["valid"])
         self._prepare_voice_batch(frames_out)
+        self._synth_voice_parallel(frames_out)
         for f in frames_out:
             ci = f["carrier"]
             f["carrier_offset_hz"] = float(self.bank.freqs_hz[ci])
@@ -427,6 +438,48 @@ class Pipeline:
             params[:, 1:] = out["frames"][i]
             f["_voice_params"] = params
 
+    def _synth_voice_parallel(self, frames: list) -> None:
+        """Synthesize this block's voice candidates concurrently, one
+        pool task per carrier (PipelineConfig.voice_threads): speech
+        decoders are stateful per carrier (voice_for), so a carrier's
+        frames stay sequential on its own state while different
+        carriers run on pool threads — the C synthesis call releases
+        the GIL (ctypes) and touches only its own decoder handle
+        (voice/csrc: per-handle state, thread_local scratch).  Results
+        ride in frame["_voice_audio"]; _try_voice then runs unchanged
+        on the main thread (records file, stats, on_audio callbacks,
+        in frame order), so output ordering and audio samples are
+        identical to the sequential path (test_voice_rf)."""
+        if self._voice_pool is None:
+            return
+        by_c: dict = {}
+        for f in frames:
+            if f.get("stolen") or "_voice_block" not in f:
+                continue
+            by_c.setdefault(f["carrier"], []).append(f)
+        if len(by_c) < 2:
+            return                       # nothing to overlap
+
+        def synth(vp, fs):
+            if all(f.get("_voice_params") is not None for f in fs):
+                # the whole carrier in ONE foreign call (GIL released
+                # throughout — codec.decode_params_many)
+                return vp.decode_params_many(
+                    np.stack([f["_voice_params"] for f in fs]))
+            return [vp.decode_params(f["_voice_params"])
+                    if f.get("_voice_params") is not None
+                    else vp.decode_frame(f["_voice_block"])
+                    for f in fs]
+
+        # voice_for allocates decoder states lazily: do it on the main
+        # thread so the state dict is never mutated concurrently
+        futs = [(fs, self._voice_pool.submit(synth, self.voice_for(ci),
+                                             fs))
+                for ci, fs in by_c.items()]
+        for fs, fut in futs:
+            for f, audio in zip(fs, fut.result()):
+                f["_voice_audio"] = audio
+
     def _try_voice(self, frame: dict) -> None:
         """Voice candidate path (modern.py:2088-2228): soft bits ->
         codec block -> PCM; channel decoding may already have happened
@@ -450,10 +503,12 @@ class Pipeline:
                 fh.write(block)
         vp = self.voice_for(frame.get("carrier", 0))
         params = frame.pop("_voice_params", None)
-        if params is not None:
-            audio = vp.decode_params(params)
-        else:
-            audio = vp.decode_frame(block)
+        audio = frame.pop("_voice_audio", None)   # pre-synthesized
+        if audio is None:
+            if params is not None:
+                audio = vp.decode_params(params)
+            else:
+                audio = vp.decode_frame(block)
         if len(audio):
             frame["has_voice"] = True
             self.stats.voice_frames += 1
@@ -550,6 +605,10 @@ class Pipeline:
                               blocks_per_dispatch=blocks_per_dispatch)
 
         def on_frames(frames):
+            # same block-level voice passes as process_block: batched
+            # device channel decode + concurrent per-carrier synthesis
+            self._prepare_voice_batch(frames)
+            self._synth_voice_parallel(frames)
             for f in frames:
                 ci = f["carrier"]
                 f["carrier_offset_hz"] = float(self.bank.freqs_hz[ci])

@@ -56,6 +56,13 @@ def _load_library():
                     ctypes.POINTER(ctypes.c_int16),   # (1+137) params
                     ctypes.POINTER(ctypes.c_int16),   # out: 240 PCM
                 ]
+                lib.tetra_speech_decode_many.restype = ctypes.c_int
+                lib.tetra_speech_decode_many.argtypes = [
+                    ctypes.c_void_p,                  # decoder state
+                    ctypes.POINTER(ctypes.c_int16),   # n x (1+137)
+                    ctypes.c_int32,                   # n_frames
+                    ctypes.POINTER(ctypes.c_int16),   # out: n x 240
+                ]
                 lib.tetra_speech_decoder_new.restype = ctypes.c_void_p
                 lib.tetra_speech_decoder_free.argtypes = [ctypes.c_void_p]
                 lib.tetra_channel_encode.restype = ctypes.c_int
@@ -226,27 +233,69 @@ class VoiceProcessor:
         return out
 
     def decode_params(self, frames: np.ndarray) -> np.ndarray:
-        """(2, 1+137) [BFI, params...] -> float32 PCM (speech synthesis
-        half; channel decoding already done, e.g. on device)."""
+        """(N, 1+137) [BFI, params...] -> float32 PCM (speech synthesis
+        half; channel decoding already done, e.g. on device).  One
+        foreign call for all N frames (tetra_speech_decode_many); a
+        failing frame aborts with empty audio and the decoder state
+        advanced exactly as the former per-frame loop left it."""
         if not self.working:
             return np.zeros(0, np.float32)
-        pcm_all = []
-        for fr in np.asarray(frames, np.int16):
-            out = np.zeros(SAMPLES_PER_SPEECH_FRAME, dtype=np.int16)
-            rc = self._lib.tetra_speech_decode(
-                self._dec_state,
-                np.ascontiguousarray(fr).ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_int16)),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
-            if rc != 0:
-                logger.debug("speech decode failed rc=%d", rc)
-                return np.zeros(0, np.float32)
-            pcm_all.append(out)
-        audio = np.concatenate(pcm_all).astype(np.float32) / 32768.0
+        fr = np.ascontiguousarray(np.asarray(frames, np.int16))
+        out = np.zeros((len(fr), SAMPLES_PER_SPEECH_FRAME), np.int16)
+        ptr = ctypes.POINTER(ctypes.c_int16)
+        rc = self._lib.tetra_speech_decode_many(
+            self._dec_state, fr.ctypes.data_as(ptr), len(fr),
+            out.ctypes.data_as(ptr))
+        if rc != 0:
+            logger.debug("speech decode failed rc=%d", rc)
+            return np.zeros(0, np.float32)
+        audio = out.reshape(-1).astype(np.float32) / 32768.0
         if audio.size and float(np.max(np.abs(audio))) < 1e-5:
             # near-silent output == decode failure (voice.py:223-232)
             return np.zeros(0, np.float32)
         return audio
+
+    def decode_params_many(self, slots: np.ndarray) -> list:
+        """(M, 2, 1+137) slot params -> list of M per-slot float32 PCM
+        arrays (480 samples each, empty on a failed/near-silent slot).
+
+        The whole run is ONE foreign call (tetra_speech_decode_many),
+        so the GIL stays released throughout — the per-frame ctypes
+        round trips made threaded per-carrier synthesis SLOWER than
+        sequential (GIL convoy; api._synth_voice_parallel).  Failure
+        semantics match the former per-slot loop exactly: a failing
+        frame voids its slot's audio, skips the slot's remaining
+        frame(s) without advancing the decoder through them, and
+        synthesis resumes at the next slot; the near-silence rejection
+        (voice.py:223-232) applies per slot."""
+        slots = np.ascontiguousarray(np.asarray(slots, np.int16))
+        m = len(slots)
+        if not self.working or not m:
+            return [np.zeros(0, np.float32)] * m
+        out = np.zeros((m, 2, SAMPLES_PER_SPEECH_FRAME), np.int16)
+        ok = np.ones(m, bool)
+        ptr = ctypes.POINTER(ctypes.c_int16)
+        s = 0
+        while s < m:
+            rc = self._lib.tetra_speech_decode_many(
+                self._dec_state, slots[s:].ctypes.data_as(ptr),
+                2 * (m - s), out[s:].ctypes.data_as(ptr))
+            if rc == 0:
+                break
+            bad = s + (rc - 1) // 2            # slot of the failed frame
+            logger.debug("speech decode failed at slot %d", bad)
+            ok[bad] = False
+            s = bad + 1
+        audio = out.reshape(m, -1).astype(np.float32) / 32768.0
+        res = []
+        for i in range(m):
+            a = audio[i]
+            if not ok[i] or float(np.max(np.abs(a))) < 1e-5:
+                # near-silent output == decode failure (voice.py:223-232)
+                res.append(np.zeros(0, np.float32))
+            else:
+                res.append(a)
+        return res
 
     def decode_frame(self, frame_data: bytes) -> np.ndarray:
         """1380-byte soft-bit block -> float32 PCM in [-1, 1]

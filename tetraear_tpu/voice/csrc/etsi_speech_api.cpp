@@ -40,6 +40,24 @@ int tetra_speech_decode(void *dec, const int16_t *params, int16_t *pcm) {
   return 0;
 }
 
+int tetra_speech_decode_many(void *dec, const int16_t *params,
+                             int32_t n_frames, int16_t *pcm) {
+  /* n_frames sequential decodes on one state in ONE foreign call: the
+   * per-frame ctypes round trip holds the Python GIL long enough that
+   * threaded per-carrier synthesis ran SLOWER than sequential (GIL
+   * convoy); batching a carrier's whole slot list keeps the GIL
+   * released for the full run.  Stops at the first failing frame
+   * (same state advancement as the per-frame loop it replaces) and
+   * returns its 1-based index, 0 on success. */
+  if (!dec || !params || !pcm || n_frames < 0) return -1;
+  for (int32_t i = 0; i < n_frames; i++) {
+    if (tetra_speech_decode(dec, params + (size_t)i * 138,
+                            pcm + (size_t)i * TETRA_SAMPLES_PER_FRAME))
+      return (int)i + 1;
+  }
+  return 0;
+}
+
 void *tetra_speech_encoder_new(void) { return tetra_etsi_encoder_new(); }
 
 void tetra_speech_encoder_free(void *enc) { tetra_etsi_encoder_free(enc); }

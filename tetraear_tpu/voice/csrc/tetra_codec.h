@@ -70,6 +70,13 @@ void tetra_speech_decoder_free(void *dec);
  * concealment).  Returns 0 on success. */
 int tetra_speech_decode(void *dec, const int16_t *params, int16_t *pcm);
 
+/* n_frames x params[138] -> n_frames x pcm[240] on one state in ONE
+ * call (keeps the caller's GIL released for the whole run; see
+ * etsi_speech_api.cpp).  Returns 0 on success, the 1-based index of
+ * the first failing frame otherwise (state advanced through it). */
+int tetra_speech_decode_many(void *dec, const int16_t *params,
+                             int32_t n_frames, int16_t *pcm);
+
 /* Speech encoder instance. */
 void *tetra_speech_encoder_new(void);
 void tetra_speech_encoder_free(void *enc);
