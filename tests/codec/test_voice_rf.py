@@ -194,6 +194,48 @@ def test_parallel_voice_synthesis_matches_sequential(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_pipeline_lazy_soft_voice_matches_dense(tmp_path):
+    """Sparse mode + voice: soft planes stay on device and decoded
+    carriers' rows are gathered lazily — the synthesized audio must be
+    bit-identical to the dense-fetch pipeline."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.ref import golden
+    from tetraear_tpu.runtime.sources import FileIQSource, write_capture
+
+    fs = 2.4e6
+    v0 = golden.golden_voice_iq(_speech(8, pitch=57, seed=0), fs=fs,
+                                snr_db=None, seed=15)
+    v1 = golden.golden_voice_iq(_speech(8, pitch=44, seed=1), fs=fs,
+                                snr_db=None, seed=16)
+    n = min(len(v0), len(v1))
+    t = np.arange(n) / fs
+    iq = (v0[:n] * np.exp(-2j * np.pi * 250e3 * t)
+          + v1[:n] * np.exp(2j * np.pi * 250e3 * t)).astype(np.complex64)
+    path = tmp_path / "mc_voice2.cfile"
+    write_capture(path, iq)
+
+    def run(sparse):
+        audio = []
+        # block_len large enough that K - 2 >= T engages the lazy path
+        cfg = PipelineConfig(sample_rate=fs,
+                             carrier_offsets_hz=(-250e3, 250e3),
+                             detect_gate=False, voice=True,
+                             validate=False, block_len=131_072,
+                             sparse_hits=sparse)
+        pipe = Pipeline(cfg, on_audio=audio.append)
+        pipe.run(FileIQSource(path, sample_rate=fs))
+        if sparse:
+            assert pipe._prev_soft is not None   # lazy path engaged
+        return audio, pipe.stats.voice_frames
+
+    seq, n_seq = run(False)
+    lazy, n_lazy = run(True)
+    assert n_seq == n_lazy >= 10
+    assert len(seq) == len(lazy)
+    for a, b in zip(seq, lazy):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_listen_clear_tool_records_calls(tmp_path):
     """The listen-clear workload end-to-end: synthetic voice carrier ->
     decode -> VoiceAccumulator -> call WAV with the speech pitch."""

@@ -152,6 +152,42 @@ def test_decode_runner_sparse_matches_dense():
 
 
 @pytest.mark.integration
+def test_decode_runner_lazy_soft_matches_dense():
+    """Sparse mode leaves the soft planes on device and row-gathers
+    only decoded frames' carriers (stream.LazySoftRows); the attached
+    soft_symbols must be bitwise identical to the dense fetch,
+    including windows straddling into the previous block's data."""
+    from tetraear_tpu.dsp.pipeline import CarrierBankDemod
+    from tetraear_tpu.frame.batch import BatchedFrameDecoder
+    from tetraear_tpu.runtime.stream import DecodeRunner
+    from tetraear_tpu.ref import golden
+
+    payloads = [golden.sds_text_payload("LAZY SOFT ROWS")] * 12
+    iq = golden.golden_iq(payloads, fs=2.4e6, snr_db=25, seed=47)
+
+    def frames(sparse):
+        bank = CarrierBankDemod(fs=2.4e6, freqs_hz=[0.0],
+                                block_len=131_200)
+        runner = DecodeRunner(
+            bank, BatchedFrameDecoder(1, auto_decrypt=False),
+            blocks_per_dispatch=3, sparse=sparse, fetch_soft=True)
+        if sparse:
+            assert runner.lazy_soft      # K - 2 >= T at this block_len
+        return runner.run(iq)["frames"]
+
+    dense = frames(False)
+    sparse = frames(True)
+    assert len(dense) == len(sparse) >= 6
+    # at least one window reads the carried tail (previous block data)
+    assert any(f["position"] // 2 < 600 for f in sparse)
+    for a, b in zip(dense, sparse):
+        assert (a["stream_symbol"], a["burst_crc"]) == \
+            (b["stream_symbol"], b["burst_crc"])
+        np.testing.assert_array_equal(a["soft_symbols"],
+                                      b["soft_symbols"])
+
+
+@pytest.mark.integration
 def test_pipeline_sparse_matches_dense(tmp_path):
     """Streaming Pipeline with sparse hit fetch == dense, in-process
     and through the row-sharded worker layer (the reconstruction runs

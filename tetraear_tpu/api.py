@@ -139,6 +139,8 @@ class Pipeline:
                 if config.sparse_hits is None else bool(config.sparse_hits))
             self._pe_n, self._pc_n = framescan.plane_dims(
                 TAILBITS + 2 * self.bank.k_max)
+            self._prev_soft = None      # device ref (lazy soft rows)
+            self._prev_nc = None
             sparse_k = int(os.environ.get("TETRAEAR_SPARSE_K",
                                           framescan.SPARSE_K))
 
@@ -317,18 +319,31 @@ class Pipeline:
             x_r = jnp.asarray(kernels.c2r_np(block))
             scan, self.state, self._tail_bits, _n_c, out = \
                 self._block_step(x_r, self.state, self._tail_bits)
-            soft = (np.asarray(out["soft"]) if self.voice is not None
-                    else None)
             if self._sparse:
-                from tetraear_tpu.runtime.stream import unpack_block
+                from tetraear_tpu.runtime.stream import (unpack_block,
+                                                         LazySoftRows)
                 hard, valid = unpack_block(out["hard"], out["valid"],
                                            self.bank.k_max)
+                if (self.voice is not None
+                        and self.bank.k_max - 2 >= self.batch.T):
+                    # soft planes stay on device; decoded frames' rows
+                    # are gathered lazily (stream.LazySoftRows)
+                    soft = LazySoftRows(self._prev_soft, out["soft"],
+                                        self._prev_nc, self.batch.T)
+                    self._prev_soft = out["soft"]
+                    self._prev_nc = np.asarray(out["valid"])
+                elif self.voice is not None:
+                    soft = np.asarray(out["soft"])
+                else:
+                    soft = None
                 frames_out = self.batch.process_scanned_sparse(
                     hard, soft, valid, np.asarray(scan["keys"]),
                     np.asarray(scan["counts"]), self._pe_n, self._pc_n)
             else:
                 frames_out = self.batch.process_scanned(
-                    np.asarray(out["hard"]), soft,
+                    np.asarray(out["hard"]),
+                    (np.asarray(out["soft"]) if self.voice is not None
+                     else None),
                     np.asarray(out["valid"]).astype(bool),
                     np.asarray(scan["corr"]), np.asarray(scan["crc_err"]))
         else:

@@ -97,6 +97,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--frame-workers", type=int, default=0,
                    help="shard the per-hit frame layer over N worker "
                         "processes (0 = in-process)")
+    p.add_argument("--voice-threads", type=int, default=0,
+                   help="synthesize voice carriers on N threads "
+                        "(~420 realtime voice carriers per core; "
+                        "0 = sequential)")
     p.add_argument("--max-blocks", type=int,
                    help="stop after N blocks (default: run to EOF)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -115,6 +119,7 @@ def _make_pipeline(args, on_frame=None, on_audio=None, on_status=None):
         expected_mcc=args.expected_mcc,
         detect_gate=args.source == "rtlsdr",
         frame_workers=getattr(args, "frame_workers", 0),
+        voice_threads=getattr(args, "voice_threads", 0),
     )
     return Pipeline(cfg, on_frame=on_frame, on_audio=on_audio,
                     on_status=on_status)

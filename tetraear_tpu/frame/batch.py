@@ -60,12 +60,13 @@ class SoftView:
 
 
 def soft_slice(softs, ci: int, a: int, n: int = 255):
-    """Per-frame soft-symbol slice from either a SoftView or a plain
-    concatenated (C, W, 2) array; None passes through (soft planes not
-    fetched — offline decode with voice disabled)."""
+    """Per-frame soft-symbol slice from a SoftView, a device-backed
+    lazy view (runtime.stream.LazySoftRows — anything with .slice), or
+    a plain concatenated (C, W, 2) array; None passes through (soft
+    planes not fetched — offline decode with voice disabled)."""
     if softs is None:
         return None
-    if isinstance(softs, SoftView):
+    if hasattr(softs, "slice"):
         return softs.slice(ci, a, n)
     return softs[ci, a:a + n]
 
@@ -405,6 +406,10 @@ class BatchedFrameDecoder:
         """Shared epilogue of both selection paths: attach per-frame
         soft-symbol slices, finish deferred decryption with one device
         keys x payloads search for the whole block (crypto.batch)."""
+        if frames_out and hasattr(softs, "prefetch"):
+            # device-backed lazy view: batch the row gathers
+            softs.prefetch([(f["carrier"], f["position"] // 2)
+                            for f in frames_out])
         for frame in frames_out:
             ci, start = frame["carrier"], frame["position"]
             frame["soft_symbols"] = soft_slice(softs, ci, start // 2)
@@ -425,7 +430,12 @@ class BatchedFrameDecoder:
         updates the carried tails.
         """
         hard = np.asarray(hard)
-        fetch_soft = soft is not None
+        # a device-backed lazy view (anything with .slice, e.g.
+        # runtime.stream.LazySoftRows) serves its own tails from the
+        # previous block's device plane: pass it through untouched and
+        # skip the host soft-tail maintenance entirely
+        lazy_soft = soft is not None and hasattr(soft, "slice")
+        fetch_soft = soft is not None and not lazy_soft
         if fetch_soft:
             soft = np.asarray(soft)
         valid = np.asarray(valid).astype(bool)
@@ -444,7 +454,9 @@ class BatchedFrameDecoder:
         # C=10240) while only O(frames) slices are read.  No masking
         # multiply either — every downstream read (per-frame slices,
         # the tail gather below) is gated to the valid region.
-        softs = SoftView(self._tail_soft, soft) if fetch_soft else None
+        softs = (soft if lazy_soft
+                 else SoftView(self._tail_soft, soft) if fetch_soft
+                 else None)
         n_total = t + n_c
         valid_start = 2 * (t - self._tail_valid)        # pre-update state
 

@@ -334,6 +334,10 @@ class ShardedFrameLayer:
             frames_out.extend(payload)
         frames_out.sort(key=lambda f: (f["carrier"], f["position"]))
 
+        if frames_out and hasattr(softs, "prefetch"):
+            # device-backed lazy view: batch the row gathers
+            softs.prefetch([(f["carrier"], f["position"] // 2)
+                            for f in frames_out])
         # parent-side bookkeeping: the dedup watermark is reproducible
         # from the emitted frames, so the parent mirror stays exact
         for f in frames_out:

@@ -63,6 +63,85 @@ def unpack_block(packed: np.ndarray, n_valid: np.ndarray,
     return hard, valid
 
 
+class LazySoftRows:
+    """Device-resident soft-symbol view over [tail ++ block] rows.
+
+    The dense voice-fleet fetch is the (C, K, 2) float soft plane
+    (~220 MB/block at C=10240) while only the decoded frames' 255-
+    symbol windows are ever read.  This view leaves both the current
+    and previous block's soft planes ON DEVICE and fetches whole rows
+    for exactly the carriers that decoded frames — one padded gather
+    dispatch per source per block (row-granular gathers are the shape
+    TPUs do well; per-element window gathers are the shape to never
+    emit, dsp/framescan notes).
+
+    Coordinate contract (same as frame.batch.SoftView): ``slice(ci,
+    a)`` returns what ``concat([tail, block])[ci, a:a+n]`` would.  In
+    steady state the T-symbol tail equals the previous block's last T
+    VALID symbols, i.e. prev[ci, o_prev[ci]-T : o_prev[ci]] (tail
+    update rule in frame.batch.BatchedFrameDecoder.assemble), which
+    requires the per-block valid count to stay >= T — the constructor
+    caller guards that (DecodeRunner: k_max - 2 >= batch.T).
+
+    ``prefetch(pairs)`` must be called with every (carrier, a) that
+    will be sliced; it issues the batched row gathers.  slice() then
+    serves from the row cache (with a single-row fetch fallback).
+    Values are bitwise identical to the dense fetch — same device
+    arrays, fetched whole.
+    """
+
+    def __init__(self, prev, cur, o_prev: np.ndarray, t: int):
+        self.prev = prev                  # device (C, K, 2) or None
+        self.cur = cur                    # device (C, K, 2)
+        # (C,) prev-block valid counts (None only at the stream head,
+        # where the tail region is zeros and gated off anyway)
+        self.o_prev = None if o_prev is None else np.asarray(o_prev)
+        self.T = int(t)
+        self._rows: dict = {}             # (src, ci) -> (K, 2) np row
+
+    @staticmethod
+    def _gather(src, rows: list) -> list:
+        """One padded row gather + fetch; returns np rows in order."""
+        uniq = sorted(set(rows))
+        pad = 1 << max(0, (len(uniq) - 1).bit_length())
+        idx = np.asarray(uniq + [uniq[0]] * (pad - len(uniq)), np.int32)
+        got = np.asarray(src[jnp.asarray(idx)])
+        return {r: got[i] for i, r in enumerate(uniq)}
+
+    def prefetch(self, pairs) -> None:
+        need = {0: [], 1: []}             # 0 = prev, 1 = cur
+        for ci, a in pairs:
+            ci = int(ci)
+            if a < self.T and (0, ci) not in self._rows:
+                need[0].append(ci)
+            if (1, ci) not in self._rows:
+                need[1].append(ci)
+        if need[0] and self.prev is not None:
+            for r, row in self._gather(self.prev, need[0]).items():
+                self._rows[(0, r)] = row
+        if need[1]:
+            for r, row in self._gather(self.cur, need[1]).items():
+                self._rows[(1, r)] = row
+
+    def _row(self, src: int, ci: int) -> np.ndarray:
+        key = (src, ci)
+        if key not in self._rows:        # fallback: single-row fetch
+            arr = self.prev if src == 0 else self.cur
+            self._rows[key] = np.asarray(arr[ci])
+        return self._rows[key]
+
+    def slice(self, ci: int, a: int, n: int = 255) -> np.ndarray:
+        t = self.T
+        if a >= t:
+            return self._row(1, ci)[a - t:a - t + n]
+        o = int(self.o_prev[ci])
+        tail = (self._row(0, ci)[o - t:o] if self.prev is not None
+                else np.zeros((t, 2), np.float32))
+        if a + n <= t:
+            return tail[a:a + n]
+        return np.concatenate([tail[a:], self._row(1, ci)[:a + n - t]])
+
+
 class ScanRunner:
     """Process many blocks per device dispatch via lax.scan."""
 
@@ -150,6 +229,10 @@ class DecodeRunner:
         # materialization avoids a (S, C, K, 2) float fetch per
         # dispatch (~170 MB/block at C=10240 through the relay)
         self.fetch_soft = bool(fetch_soft)
+        # in sparse mode the soft planes STAY on device and decoded
+        # frames' rows are gathered lazily (LazySoftRows); requires the
+        # per-block valid count to cover the tail (k_max - 2 >= T)
+        self.lazy_soft = False
         # sparse hit extraction (framescan.sparse_hits): the dense
         # corr/crc planes (~268 MB per block at C=10240) compact to
         # ~C*(K+1) int32s on device; the host decodes them to flat
@@ -164,6 +247,10 @@ class DecodeRunner:
         self._sparse_hits = framescan.sparse_hits
         self.k = bank.k_max
         self.t2 = 2 * batch.T                 # carried tail bits
+        self.lazy_soft = (self.sparse and self.fetch_soft
+                          and self.k - 2 >= batch.T)
+        self._prev_soft = None                # device (C, K, 2) ref
+        self._prev_nc = None                  # (C,) valid counts
         self._pe_n, self._pc_n = framescan.plane_dims(
             self.t2 + 2 * self.k)
         # even-position scan; batch.select_and_decode maps indices via
@@ -267,6 +354,8 @@ class DecodeRunner:
         batch._first = False                # __init__ docstring: the
         self.batch = batch                  # device tail replaces the drop
         self._tail_bits = None
+        self._prev_soft = None
+        self._prev_nc = None
 
     def _scan_outputs(self, res: dict) -> tuple:
         """Per-block scan results to fetch: dense verdict planes, or the
@@ -301,7 +390,8 @@ class DecodeRunner:
             # device computes batch k+1 while the host parses batch k
             hard_d, soft_d, valid_d, scan_a, scan_b = ys
             hard = np.asarray(hard_d)         # symbols | packed symbols
-            soft = np.asarray(soft_d) if self.fetch_soft else None
+            soft = (np.asarray(soft_d)
+                    if self.fetch_soft and not self.lazy_soft else None)
             valid = np.asarray(valid_d)       # bool plane | valid counts
             scan_a = np.asarray(scan_a)       # corr | sparse keys
             scan_b = np.asarray(scan_b)       # crc_err | hit counts
@@ -309,8 +399,18 @@ class DecodeRunner:
                 if self.sparse:
                     hard_b, valid_b = unpack_block(hard[b], valid[b],
                                                    self.k)
+                    if self.lazy_soft:
+                        soft_b = LazySoftRows(self._prev_soft,
+                                              soft_d[b], self._prev_nc,
+                                              self.batch.T)
+                        # device slice-copy of just this block's plane,
+                        # so the rest of ys can free after the batch
+                        self._prev_soft = soft_d[b]
+                        self._prev_nc = valid[b]
+                    else:
+                        soft_b = soft[b] if soft is not None else None
                     frames = self.batch.process_scanned_sparse(
-                        hard_b, soft[b] if soft is not None else None,
+                        hard_b, soft_b,
                         valid_b, scan_a[b], scan_b[b],
                         self._pe_n, self._pc_n)
                 else:
