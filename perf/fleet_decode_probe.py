@@ -11,7 +11,9 @@ keys (~C*(K+1) int32s) and reconstructs on host
 Run on the real chip:
   PYTHONPATH=/root/repo:/root/.axon_site python perf/fleet_decode_probe.py
 Env: PERF_CARRIERS (10240), PERF_BLOCKS (6), PERF_TIMEOUT_S (3600),
-     PERF_MODE=dense|sparse|both (both).
+     PERF_MODE=dense|sparse|both (both), PERF_SOFT=1 to include the
+     soft planes (dense mode fetches them; sparse mode row-gathers
+     lazily via stream.LazySoftRows — the voice-fleet A/B).
 """
 
 import json
@@ -41,6 +43,7 @@ def main():
     c = int(os.environ.get("PERF_CARRIERS", "10240"))
     n_blocks = int(os.environ.get("PERF_BLOCKS", "6"))
     mode = os.environ.get("PERF_MODE", "both")
+    soft = os.environ.get("PERF_SOFT") == "1"
     fs = 25_000.0 * c
     rng = np.random.default_rng(0)
 
@@ -56,7 +59,7 @@ def main():
                    else [mode == "sparse"]):
         runner = DecodeRunner(bank, BatchedFrameDecoder(
             c, auto_decrypt=False), blocks_per_dispatch=2, sparse=sparse,
-            fetch_soft=False)
+            fetch_soft=soft)
         # warm (compile + first dispatch), then measure a CLEAN pass:
         # reset_stream swaps in a fresh frame layer so the warm run's
         # bit tail / dedup watermarks don't contaminate the decode

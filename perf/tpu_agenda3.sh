@@ -23,4 +23,7 @@ PERF_MODE=both python perf/fleet_decode_probe.py
 echo "=== fleet decode A/B at C=2048 $(date +%H:%M:%S)"
 PERF_CARRIERS=2048 PERF_MODE=both python perf/fleet_decode_probe.py
 
+echo "=== fleet decode A/B with soft planes (voice fleets) $(date +%H:%M:%S)"
+PERF_SOFT=1 PERF_MODE=both python perf/fleet_decode_probe.py
+
 echo "=== agenda3 done $(date +%H:%M:%S)"
