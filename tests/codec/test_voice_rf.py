@@ -161,8 +161,12 @@ def test_parallel_voice_synthesis_matches_sequential(tmp_path):
     from tetraear_tpu.runtime.sources import FileIQSource, write_capture
 
     fs = 2.4e6
+    # stolen_every exercises the decoder-state ORDERING contract: a
+    # stolen voice slot synthesizes inline on the carrier's stateful
+    # decoder, so pre-synthesis must stop at it (api._synth_voice_
+    # parallel) or later frames see reordered state updates
     v0 = golden.golden_voice_iq(_speech(6, pitch=57, seed=0), fs=fs,
-                                snr_db=None, seed=5)
+                                snr_db=None, seed=5, stolen_every=3)
     v1 = golden.golden_voice_iq(_speech(6, pitch=44, seed=1), fs=fs,
                                 snr_db=None, seed=6)
     n = min(len(v0), len(v1))

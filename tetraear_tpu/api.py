@@ -468,23 +468,32 @@ class Pipeline:
         if self._voice_pool is None:
             return
         by_c: dict = {}
+        halted: set = set()
         for f in frames:
-            if f.get("stolen") or "_voice_block" not in f:
+            ci = f["carrier"]
+            if f.get("stolen"):
+                # a stolen voice candidate synthesizes INLINE on the
+                # carrier's stateful decoder (_try_voice_stolen);
+                # pre-synthesizing this carrier's LATER frames here
+                # would reorder its decoder-state updates, so the
+                # carrier's pre-synthesis stops at the first stolen
+                # frame and the rest stays sequential
+                if self._is_voice_candidate(f):
+                    halted.add(ci)
                 continue
-            by_c.setdefault(f["carrier"], []).append(f)
+            if "_voice_block" not in f or ci in halted:
+                continue
+            by_c.setdefault(ci, []).append(f)
         if len(by_c) < 2:
             return                       # nothing to overlap
 
         def synth(vp, fs):
-            if all(f.get("_voice_params") is not None for f in fs):
-                # the whole carrier in ONE foreign call (GIL released
-                # throughout — codec.decode_params_many)
-                return vp.decode_params_many(
-                    np.stack([f["_voice_params"] for f in fs]))
-            return [vp.decode_params(f["_voice_params"])
-                    if f.get("_voice_params") is not None
-                    else vp.decode_frame(f["_voice_block"])
-                    for f in fs]
+            # every pre-synthesizable frame carries device-decoded
+            # params (_prepare_voice_batch ran with >= 2 candidates);
+            # the whole carrier is ONE foreign call, GIL released
+            # throughout (codec.decode_params_many)
+            return vp.decode_params_many(
+                np.stack([f["_voice_params"] for f in fs]))
 
         # voice_for allocates decoder states lazily: do it on the main
         # thread so the state dict is never mutated concurrently
@@ -603,6 +612,26 @@ class Pipeline:
             self._jsonl = None
         return self.stats
 
+    def close(self) -> None:
+        """Release held resources: the voice synthesis pool, the JSONL
+        sink and the worker-sharded frame layer (idempotent; also run
+        by __del__ so short-lived Pipelines don't leak pool threads)."""
+        if self._voice_pool is not None:
+            self._voice_pool.shutdown(wait=True)
+            self._voice_pool = None
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None
+        closer = getattr(self.batch, "close", None)
+        if closer is not None:
+            closer()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def run_offline(self, source, blocks_per_dispatch: int = 16,
                     max_blocks: int | None = None) -> PipelineStats:
         """Offline decode with S blocks fused per device dispatch.
@@ -617,7 +646,8 @@ class Pipeline:
         from tetraear_tpu.runtime.stream import DecodeRunner
         runner = DecodeRunner(self.bank, self.batch,
                               fetch_soft=self.voice is not None,
-                              blocks_per_dispatch=blocks_per_dispatch)
+                              blocks_per_dispatch=blocks_per_dispatch,
+                              sparse=self.config.sparse_hits)
 
         def on_frames(frames):
             # same block-level voice passes as process_block: batched

@@ -134,9 +134,11 @@ class LazySoftRows:
         t = self.T
         if a >= t:
             return self._row(1, ci)[a - t:a - t + n]
-        o = int(self.o_prev[ci])
-        tail = (self._row(0, ci)[o - t:o] if self.prev is not None
-                else np.zeros((t, 2), np.float32))
+        if self.prev is not None:
+            o = int(self.o_prev[ci])
+            tail = self._row(0, ci)[o - t:o]
+        else:                    # stream head: tail region is zeros
+            tail = np.zeros((t, 2), np.float32)
         if a + n <= t:
             return tail[a:a + n]
         return np.concatenate([tail[a:], self._row(1, ci)[:a + n - t]])

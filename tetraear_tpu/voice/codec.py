@@ -282,6 +282,10 @@ class VoiceProcessor:
                 2 * (m - s), out[s:].ctypes.data_as(ptr))
             if rc == 0:
                 break
+            if rc < 0:                         # bad handle/args: nothing
+                logger.debug("speech decode rejected rc=%d", rc)
+                ok[s:] = False                 # decoded at all — void the
+                break                          # rest, never re-issue
             bad = s + (rc - 1) // 2            # slot of the failed frame
             logger.debug("speech decode failed at slot %d", bad)
             ok[bad] = False

@@ -29,8 +29,11 @@
 
 namespace etsi {
 
-int Overflow = 0;
-int Carry = 0;
+/* thread_local: the basic ops run concurrently on distinct decoder
+ * handles from the voice synthesis pool (api._synth_voice_parallel);
+ * plain globals would be an unsynchronized cross-thread write. */
+thread_local int Overflow = 0;
+thread_local int Carry = 0;
 
 constexpr int L_FRAME = 240;
 constexpr int L_SUBFR = 60;

@@ -23,8 +23,8 @@ namespace etsi {
 typedef int16_t Word16;
 typedef int32_t Word32;
 
-extern int Overflow;   /* defined in etsi_acelp_dec.cpp */
-extern int Carry;
+extern thread_local int Overflow;   /* defined in etsi_acelp_dec.cpp */
+extern thread_local int Carry;      /* thread_local: pool-safe */
 
 inline Word16 sature(Word32 L_var1) {
   if (L_var1 > 0x00007fffL) {
