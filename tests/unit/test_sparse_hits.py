@@ -151,6 +151,54 @@ def test_decode_runner_sparse_matches_dense():
     assert frames(True, sparse_k=1) == dense
 
 
+def test_sparse_selection_differential_fuzz():
+    """collect_hits (sparse) == collect_rows + plane hints (dense) on
+    random bit planes across budgets — the structured-signal tests pin
+    the happy path; this pins the equivalence on arbitrary content,
+    including budget overflow and sync-dense adversarial rows."""
+    from tetraear_tpu.frame.batch import collect_rows, collect_hits
+
+    rng = np.random.default_rng(99)
+    pat = framescan._PATTERNS.astype(np.uint8)
+    for it in range(12):
+        c, n = 5, int(rng.integers(900, 2400)) & ~1
+        bits = rng.integers(0, 2, (c, n)).astype(np.uint8)
+        # adversarial rows: planted syncs, back-to-back sync bursts
+        for ci in range(c):
+            for pos in rng.integers(0, n - 30, rng.integers(0, 6)):
+                bits[ci, pos & ~1:(pos & ~1) + 22] = pat[ci % 2]
+        if it % 3 == 0:
+            for pos in range(2, n - 30, 26):
+                bits[0, pos & ~1:(pos & ~1) + 22] = pat[0]
+        dense = framescan.frame_scan_packed_even(bits)
+        corr_d = np.asarray(dense["corr"])
+        crc_d = np.asarray(dense["crc_err"])
+        kh = int(rng.choice([2, 8, 32]))
+        keys, counts = framescan.sparse_hits(dense["corr"],
+                                             dense["crc_err"], kh)
+        rows_h, pe_h, corr_h, crc_h = framescan.hits_from_keys(
+            np.asarray(keys), np.asarray(counts),
+            corr_d.shape[1], crc_d.shape[1], lambda r: bits[r])
+        syms = ((bits[:, 0::2] << 1) | bits[:, 1::2]).astype(np.uint8)
+        nv = np.full(c, syms.shape[1], np.int64)
+        vs = np.zeros(c, np.int64)
+        base = np.zeros(c, np.int64)
+        emitted = np.zeros(c, np.int64)
+        ref = collect_rows(np.arange(c), syms, nv, vs, base, emitted,
+                           2, corr_d, crc_rows=crc_d)
+        got, hints = collect_hits(np.arange(c), syms, nv, vs, base,
+                                  emitted, 2, rows_h, pe_h, corr_h,
+                                  crc_h)
+        assert len(got) == len(ref), (it, kh, len(got), len(ref))
+        for (gc, gs, ga, gw), (rc_, rs, ra, rw), hint in zip(
+                got, ref, hints):
+            assert (gc, gs, ga) == (rc_, rs, ra)
+            np.testing.assert_array_equal(gw, rw)
+            scol = gs // 2           # frame-start column (start bits/2)
+            assert hint == bool(0 <= scol < crc_d.shape[1]
+                                and crc_d[gc, scol] <= 2)
+
+
 @pytest.mark.integration
 def test_decode_runner_lazy_soft_matches_dense():
     """Sparse mode leaves the soft planes on device and row-gathers
