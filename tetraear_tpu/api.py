@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -61,6 +62,16 @@ class PipelineConfig:
                                         # concurrently (one pool task per
                                         # carrier; ~420 realtime voice
                                         # carriers per synthesis core)
+    device_voice: bool | None = None    # synthesize speech on device
+                                        # (voice.jspeech_pool, bit-exact
+                                        # vs the host codec); None =
+                                        # TETRAEAR_DEVICE_VOICE env.
+                                        # Opt-in until the real-chip A/B
+                                        # (perf/jspeech_probe.py) lands.
+    device_voice_slots: int = 256       # device decoder states; carriers
+                                        # beyond this LRU-evict (an
+                                        # evicted carrier resyncs from a
+                                        # fresh decoder state)
     frame_workers: int = 0              # >0: shard the per-hit frame layer
                                         # over worker processes
                                         # (frame.parallel)
@@ -130,7 +141,6 @@ class Pipeline:
         self._device_scan = bool(config.device_scan)
         self._tail_bits = None
         if self._device_scan:
-            import os
             import jax
             from tetraear_tpu.dsp import framescan
             from tetraear_tpu.dsp.backhalf import block_step_scan, TAILBITS
@@ -221,6 +231,14 @@ class Pipeline:
             self._voice_pool = ThreadPoolExecutor(
                 max_workers=int(config.voice_threads),
                 thread_name_prefix="voice-synth")
+        self._voice_device = None
+        device_voice = (os.environ.get("TETRAEAR_DEVICE_VOICE") == "1"
+                        if config.device_voice is None
+                        else bool(config.device_voice))
+        if self.voice is not None and device_voice:
+            from tetraear_tpu.voice.jspeech_pool import DeviceSpeechPool
+            self._voice_device = DeviceSpeechPool(
+                slots=int(config.device_voice_slots))
 
         self._records_dir = Path(config.records_dir) if config.records_dir \
             else None
@@ -355,7 +373,7 @@ class Pipeline:
             frames_out = self.batch.process(out["hard"], out["soft"],
                                             out["valid"])
         self._prepare_voice_batch(frames_out)
-        self._synth_voice_parallel(frames_out)
+        self._synth_voice(frames_out)
         for f in frames_out:
             ci = f["carrier"]
             f["carrier_offset_hz"] = float(self.bank.freqs_hz[ci])
@@ -430,8 +448,19 @@ class Pipeline:
             if not self._is_voice_candidate(f):
                 continue
             if f.get("stolen"):
-                # half-slot voice (frame stealing) decodes per-frame in
-                # _try_voice; stealing is rare so the host C path is fine
+                # half-slot voice (frame stealing): the CHANNEL decode is
+                # a cheap stateless host call; in device-synthesis mode
+                # it must run here so the carrier's stolen frames join
+                # its device state stream in order.  Otherwise it decodes
+                # per-frame in _try_voice_stolen (stealing is rare).
+                if self._voice_device is not None:
+                    from tetraear_tpu.voice.codec import stolen_soft_bits
+                    soft = f.get("soft_symbols")
+                    half = None if soft is None else stolen_soft_bits(soft)
+                    if half is not None:
+                        params = self.voice.channel_decode_stolen(half)
+                        if params is not None:
+                            f["_voice_params"] = params
                 continue
             soft = f.get("soft_symbols")
             if soft is None:
@@ -442,6 +471,15 @@ class Pipeline:
             f["_voice_block"] = block
             cands.append(f)
         if len(cands) < 2:
+            if self._voice_device is not None:
+                # device synthesis needs channel-decoded params for every
+                # candidate (its speech state lives on device; falling
+                # back to the host decoder would fork the carrier's
+                # state).  One candidate: stateless host channel decode.
+                for f in cands:
+                    params = self.voice.channel_decode(f["_voice_block"])
+                    if params is not None:
+                        f["_voice_params"] = params
             return
         from tetraear_tpu.voice import jviterbi
         softs = np.stack([block_soft_bits(f["_voice_block"])
@@ -504,6 +542,43 @@ class Pipeline:
             for f, audio in zip(fs, fut.result()):
                 f["_voice_audio"] = audio
 
+    def _synth_voice_device(self, frames: list) -> None:
+        """Synthesize this block's voice candidates in ONE device
+        dispatch (voice.jspeech_pool): every candidate carries channel-
+        decoded params (_prepare_voice_batch guarantees it in device
+        mode, stolen frames included), so each carrier's frames form an
+        in-order parameter stream for its persistent device decoder
+        slot.  Audio is bit-identical to the host path (jspeech is
+        bit-exact vs the C decoder); the near-silence rejection is
+        applied per slot exactly as codec.decode_params does."""
+        by_c: dict = {}
+        for f in frames:
+            if "_voice_params" in f:
+                by_c.setdefault(f["carrier"], []).append(f)
+        if not by_c:
+            return
+        items = [(ci, np.concatenate([f["_voice_params"] for f in fs]))
+                 for ci, fs in by_c.items()]
+        pcms = self._voice_device.synthesize(items)
+        for (ci, fs), pcm in zip(by_c.items(), pcms):
+            off = 0
+            for f in fs:
+                n = len(f["_voice_params"]) * 480 // 2
+                a = pcm[off:off + n]
+                off += n
+                if a.size and float(np.max(np.abs(a))) < 1e-5:
+                    # near-silent == decode failure (voice.py:223-232)
+                    a = np.zeros(0, np.float32)
+                f["_voice_audio"] = a
+
+    def _synth_voice(self, frames: list) -> None:
+        """Block-level speech synthesis pass: device pool when enabled,
+        else the host thread pool (no-op without either)."""
+        if self._voice_device is not None:
+            self._synth_voice_device(frames)
+        else:
+            self._synth_voice_parallel(frames)
+
     def _try_voice(self, frame: dict) -> None:
         """Voice candidate path (modern.py:2088-2228): soft bits ->
         codec block -> PCM; channel decoding may already have happened
@@ -525,10 +600,15 @@ class Pipeline:
         if self._records_dir is not None:
             with open(self._records_dir / "tetra_frames.bin", "ab") as fh:
                 fh.write(block)
-        vp = self.voice_for(frame.get("carrier", 0))
         params = frame.pop("_voice_params", None)
         audio = frame.pop("_voice_audio", None)   # pre-synthesized
         if audio is None:
+            if self._voice_device is not None:
+                # device mode: every candidate was synthesized in
+                # _synth_voice_device (or its channel decode failed);
+                # the host decoder must not fork the device state
+                return
+            vp = self.voice_for(frame.get("carrier", 0))
             if params is not None:
                 audio = vp.decode_params(params)
             else:
@@ -546,18 +626,27 @@ class Pipeline:
         these slots (its codec only consumes full 432-bit blocks)."""
         if not self._is_voice_candidate(frame):
             return
-        from tetraear_tpu.voice.codec import stolen_soft_bits
-        soft = frame.get("soft_symbols")
-        if soft is None:
-            return
-        half = stolen_soft_bits(soft)
-        if half is None:
-            return
-        vp = self.voice_for(frame.get("carrier", 0))
-        params = vp.channel_decode_stolen(half)
-        if params is None:
-            return
-        audio = vp.decode_params(params)
+        audio = frame.pop("_voice_audio", None)   # device-synthesized
+        frame.pop("_voice_params", None)
+        if audio is None:
+            if self._voice_device is not None:
+                # device mode channel-decodes stolen candidates in
+                # _prepare_voice_batch; reaching here means that failed
+                # (no soft bits / malformed half slot) — nothing to do,
+                # and the host decoder must not fork the device state
+                return
+            from tetraear_tpu.voice.codec import stolen_soft_bits
+            soft = frame.get("soft_symbols")
+            if soft is None:
+                return
+            half = stolen_soft_bits(soft)
+            if half is None:
+                return
+            vp = self.voice_for(frame.get("carrier", 0))
+            params = vp.channel_decode_stolen(half)
+            if params is None:
+                return
+            audio = vp.decode_params(params)
         if len(audio):
             frame["has_voice"] = True
             self.stats.voice_frames += 1
@@ -653,7 +742,7 @@ class Pipeline:
             # same block-level voice passes as process_block: batched
             # device channel decode + concurrent per-carrier synthesis
             self._prepare_voice_batch(frames)
-            self._synth_voice_parallel(frames)
+            self._synth_voice(frames)
             for f in frames:
                 ci = f["carrier"]
                 f["carrier_offset_hz"] = float(self.bank.freqs_hz[ci])

@@ -87,6 +87,16 @@ def init_state(batch: int) -> SpeechState:
     )
 
 
+def reset_rows(state: SpeechState, mask) -> SpeechState:
+    """Reset the masked rows to the fresh-decoder state (slot reuse in
+    jspeech_pool.DeviceSpeechPool).  mask: (B,) bool."""
+    init = init_state(mask.shape[0])
+    return jax.tree_util.tree_map(
+        lambda i, s: jnp.where(
+            mask.reshape(mask.shape + (1,) * (s.ndim - 1)), i, s),
+        init, state)
+
+
 # ---- transcendentals ----------------------------------------------------
 
 def _log2(L_x):
