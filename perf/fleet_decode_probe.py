@@ -44,7 +44,10 @@ def main():
     n_blocks = int(os.environ.get("PERF_BLOCKS", "6"))
     mode = os.environ.get("PERF_MODE", "both")
     soft = os.environ.get("PERF_SOFT") == "1"
-    fs = 25_000.0 * c
+    # same wideband fs family as bench.py: 72 kHz * 2^m >= 25 kHz * C
+    # (channelizer.choose_decim rejects anything else)
+    import math
+    fs = 72_000.0 * 2 ** math.ceil(math.log2(25_000.0 * c / 72_000.0))
     rng = np.random.default_rng(0)
 
     bank = CarrierBankDemod(fs=fs, freqs_hz=[0.0] * c, frontend="fft")

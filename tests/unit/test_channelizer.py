@@ -178,6 +178,55 @@ def test_band_synth_batched_matches_per_carrier(monkeypatch):
                                        rtol=1e-5, atol=1e-4)
 
 
+def test_band_synth_s_major_matches_default_layout():
+    """s_major (the (C, 2, P, 128) lane-padding-free layout for small
+    P) returns exactly the transposed band series of the default
+    layout, for both kernel bodies and with/without the fused phasor.
+    (The segmented frontends rely on this: the default layout pads
+    P=8 lanes 16x in HBM and OOMs at fleet scale.)"""
+    import jax.numpy as jnp
+    from tetraear_tpu.dsp import pallas_kernels as pk
+    rng = np.random.default_rng(11)
+    p, C, rows = 8, 16, 40
+    n_band = 128 * p
+    planes = rng.standard_normal((2, rows, 128)).astype(np.float32)
+    h1 = rng.standard_normal((2, 4, p, 128)).astype(np.float32)
+    starts = rng.integers(0, rows - p, C).astype(np.int32)
+    dsh = rng.integers(0, 4, C).astype(np.int32)
+    rv = np.arange(p)
+    m1 = np.exp(2j * np.pi * np.outer(rv, rv) / p)
+    m1c = np.block([[m1.real, m1.imag],
+                    [-m1.imag, m1.real]]).astype(np.float32)
+    lv = np.arange(128)
+    m2 = np.exp(2j * np.pi * np.outer(lv, lv) / 128)
+    tw = np.exp(2j * np.pi * np.outer(lv, rv) / n_band) / n_band
+    args = (jnp.asarray(planes), jnp.asarray(h1), jnp.asarray(starts),
+            jnp.asarray(dsh), jnp.asarray(m1c),
+            jnp.asarray(m2.real.astype(np.float32)),
+            jnp.asarray(m2.imag.astype(np.float32)),
+            jnp.asarray(tw.real.astype(np.float32)),
+            jnp.asarray(tw.imag.astype(np.float32)))
+    for batched in (False, True):
+        for drop in (None, 8):
+            ref = pk.band_synth(*args, rows_per_band=p, group=8,
+                                interpret=True, phasor_drop=drop,
+                                batched=batched)
+            got = pk.band_synth(*args, rows_per_band=p, group=8,
+                                interpret=True, phasor_drop=drop,
+                                batched=batched, s_major=True)
+            if drop is None:
+                ref, got = (ref,), (got,)
+            assert got[0].shape == (C, 2, p, 128)
+            # same contraction set, operands swapped: f32 rounding only
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(got[0]), (0, 1, 3, 2)),
+                np.asarray(ref[0]), rtol=2e-5, atol=2e-6)
+            if drop is not None:
+                np.testing.assert_allclose(np.asarray(got[1]),
+                                           np.asarray(ref[1]),
+                                           rtol=1e-5, atol=1e-3)
+
+
 def test_fft_frontend_validates_block():
     with pytest.raises(ValueError):
         CarrierBankDemod(fs=2.4e6, freqs_hz=[0.0], block_len=12_345,

@@ -204,11 +204,14 @@ class FusedRx:
             jnp.asarray(ch.m1c), jnp.asarray(ch.m2re),
             jnp.asarray(ch.m2im), jnp.asarray(ch.twre),
             jnp.asarray(ch.twim), ch.synth_rows,
-            interpret=interp, phasor_drop=ch.drop)
-        # (C*S, 2, 128, P_s): k = P_s*t + s, so the (128, P_s)
-        # row-major flatten is time order within each segment
-        yt = jax.lax.complex(y[:, 0], y[:, 1]).reshape(
-            c, s_n, ch.n_band)
+            interpret=interp, phasor_drop=ch.drop, s_major=True)
+        # s_major: (C*S, 2, P_s, 128) — transpose to (128 t, P_s s)
+        # whose row-major flatten is time order k = P_s*t + s within
+        # each segment.  (The (..., 128, P_s) layout pads its lane dim
+        # P_s=8 -> 128 in HBM: a 16x blowup that OOMs at C=10240.)
+        yt = jnp.transpose(
+            jax.lax.complex(y[:, 0], y[:, 1]),
+            (0, 2, 1)).reshape(c, s_n, ch.n_band)
         val = yt[:, :, ch.drop:ch.drop + ch.n_out_seg]
         if ch.quantized:
             val = val * jnp.asarray(ch.ramp)[jnp.asarray(

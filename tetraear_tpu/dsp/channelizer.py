@@ -553,11 +553,15 @@ class FFTChannelizer:
                 jnp.asarray(self.m1c), jnp.asarray(self.m2re),
                 jnp.asarray(self.m2im), jnp.asarray(self.twre),
                 jnp.asarray(self.twim), self.synth_rows,
-                interpret=jax.default_backend() != "tpu")
-            # (C*S, 2, 128, P): k = P*t + s_col, so the (128, P)
-            # row-major flatten IS time order
-            y = jax.lax.complex(got[:, 0], got[:, 1]).reshape(
-                c, s_n, self.n_band)
+                interpret=jax.default_backend() != "tpu",
+                s_major=True)
+            # s_major: (C*S, 2, P, 128) — transpose to (128 t, P s)
+            # whose row-major flatten is time order k = P*t + s_col.
+            # (The padded (..., 128, P) layout OOMs HBM at fleet scale:
+            # lane dim P=8 pads 16x.)
+            y = jnp.transpose(
+                jax.lax.complex(got[:, 0], got[:, 1]),
+                (0, 2, 1)).reshape(c, s_n, self.n_band)
         elif self.aligned or self.quantized:
             rows = x_ext.reshape(-1, 128)     # segment-major row blocks
             nat = rows[jnp.asarray(self.row_idx_pseudo)]
