@@ -65,9 +65,13 @@ class PipelineConfig:
     device_voice: bool | None = None    # synthesize speech on device
                                         # (voice.jspeech_pool, bit-exact
                                         # vs the host codec); None =
-                                        # TETRAEAR_DEVICE_VOICE env.
-                                        # Opt-in until the real-chip A/B
-                                        # (perf/jspeech_probe.py) lands.
+                                        # TETRAEAR_DEVICE_VOICE env if
+                                        # set, else ON when the backend
+                                        # is a TPU (real-chip A/B:
+                                        # ~284k realtime voice carriers
+                                        # at B=4096 vs ~33k frames/s
+                                        # per host core —
+                                        # perf/jspeech_probe.py)
     device_voice_slots: int = 256       # device decoder states; carriers
                                         # beyond this LRU-evict (an
                                         # evicted carrier resyncs from a
@@ -232,9 +236,21 @@ class Pipeline:
                 max_workers=int(config.voice_threads),
                 thread_name_prefix="voice-synth")
         self._voice_device = None
-        device_voice = (os.environ.get("TETRAEAR_DEVICE_VOICE") == "1"
-                        if config.device_voice is None
-                        else bool(config.device_voice))
+        device_voice = config.device_voice
+        if device_voice is None:
+            env = os.environ.get("TETRAEAR_DEVICE_VOICE")
+            if env is not None:
+                device_voice = env == "1"
+            else:
+                # default ON on a real TPU: the chip A/B measured ~284k
+                # realtime voice carriers at B=4096 vs ~33k frames/s
+                # per host core (perf/jspeech_probe.py, audio bit-exact)
+                # — host synthesis cannot keep up with a fleet.  On the
+                # CPU backend the host codec path stays the default.
+                import jax
+                device_voice = jax.default_backend() == "tpu"
+        else:
+            device_voice = bool(device_voice)
         if self.voice is not None and device_voice:
             from tetraear_tpu.voice.jspeech_pool import DeviceSpeechPool
             self._voice_device = DeviceSpeechPool(
