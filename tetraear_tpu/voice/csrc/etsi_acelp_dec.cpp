@@ -490,7 +490,10 @@ struct EtsiDecoder {
       a += 11;
     }
 
-    for (int i = 0; i <= 157; i++) old_exc[i] = old_exc[i + L_FRAME];
+    /* Keep the full EXC_OFF-word history: exc[-1] must be the previous
+     * frame's last excitation sample (a hardcoded 158-word copy went
+     * stale when EXC_OFF grew to 159 for the x[i-16] guard word). */
+    for (int i = 0; i < EXC_OFF; i++) old_exc[i] = old_exc[i + L_FRAME];
     old_t0 = t0;
   }
 };

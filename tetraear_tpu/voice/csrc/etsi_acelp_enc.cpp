@@ -637,7 +637,9 @@ struct EtsiEncoder {
       a += 11;
     }
 
-    for (int i = 0; i <= 157; i++) old_exc[i] = old_exc[i + kFrameLen];
+    /* Full kExcOff-word shift — exc[-1] must be last frame's final
+     * excitation sample (see the matching fix in etsi_acelp_dec.cpp). */
+    for (int i = 0; i < kExcOff; i++) old_exc[i] = old_exc[i + kFrameLen];
   }
 };
 

@@ -23,7 +23,7 @@ over-allocation for the t0=143/frac=+1 corner, are reproduced here;
 see that file's comments for the reference citations):
   * state is a pytree of int32 arrays, batch-major;
   * the excitation buffer keeps the C layout: 159 history words +
-    240 frame + 60 scratch, shifted by 158 words per frame;
+    240 frame + 60 scratch, shifted by EXC_OFF words per frame;
   * parameter validity is guaranteed by construction (any 137-bit
     pattern maps to in-range codebook indices), so gathers never need
     clamping for correctness — indices are masked only where a BFI
@@ -508,7 +508,10 @@ def decode_frame(state: SpeechState, prm):
         parts.append(y)
 
     synth = jnp.concatenate(parts, axis=1)
-    buf = buf.at[:, 0:158].set(buf[:, L_FRAME:L_FRAME + 158])
+    # Full EXC_OFF-word history shift: buf[EXC_OFF-1] == exc[-1] must be
+    # this frame's last excitation sample (a 158-word shift left it one
+    # frame stale — matching C++ fix in etsi_acelp_dec.cpp decode()).
+    buf = buf.at[:, 0:EXC_OFF].set(buf[:, L_FRAME:L_FRAME + EXC_OFF])
 
     new_state = SpeechState(
         old_exc=buf, lspold=lspold, lspnew=lspnew, mem_syn=mem_syn,
