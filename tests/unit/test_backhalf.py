@@ -151,51 +151,3 @@ def test_fused_rejects_unsupported_configs():
         backhalf.FusedRx(conv)
 
 
-def test_fused_segmented_matches_classic(capture, monkeypatch):
-    """TETRAEAR_FFTSEG: the segmented fused path (batched (S, nfft/S)
-    FFT + pseudo-carrier band_synth + one compaction pass) produces
-    bit-identical scan verdicts and bit tails to the classic chain
-    running on the same segmented bank."""
-    from tetraear_tpu.dsp import kernels
-
-    monkeypatch.setenv("TETRAEAR_FFTSEG", "4")
-    bank = CarrierBankDemod(fs=FS, freqs_hz=OFFSETS, frontend="fft")
-    ch = bank.channelizer
-    assert ch.segments == 4
-
-    fused = backhalf.FusedRx(bank)
-    assert fused.p % 4 == 0 and fused.drop % 4 == 0 and fused.drop >= 8
-    assert 128 * fused.p == fused.drop + ch.n_out
-
-    fstate = fused.init_state()
-    cstate = bank.init_state()
-    tailbits = jnp.zeros((len(OFFSETS), backhalf.TAILBITS), jnp.uint8)
-    for blk in range(3):
-        x = capture[blk * bank.block_len:(blk + 1) * bank.block_len]
-        x_r = jnp.asarray(kernels.c2r_np(x))
-        scan_c, cstate2, tail2, n_c = backhalf.classic_step_scan(
-            bank, x_r, cstate, tailbits)
-        out_f, fstate2 = fused.step(x_r, fstate)
-        np.testing.assert_array_equal(
-            np.asarray(out_f["crc_err"]), np.asarray(scan_c["crc_err"]),
-            err_msg=f"crc_err differs at block {blk}")
-        np.testing.assert_allclose(
-            np.asarray(out_f["corr"]), np.asarray(scan_c["corr"]),
-            atol=1e-6, err_msg=f"corr differs at block {blk}")
-        np.testing.assert_array_equal(np.asarray(out_f["n_valid"]),
-                                      np.asarray(n_c))
-        bt_rows = np.asarray(fstate2["bit_tail"]).reshape(
-            len(OFFSETS), -1)[:, :backhalf.TAILBITS]
-        np.testing.assert_array_equal(
-            bt_rows.astype(np.uint8), np.asarray(tail2),
-            err_msg=f"bit tail differs at block {blk}")
-        tc, tf = cstate2["timing"], fstate2["bank"]["timing"]
-        np.testing.assert_allclose(np.asarray(tf["next_t"]),
-                                   np.asarray(tc["next_t"]), atol=1e-3)
-        np.testing.assert_allclose(np.asarray(tf["acc"]),
-                                   np.asarray(tc["acc"]),
-                                   rtol=1e-4, atol=1e-5)
-        cstate, tailbits, fstate = cstate2, tail2, fstate2
-
-    hits = np.asarray(out_f["corr"]) >= 0.90
-    assert hits.sum() > 0, "no sync hits in golden capture"

@@ -178,55 +178,6 @@ def test_band_synth_batched_matches_per_carrier(monkeypatch):
                                        rtol=1e-5, atol=1e-4)
 
 
-def test_band_synth_s_major_matches_default_layout():
-    """s_major (the (C, 2, P, 128) lane-padding-free layout for small
-    P) returns exactly the transposed band series of the default
-    layout, for both kernel bodies and with/without the fused phasor.
-    (The segmented frontends rely on this: the default layout pads
-    P=8 lanes 16x in HBM and OOMs at fleet scale.)"""
-    import jax.numpy as jnp
-    from tetraear_tpu.dsp import pallas_kernels as pk
-    rng = np.random.default_rng(11)
-    p, C, rows = 8, 16, 40
-    n_band = 128 * p
-    planes = rng.standard_normal((2, rows, 128)).astype(np.float32)
-    h1 = rng.standard_normal((2, 4, p, 128)).astype(np.float32)
-    starts = rng.integers(0, rows - p, C).astype(np.int32)
-    dsh = rng.integers(0, 4, C).astype(np.int32)
-    rv = np.arange(p)
-    m1 = np.exp(2j * np.pi * np.outer(rv, rv) / p)
-    m1c = np.block([[m1.real, m1.imag],
-                    [-m1.imag, m1.real]]).astype(np.float32)
-    lv = np.arange(128)
-    m2 = np.exp(2j * np.pi * np.outer(lv, lv) / 128)
-    tw = np.exp(2j * np.pi * np.outer(lv, rv) / n_band) / n_band
-    args = (jnp.asarray(planes), jnp.asarray(h1), jnp.asarray(starts),
-            jnp.asarray(dsh), jnp.asarray(m1c),
-            jnp.asarray(m2.real.astype(np.float32)),
-            jnp.asarray(m2.imag.astype(np.float32)),
-            jnp.asarray(tw.real.astype(np.float32)),
-            jnp.asarray(tw.imag.astype(np.float32)))
-    for batched in (False, True):
-        for drop in (None, 8):
-            ref = pk.band_synth(*args, rows_per_band=p, group=8,
-                                interpret=True, phasor_drop=drop,
-                                batched=batched)
-            got = pk.band_synth(*args, rows_per_band=p, group=8,
-                                interpret=True, phasor_drop=drop,
-                                batched=batched, s_major=True)
-            if drop is None:
-                ref, got = (ref,), (got,)
-            assert got[0].shape == (C, 2, p, 128)
-            # same contraction set, operands swapped: f32 rounding only
-            np.testing.assert_allclose(
-                np.transpose(np.asarray(got[0]), (0, 1, 3, 2)),
-                np.asarray(ref[0]), rtol=2e-5, atol=2e-6)
-            if drop is not None:
-                np.testing.assert_allclose(np.asarray(got[1]),
-                                           np.asarray(ref[1]),
-                                           rtol=1e-5, atol=1e-3)
-
-
 def test_fft_frontend_validates_block():
     with pytest.raises(ValueError):
         CarrierBankDemod(fs=2.4e6, freqs_hz=[0.0], block_len=12_345,
@@ -414,81 +365,3 @@ def test_sixstep_wideband_fft_matches_fft(monkeypatch):
     assert rel < 1e-5, rel
 
 
-# -- segmented overlap-save (TETRAEAR_FFTSEG) ---------------------------
-
-def _run_seg_pair(fs, freqs, segments, seed):
-    """Segmented channelizer vs S sequential steps of the same-geometry
-    unsegmented channelizer: identical tables, so outputs must agree to
-    f32 rounding and the integer cycle counters must agree exactly."""
-    import jax.numpy as jnp
-    from tetraear_tpu.dsp.channelizer import FFTChannelizer
-    from tetraear_tpu.dsp import kernels
-
-    ch_s = FFTChannelizer(fs, np.asarray(freqs), segments=segments,
-                          back_granularity=4)
-    ch_r = FFTChannelizer(fs, np.asarray(freqs), segments=1,
-                          nfft=ch_s.nfft, back_granularity=4)
-    assert ch_r.seg_block == ch_s.seg_block
-    assert ch_s.block_len == segments * ch_r.block_len
-    assert ch_s.n_out == segments * ch_r.n_out
-
-    rng = np.random.default_rng(seed)
-    st_s = ch_s.init_state()
-    st_r = ch_r.init_state()
-    for _ in range(2):                   # 2 blocks: continuity too
-        x = (rng.standard_normal(ch_s.block_len)
-             + 1j * rng.standard_normal(ch_s.block_len)).astype(
-                 np.complex64)
-        got, st_s = ch_s.step(jnp.asarray(x), st_s)
-        outs = []
-        for i in range(segments):
-            seg = x[i * ch_r.block_len:(i + 1) * ch_r.block_len]
-            y, st_r = ch_r.step(jnp.asarray(seg), st_r)
-            outs.append(np.asarray(y))
-        want = np.concatenate(outs, axis=1)
-        err = np.max(np.abs(np.asarray(got) - want))
-        scale = max(np.max(np.abs(want)), 1e-30)
-        assert err / scale < 1e-4, err / scale
-        np.testing.assert_array_equal(np.asarray(st_s["cycles"]),
-                                      np.asarray(st_r["cycles"]))
-        np.testing.assert_array_equal(np.asarray(st_s["tail"]),
-                                      np.asarray(st_r["tail"]))
-
-
-@pytest.mark.unit
-def test_segmented_equals_sequential_quantized():
-    """72 kHz-family fs (quantized rolled-H1 extraction, Pallas band
-    synthesis active): the batched 4-segment step == 4 plain steps."""
-    _run_seg_pair(9.216e6, [-2_487_500.0, 12_500.0, 1_512_500.0],
-                  segments=4, seed=10)
-
-
-@pytest.mark.unit
-def test_segmented_equals_sequential_aligned():
-    """128-lane-aligned band starts (10.24 MHz family)."""
-    _run_seg_pair(10.24e6, [-1_200_000.0, 25_000.0], segments=4,
-                  seed=11)
-
-
-@pytest.mark.unit
-def test_segmented_bank_decodes(monkeypatch):
-    """Full CarrierBankDemod decode through the segmented frontend:
-    symbol decisions on a golden carrier are exact across the block
-    (and therefore across internal segment boundaries)."""
-    monkeypatch.setenv("TETRAEAR_FFTSEG", "4")
-    rng = np.random.default_rng(12)
-    bits = rng.integers(0, 2, 16_000).astype(np.uint8)
-    iq = modulator.generate_carrier(bits, fs=9.216e6,
-                                    freq_offset_hz=137_500.0,
-                                    snr_db=25,
-                                    rng=np.random.default_rng(13))
-    bank = CarrierBankDemod(fs=9.216e6, freqs_hz=[137_500.0],
-                            frontend="fft")
-    ch = bank.channelizer
-    assert ch.segments == 4 and ch.block_len == 4 * ch.seg_block
-    assert len(iq) > 2 * bank.block_len
-    out = bank.run(iq)
-    tx = modulator.bits_to_symbols(bits)
-    n_blk_syms = bank.block_len // ch.decim // 4
-    assert _best(out["symbols"][0],
-                 tx[100:min(n_blk_syms + 2000, len(tx))]) == 1.0

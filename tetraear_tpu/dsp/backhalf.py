@@ -78,38 +78,16 @@ class FusedRx:
         self.k_max = bank.k_max
         self.n_out = ch.n_out
         c = bank.n_carriers
-        if ch.segments > 1:
-            # segmented frontend: chan_raw synthesizes C*S pseudo-
-            # carrier segments, applies ramp/sign/rotation during the
-            # compaction pass, and presents the kernel a front-padded
-            # (C, 2, 128, P) layout where drop = the zero pad.  The
-            # per-segment O&M phasors sum exactly to the block phasor
-            # because n_out_seg % 4 == 0 and drop % 4 == 0.
-            if ch.drop % 4:
-                raise ValueError(f"segmented fused back half needs the "
-                                 f"per-segment drop % 4 == 0 "
-                                 f"(drop={ch.drop})")
-            if (ch.n_band // 128) % 4:
-                raise ValueError("segmented fused back half needs the "
-                                 "per-segment P % 4 == 0 for the "
-                                 "phasor fusion")
-            self.p = -(-(self.n_out + 8) // 512) * 4  # 128*P>=n_out+8
-            self.drop = 128 * self.p - self.n_out     # front zero pad
-        else:
-            self.p = ch.n_band // 128
-            self.drop = ch.drop
+        self.p = ch.n_band // 128
+        self.drop = ch.drop
         self.sy = self.p // 4
 
         # factored phase-ramp tables from exact integer modular phases:
         # sample k carries exp(-2i pi (d*decim*k mod nfft) / nfft) and
         # the (-1)^k natural-order sign; k = P*t + s factors the table
         # into a row part (t) and a lane part (s, sign folded — P even).
-        # Segmented frontend: ramp/sign/rotation already applied in
-        # chan_raw's compaction — identity tables here (m_int = 0, no
-        # sign).
         d = (np.asarray(ch.d_shift, np.int64)
-             if ch.quantized and ch.segments == 1
-             else np.zeros(c, np.int64))
+             if ch.quantized else np.zeros(c, np.int64))
         m_int = (d * ch.decim) % ch.nfft
         t_idx = np.arange(128, dtype=np.int64)
         k_row = (m_int[:, None] * (self.p * t_idx)[None, :]) % ch.nfft
@@ -117,8 +95,7 @@ class FusedRx:
             np.complex64)                                   # (C, 128)
         s_idx = np.arange(self.p, dtype=np.int64)
         k_lane = (m_int[:, None] * s_idx[None, :]) % ch.nfft
-        lane_sign = (np.ones(self.p) if ch.segments > 1
-                     else (-1.0) ** s_idx)
+        lane_sign = (-1.0) ** s_idx
         rc = np.exp(-2j * np.pi * k_lane / ch.nfft) * lane_sign[None, :]
         self._rc_planes = np.stack([rc.real, rc.imag], axis=1).astype(
             np.float32).reshape(c, 2, 1, self.p)            # (C,2,1,P)
@@ -147,8 +124,6 @@ class FusedRx:
         x = kernels.r2c(x_r)
         tail = kernels.r2c(cstate["tail"])
         xx = jnp.concatenate([tail, x])
-        if ch.segments > 1:
-            return self._chan_raw_segmented(xx, cstate)
         import os
         if (os.environ.get("TETRAEAR_PALLAS_XPOSE", "") == "1"
                 and ch.fft4):
@@ -179,63 +154,6 @@ class FusedRx:
                               + jnp.asarray(ch.cycle_step), nfft_f),
         }
         return y, ph, rot, new_cstate
-
-    def _chan_raw_segmented(self, xx: jnp.ndarray, cstate: dict) -> tuple:
-        """Segmented frontend for chan_raw: batched (S, nfft) FFT, one
-        band_synth pass over C*S pseudo-carriers, then ONE compaction
-        pass that slices each segment's valid samples, applies the
-        per-segment ramp/sign/rotation (so the kernel's rr/rc tables
-        are identity), and front-pads to the kernel's (C, 2, 128, P)
-        layout.  Per-segment phasors sum exactly to the block phasor
-        (drop % 4 == 0, n_out_seg % 4 == 0)."""
-        ch = self.ch
-        interp = jax.default_backend() != "tpu"
-        c = self.bank.n_carriers
-        s_n = ch.segments
-        segs = ch._segment_windows(xx)
-        X = jnp.fft.fft(segs, axis=1)
-        x_ext = jnp.concatenate([X, X[:, :ch.n_band]], axis=1)
-        planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
-        planes = planes.reshape(2, -1, 128)
-        y, ph = pk.band_synth(
-            planes, jnp.asarray(ch.h1_planes),
-            jnp.asarray(ch.row_start_pseudo),
-            jnp.asarray(ch.d_shift_pseudo),
-            jnp.asarray(ch.m1c), jnp.asarray(ch.m2re),
-            jnp.asarray(ch.m2im), jnp.asarray(ch.twre),
-            jnp.asarray(ch.twim), ch.synth_rows,
-            interpret=interp, phasor_drop=ch.drop, s_major=True)
-        # s_major: (C*S, 2, P_s, 128) — transpose to (128 t, P_s s)
-        # whose row-major flatten is time order k = P_s*t + s within
-        # each segment.  (The (..., 128, P_s) layout pads its lane dim
-        # P_s=8 -> 128 in HBM: a 16x blowup that OOMs at C=10240.)
-        yt = jnp.transpose(
-            jax.lax.complex(y[:, 0], y[:, 1]),
-            (0, 2, 1)).reshape(c, s_n, ch.n_band)
-        val = yt[:, :, ch.drop:ch.drop + ch.n_out_seg]
-        if ch.quantized:
-            val = val * jnp.asarray(ch.ramp)[jnp.asarray(
-                ch.d_shift)][:, None, :]
-        else:
-            val = val * jnp.asarray(ch.sign)[None, None, :]
-        nfft_f = jnp.float32(ch.nfft)
-        cyc = jnp.mod(cstate["cycles"][:, None]
-                      + jnp.asarray(ch.seg_cycles), nfft_f)
-        ang = cyc * jnp.float32(TWO_PI) / nfft_f
-        val = val * jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))[:, :, None]
-        flat = val.reshape(c, ch.n_out)
-        ybig = jnp.pad(flat, ((0, 0), (self.drop, 0)))
-        yp = ybig.reshape(c, 128, self.p)
-        y2 = jnp.stack([jnp.real(yp), jnp.imag(yp)], axis=1)
-        ph_c = ph.reshape(c, s_n, 1, 128).sum(axis=1)
-        rot = jax.lax.complex(jnp.ones((c,), jnp.float32),
-                              jnp.zeros((c,), jnp.float32))
-        new_cstate = {
-            "tail": kernels.c2r(xx[xx.shape[0] - ch.overlap:]),
-            "cycles": jnp.mod(cstate["cycles"]
-                              + jnp.asarray(ch.cycle_step), nfft_f),
-        }
-        return y2, ph_c, rot, new_cstate
 
     def step(self, x_r: jnp.ndarray, state: dict) -> tuple:
         """x_r: (N, 2) wideband block in [re, im] form.

@@ -89,32 +89,17 @@ class FFTChannelizer:
     def __init__(self, fs: float, freqs_hz: np.ndarray,
                  block_len: int | None = None,
                  back_granularity: int | None = None,
-                 fold_fir=None, segments: int | None = None,
-                 nfft: int | None = None):
+                 fold_fir=None, nfft: int | None = None):
         self.fs = float(fs)
         self.freqs_hz = np.asarray(freqs_hz, np.float64)
         self.decim = choose_decim(self.fs)
         self.nfft = choose_nfft(self.fs) if nfft is None else int(nfft)
-        # SEGMENTED overlap-save (opt-in TETRAEAR_FFTSEG=S): split the
-        # block's single nfft-point transform into S independent
-        # overlap-save windows of nfft/S, batched into ONE (S, nfft/S)
-        # FFT — mathematically identical to stepping an nfft/S
-        # channelizer S times (pinned by test_channelizer_segmented),
-        # but dispatched as one XLA batched FFT whose smaller working
-        # set the backend can tile better than the monolithic 2^25
-        # transform (perf/fft4step_probe.py fftseg8/16/32/64 measure
-        # the raw transform; the overlap overhead here is ~5% at
-        # nfft/S = 2^22).  Bin rounding coarsens to fs/(nfft/S) —
-        # still Hz-scale vs the 18 kHz symbol rate (module docstring).
-        if segments is None:
-            segments = int(os.environ.get("TETRAEAR_FFTSEG", "1") or 1)
-        self.segments = max(1, int(segments))
-        if self.segments > 1:
-            if self.nfft % self.segments:
-                raise ValueError(
-                    f"segments={self.segments} must divide nfft="
-                    f"{self.nfft}")
-            self.nfft //= self.segments
+        # (A SEGMENTED overlap-save variant — S batched (nfft/S)-point
+        # transforms instead of the monolithic one — was built and
+        # A/B'd on hardware in round 2: 6.9k vs 21.9k realtime carriers
+        # at C=10240 (perf/tpu_agenda6), a 3x regression, so it was
+        # removed.  The time-shard mesh axis (runtime/sharding.py) is
+        # the supported way to split a capture.)
         self.n_band = self.nfft // self.decim
         self.out_rate = self.fs / self.decim
 
@@ -146,18 +131,14 @@ class FFTChannelizer:
         self.overlap = overlap
         if overlap * 2 >= self.nfft:
             raise ValueError(
-                f"overlap {overlap} >= nfft/2 ({self.nfft}): too many "
-                f"segments for the filter memory at fs={fs:g}")
-        # per-segment new samples; block = all S segments' worth
-        self.seg_block = self.nfft - overlap
-        self.block_len = self.segments * self.seg_block
+                f"overlap {overlap} >= nfft/2 ({self.nfft}): filter "
+                f"memory too large for the transform at fs={fs:g}")
+        self.block_len = self.nfft - overlap
         if block_len is not None and block_len != self.block_len:
             raise ValueError(
                 f"fft frontend requires block_len={self.block_len} at "
                 f"fs={fs:g} (got {block_len})")
         self.drop = self.overlap // self.decim
-        # per-segment / total output lengths (equal when segments == 1)
-        self.n_out_seg = self.seg_block // self.decim
         self.n_out = self.block_len // self.decim
 
         bin_hz = self.fs / self.nfft
@@ -216,7 +197,7 @@ class FFTChannelizer:
             h1_roll[rel < -(nb // 2)] = 0.0                  # missing bins
             self.h1_roll = h1_roll.astype(np.complex64)
             ang = (2.0 * np.pi * d_col * self.decim
-                   * (self.drop + np.arange(self.n_out_seg))[None, :]
+                   * (self.drop + np.arange(self.n_out))[None, :]
                    / self.nfft)
             self.ramp = np.exp(-1j * ang).astype(np.complex64)
 
@@ -234,7 +215,7 @@ class FFTChannelizer:
         if self.quantized:
             self.h1_roll = np.roll(self.h1_roll, -half, axis=1)
         self.sign = np.where(
-            (self.drop + np.arange(self.n_out_seg)) % 2 == 0,
+            (self.drop + np.arange(self.n_out)) % 2 == 0,
             np.float32(1.0), np.float32(-1.0))
         if self.quantized:
             # fold the sign into the ramp table (one fewer multiply);
@@ -270,7 +251,7 @@ class FFTChannelizer:
         # re/im-plane layout; hardware-validated).  Off by default: the
         # XLA row gather compiles to near-identical DMAs, and keeping the
         # default graph unchanged preserves the persistent compile cache.
-        self.use_pallas = (self.aligned and self.segments == 1
+        self.use_pallas = (self.aligned
                            and os.environ.get("TETRAEAR_PALLAS_EXTRACT")
                            == "1"
                            and self.n_band % 1024 == 0)
@@ -322,7 +303,7 @@ class FFTChannelizer:
         # the request body), so it is FACTORED: with i1 = i1a + 64*i1b,
         # w^{k2 i1} = A[k2, i1a] * B[k2, i1b] — two tables of a few MB
         # that broadcast-multiply in the same fused pass.
-        self.fft4 = self.segments == 1 and self.nfft >= (1 << 20)
+        self.fft4 = self.nfft >= (1 << 20)
         if self.fft4:
             lg = int(np.log2(self.nfft))
             n1 = 1 << ((lg + 1) // 2)
@@ -341,33 +322,6 @@ class FFTChannelizer:
         self.cycle_step = ((self.k_c % self.nfft)
                            * (self.block_len % self.nfft)
                            % self.nfft).astype(np.float32)
-
-        if self.segments > 1:
-            # per-(carrier, segment) phase offset within a block:
-            # (k_c * s * seg_block) mod nfft, exact in int64 then
-            # carried as float32 (< nfft <= 2^22; sums with the
-            # cycle counter stay < 2^23, i.e. float32-exact)
-            s = np.arange(self.segments, dtype=np.int64)
-            self.seg_cycles = (
-                (self.k_c[:, None] % self.nfft)
-                * ((s[None, :] * self.seg_block) % self.nfft)
-                % self.nfft).astype(np.float32)          # (C, S)
-            # pseudo-carrier tables (p = c*S + s) for the row-gather /
-            # Pallas paths: segment s's wrap-extended spectrum occupies
-            # rows [s*rows_ext, (s+1)*rows_ext) of the stacked planes
-            if self.aligned or self.quantized:
-                rows_ext = (self.nfft + self.n_band) // 128
-                s_off = (np.arange(self.segments, dtype=np.int64)
-                         * rows_ext).astype(np.int32)
-                self.row_idx_pseudo = (
-                    self.row_idx[:, None, :] + s_off[None, :, None]
-                ).reshape(-1, self.row_idx.shape[1])  # (C*S, nb/128)
-            if self.use_pallas_synth:
-                self.row_start_pseudo = (
-                    self.row_start[:, None] + s_off[None, :]
-                ).reshape(-1).astype(np.int32)           # (C*S,)
-                self.d_shift_pseudo = np.repeat(
-                    self.d_shift, self.segments).astype(np.int32)
 
     def init_state(self) -> dict:
         return {
@@ -436,14 +390,6 @@ class FFTChannelizer:
         y = jnp.einsum("tl,cls->cts", jnp.asarray(self._m2), u)
         return y.reshape(c, self.n_band)
 
-    def _segment_windows(self, xx: jnp.ndarray) -> jnp.ndarray:
-        """(overlap + S*seg_block,) -> (S, nfft) overlap-save windows
-        (static strided slices; S is small)."""
-        return jnp.stack([
-            jax.lax.slice_in_dim(xx, i * self.seg_block,
-                                 i * self.seg_block + self.nfft)
-            for i in range(self.segments)])
-
     def step(self, x: jnp.ndarray, state: dict) -> tuple:
         """x: (block_len,) complex64 new wideband samples.
 
@@ -451,8 +397,6 @@ class FFTChannelizer:
         new_state)."""
         from tetraear_tpu.dsp import kernels
 
-        if self.segments > 1:
-            return self._step_segmented(x, state)
         tail = kernels.r2c(state["tail"])
         xx = jnp.concatenate([tail, x])               # (nfft,)
         X = self._wideband_fft(xx)
@@ -519,96 +463,6 @@ class FFTChannelizer:
         y = y * rot[:, None]
         new_cycles = jnp.mod(state["cycles"] + jnp.asarray(self.cycle_step),
                              nfft_f)
-        new_state = {
-            "tail": kernels.c2r(xx[xx.shape[0] - self.overlap:]),
-            "cycles": new_cycles,
-        }
-        return y.astype(jnp.complex64), new_state
-
-    # -- segmented overlap-save (TETRAEAR_FFTSEG) ----------------------
-
-    def _step_segmented(self, x: jnp.ndarray, state: dict) -> tuple:
-        """Segmented block step: identical math to stepping this
-        channelizer S times on seg_block-sized inputs (pinned by
-        tests/unit/test_channelizer.py::test_segmented_*), but the S
-        forward transforms run as ONE batched (S, nfft) FFT and the
-        band back end sees C*S pseudo-carriers in one pass."""
-        from tetraear_tpu.dsp import kernels
-
-        tail = kernels.r2c(state["tail"])
-        xx = jnp.concatenate([tail, x])       # (overlap + S*seg_block,)
-        segs = self._segment_windows(xx)                  # (S, nfft)
-        X = jnp.fft.fft(segs, axis=1)
-        x_ext = jnp.concatenate([X, X[:, :self.n_band]], axis=1)
-        c = len(self.k_c)
-        s_n = self.segments
-        if self.use_pallas_synth:
-            from tetraear_tpu.dsp import pallas_kernels as pk
-            planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
-            planes = planes.reshape(2, -1, 128)
-            got = pk.band_synth(
-                planes, jnp.asarray(self.h1_planes),
-                jnp.asarray(self.row_start_pseudo),
-                jnp.asarray(self.d_shift_pseudo),
-                jnp.asarray(self.m1c), jnp.asarray(self.m2re),
-                jnp.asarray(self.m2im), jnp.asarray(self.twre),
-                jnp.asarray(self.twim), self.synth_rows,
-                interpret=jax.default_backend() != "tpu",
-                s_major=True)
-            # s_major: (C*S, 2, P, 128) — transpose to (128 t, P s)
-            # whose row-major flatten is time order k = P*t + s_col.
-            # (The padded (..., 128, P) layout OOMs HBM at fleet scale:
-            # lane dim P=8 pads 16x.)
-            y = jnp.transpose(
-                jax.lax.complex(got[:, 0], got[:, 1]),
-                (0, 2, 1)).reshape(c, s_n, self.n_band)
-        elif self.aligned or self.quantized:
-            rows = x_ext.reshape(-1, 128)     # segment-major row blocks
-            nat = rows[jnp.asarray(self.row_idx_pseudo)]
-            nat = nat.reshape(c, s_n, self.n_band)
-            if self.quantized:
-                band = nat * jnp.asarray(self.h1_roll)[jnp.asarray(
-                    self.d_shift)][:, None, :]
-            else:
-                band = nat * jnp.asarray(self.h1_band)[None, None, :]
-            y = self._synth(band.reshape(c * s_n, self.n_band)).reshape(
-                c, s_n, self.n_band)
-        else:
-            idx = (jnp.asarray(self.band_start)[:, None]
-                   + jnp.arange(self.n_band, dtype=jnp.int32)[None, :])
-            nat = x_ext[:, idx]                       # (S, C, n_band)
-            band = nat * jnp.asarray(self.h1_band)[None, None, :]
-            y = self._synth(band.reshape(s_n * c, self.n_band)).reshape(
-                s_n, c, self.n_band).transpose(1, 0, 2)
-        return self._finish_segmented(y, state, xx)
-
-    def _finish_segmented(self, y: jnp.ndarray, state: dict,
-                          xx: jnp.ndarray):
-        """Per-segment tail of _step_segmented: y (C, S, n_band) ->
-        ((C, n_out) complex64, new state).  Mirrors _finish with the
-        per-segment phase offsets added to the cycle counters."""
-        from tetraear_tpu.dsp import kernels
-        import jax
-
-        c = len(self.k_c)
-        y = y * jnp.float32(1.0 / self.decim)
-        y = y[:, :, self.drop:self.drop + self.n_out_seg]
-        if self.quantized:
-            y = y * jnp.asarray(self.ramp)[jnp.asarray(
-                self.d_shift)][:, None, :]
-        else:
-            y = y * jnp.asarray(self.sign)[None, None, :]
-
-        # exact per-(carrier, segment) cycle counts (< 2^23: f32-exact)
-        nfft_f = jnp.float32(self.nfft)
-        cyc = jnp.mod(state["cycles"][:, None]
-                      + jnp.asarray(self.seg_cycles), nfft_f)  # (C, S)
-        ang = cyc * jnp.float32(2.0 * np.pi) / nfft_f
-        rot = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
-        y = y * rot[:, :, None]
-        y = y.reshape(c, self.n_out)
-        new_cycles = jnp.mod(state["cycles"]
-                             + jnp.asarray(self.cycle_step), nfft_f)
         new_state = {
             "tail": kernels.c2r(xx[xx.shape[0] - self.overlap:]),
             "cycles": new_cycles,

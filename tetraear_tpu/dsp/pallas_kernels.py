@@ -215,7 +215,7 @@ def band_extract_rows(x_planes: jnp.ndarray, row_starts: jnp.ndarray,
 def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
                      m1c_ref, m2re_ref, m2im_ref, twre_ref, twim_ref,
                      out_ref, ph_ref, nat_scr, h1_scr, sem_n, sem_h,
-                     phasor_drop, s_major=False):
+                     phasor_drop):
     i = pl.program_id(0)
     g_count = out_ref.shape[0]
     p = nat_scr.shape[2]
@@ -256,35 +256,14 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
         uim = tre * twim + tim * twre
         u2 = jnp.concatenate([ure, uim], axis=1)     # (128, 2P)
         u2s = jnp.concatenate([-uim, ure], axis=1)
-        if s_major:
-            # lane-padding-free output layout for small P (segmented
-            # frontends: P = n_band_seg/128 can be ~8, and a (..., 128,
-            # P) array pads its lane dim P -> 128, a 16x HBM blowup at
-            # fleet scale).  m2 is SYMMETRIC (m2[t, l] = m2[l, t]), so
-            # contracting u's l-sublanes against m2's sublanes emits the
-            # TRANSPOSED result (P s, 128 t) directly — same per-element
-            # contraction set, no in-kernel transpose.
-            y2t = (jax.lax.dot_general(
-                u2, m2re_ref[:],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    u2s, m2im_ref[:],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))  # (2P s, 128 t)
-            yre = y2t[:p]
-            yim = y2t[p:]
-            out_ref[g, 0] = yre                      # Y_re (P s, 128 t)
-            out_ref[g, 1] = yim
-        else:
-            y2 = (jnp.dot(m2re_ref[:], u2,
-                          preferred_element_type=jnp.float32)
-                  + jnp.dot(m2im_ref[:], u2s,
-                            preferred_element_type=jnp.float32))
-            yre = y2[:, :p]
-            yim = y2[:, p:]
-            out_ref[g, 0] = yre                      # Y_re (128 t, P s)
-            out_ref[g, 1] = yim
+        y2 = (jnp.dot(m2re_ref[:], u2,
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(m2im_ref[:], u2s,
+                        preferred_element_type=jnp.float32))
+        yre = y2[:, :p]
+        yim = y2[:, p:]
+        out_ref[g, 0] = yre                          # Y_re (128 t, P s)
+        out_ref[g, 1] = yim
         if ph_ref is not None:
             # Oerder-Meyr timing phasor of the post-slice block, fused
             # into the synthesis pass (dsp.timing._om_phasor semantics):
@@ -294,12 +273,9 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
             # is ramp/rotation-invariant, so the RAW synthesis output
             # gives the same angle as the corrected stream (the caller
             # applies the 1/decim^2 power scale — a pow2, exact).
-            pw = yre * yre + yim * yim       # (128 t, P s) / transposed
-            sh = (p, 128) if s_major else (128, p)
-            tt = jax.lax.broadcasted_iota(jnp.int32, sh,
-                                          1 if s_major else 0)
-            ss = jax.lax.broadcasted_iota(jnp.int32, sh,
-                                          0 if s_major else 1)
+            pw = yre * yre + yim * yim               # (128 t, P s)
+            tt = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
+            ss = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
             live = ((ss + p * tt) >= phasor_drop).astype(jnp.float32)
             s4 = ss % 4
             wre = (jnp.where(s4 == 0, 1.0, 0.0)
@@ -313,18 +289,18 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
                          + jnp.where(lane == 1, phim, 0.0))
 
 
-def _band_synth_kernel(s_major, row_ref, d_ref, planes_hbm, h1_hbm,
+def _band_synth_kernel(row_ref, d_ref, planes_hbm, h1_hbm,
                        m1c_ref, m2re_ref, m2im_ref, twre_ref, twim_ref,
                        out_ref, nat_scr, h1_scr, sem_n, sem_h):
     _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm, m1c_ref,
                      m2re_ref, m2im_ref, twre_ref, twim_ref, out_ref,
-                     None, nat_scr, h1_scr, sem_n, sem_h, 0, s_major)
+                     None, nat_scr, h1_scr, sem_n, sem_h, 0)
 
 
 def _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
                              m1c_ref, m2re_ref, m2im_ref, twre_ref,
                              twim_ref, out_ref, ph_ref, nat_scr, h1_scr,
-                             sem_n, sem_h, phasor_drop, s_major=False):
+                             sem_n, sem_h, phasor_drop):
     """Group-batched formulation of _band_synth_body.
 
     The per-carrier body issues ~6 VPU passes and three 128-wide
@@ -384,40 +360,22 @@ def _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
     # m2[t, l] = exp(2 pi j l t / 128) is SYMMETRIC, so contracting its
     # sublane dim against the intermediate's l sublanes computes the
     # same sum_l m2[t, l] u[l, s2] as the per-carrier body
-    if s_major:
-        # transposed-output layout (see _band_synth_body): contract u's
-        # l axis against m2's sublanes with u on the LEFT, which lands
-        # the result as (G, 2P s, 128 t) — no in-kernel transpose and
-        # no lane padding for small P
-        y3t = (jax.lax.dot_general(
-            u2, m2re_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                u2s, m2im_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))  # (G, 2P s, 128 t)
-        yre = y3t[:, :p, :]                           # (G, P s, 128 t)
-        yim = y3t[:, p:, :]
-    else:
-        y3 = (jax.lax.dot_general(
-            m2re_ref[:], u2, dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                m2im_ref[:], u2s,
-                dimension_numbers=(((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))  # (128 t, G, 2P)
-        yre = jnp.transpose(y3[:, :, :p], (1, 0, 2))  # (G, 128 t, P s)
-        yim = jnp.transpose(y3[:, :, p:], (1, 0, 2))
+    y3 = (jax.lax.dot_general(
+        m2re_ref[:], u2, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+            m2im_ref[:], u2s,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))      # (128 t, G, 2P)
+    yre = jnp.transpose(y3[:, :, :p], (1, 0, 2))      # (G, 128 t, P s)
+    yim = jnp.transpose(y3[:, :, p:], (1, 0, 2))
     out_ref[:, 0] = yre
     out_ref[:, 1] = yim
 
     if ph_ref is not None:
-        pw = yre * yre + yim * yim           # (G, 128 t, P s) / transp.
-        sh = (p, 128) if s_major else (128, p)
-        tt = jax.lax.broadcasted_iota(jnp.int32, sh,
-                                      1 if s_major else 0)
-        ss = jax.lax.broadcasted_iota(jnp.int32, sh,
-                                      0 if s_major else 1)
+        pw = yre * yre + yim * yim                   # (G, 128 t, P s)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
+        ss = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
         live = ((ss + p * tt) >= phasor_drop).astype(jnp.float32)
         s4 = ss % 4
         wre = (jnp.where(s4 == 0, 1.0, 0.0)
@@ -431,34 +389,33 @@ def _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
                        + jnp.where(lane == 1, phim[:, None, None], 0.0))
 
 
-def _band_synth_kernel_b(s_major, row_ref, d_ref, planes_hbm, h1_hbm,
+def _band_synth_kernel_b(row_ref, d_ref, planes_hbm, h1_hbm,
                          m1c_ref, m2re_ref, m2im_ref, twre_ref,
                          twim_ref, out_ref, nat_scr, h1_scr, sem_n,
                          sem_h):
     _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
                              m1c_ref, m2re_ref, m2im_ref, twre_ref,
                              twim_ref, out_ref, None, nat_scr, h1_scr,
-                             sem_n, sem_h, 0, s_major)
+                             sem_n, sem_h, 0)
 
 
-def _band_synth_ph_kernel_b(phasor_drop, s_major, row_ref, d_ref,
+def _band_synth_ph_kernel_b(phasor_drop, row_ref, d_ref,
                             planes_hbm, h1_hbm, m1c_ref, m2re_ref,
                             m2im_ref, twre_ref, twim_ref, out_ref,
                             ph_ref, nat_scr, h1_scr, sem_n, sem_h):
     _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
                              m1c_ref, m2re_ref, m2im_ref, twre_ref,
                              twim_ref, out_ref, ph_ref, nat_scr,
-                             h1_scr, sem_n, sem_h, phasor_drop, s_major)
+                             h1_scr, sem_n, sem_h, phasor_drop)
 
 
-def _band_synth_ph_kernel(phasor_drop, s_major, row_ref, d_ref,
+def _band_synth_ph_kernel(phasor_drop, row_ref, d_ref,
                           planes_hbm, h1_hbm, m1c_ref, m2re_ref,
                           m2im_ref, twre_ref, twim_ref, out_ref, ph_ref,
                           nat_scr, h1_scr, sem_n, sem_h):
     _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm, m1c_ref,
                      m2re_ref, m2im_ref, twre_ref, twim_ref, out_ref,
-                     ph_ref, nat_scr, h1_scr, sem_n, sem_h, phasor_drop,
-                     s_major)
+                     ph_ref, nat_scr, h1_scr, sem_n, sem_h, phasor_drop)
 
 
 def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
@@ -468,13 +425,10 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                rows_per_band: int, group: int = 8,
                interpret: bool = False,
                phasor_drop: int | None = None,
-               batched: bool | None = None,
-               s_major: bool = False):
+               batched: bool | None = None):
     """See _band_synth_impl; ``batched`` (group-dense kernel body)
     defaults from TETRAEAR_BS_BATCHED — resolved here, outside jit, so
-    the flag participates in the trace cache key.  ``s_major`` returns
-    the band series as (C, 2, P, 128) [s-major lanes], the
-    lane-padding-free layout for small P (segmented frontends)."""
+    the flag participates in the trace cache key."""
     if batched is None:
         # opt-in until the Mosaic lowering is A/B'd on the real chip
         # (interpret mode can't validate the strided DMA / batched dots)
@@ -482,13 +436,13 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
     return _band_synth_impl(planes, h1_planes, row_starts, d_shift,
                             m1c, m2re, m2im, twre, twim,
                             rows_per_band=rows_per_band, group=group,
-                            interpret=interpret, s_major=s_major,
+                            interpret=interpret,
                             phasor_drop=phasor_drop, batched=batched)
 
 
 @partial(jax.jit,
          static_argnames=("rows_per_band", "group", "interpret",
-                          "phasor_drop", "batched", "s_major"))
+                          "phasor_drop", "batched"))
 def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      row_starts: jnp.ndarray, d_shift: jnp.ndarray,
                      m1c: jnp.ndarray, m2re: jnp.ndarray,
@@ -497,8 +451,7 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      rows_per_band: int, group: int = 8,
                      interpret: bool = False,
                      phasor_drop: int | None = None,
-                     batched: bool = False,
-                     s_major: bool = False):
+                     batched: bool = False):
     """Fused band extract + H1 filter + inverse transform.
 
     Args:
@@ -522,9 +475,6 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
     Returns (C, 2, 128, P) f32 — [re, im] planes of the band time
     series y[k] at k = s + P*t, i.e. reshape (C, n_band) after complex
     assembly.  Values equal jnp.fft.ifft(band, axis=1) to f32 rounding.
-    With ``s_major`` the planes come back transposed, (C, 2, P, 128)
-    — zero lane padding for small P; the caller transposes the last
-    two dims before the time-order flatten.
 
     With ``phasor_drop`` set (the post-slice start index, a multiple of
     4; requires P % 4 == 0), also returns a (C, 1, 128) f32 array whose
@@ -537,18 +487,15 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
         group = 1
     p = rows_per_band
     with_ph = phasor_drop is not None
-    # s_major emits (C, 2, P, 128) — time in lanes — instead of
-    # (C, 2, 128, P); for small P (segmented frontends) the latter pads
-    # its lane dim P -> 128 in HBM (16x at P=8, an OOM at fleet scale)
-    y_block = (group, 2, p, 128) if s_major else (group, 2, 128, p)
-    y_shape = (c, 2, p, 128) if s_major else (c, 2, 128, p)
+    y_block = (group, 2, 128, p)
+    y_shape = (c, 2, 128, p)
     if with_ph:
         if phasor_drop % 4 or p % 4:
             raise ValueError("phasor fusion needs drop % 4 == 0 and "
                              f"P % 4 == 0 (drop={phasor_drop}, P={p})")
         kern = partial(
             _band_synth_ph_kernel_b if batched else
-            _band_synth_ph_kernel, phasor_drop, s_major)
+            _band_synth_ph_kernel, phasor_drop)
         out_specs = (
             pl.BlockSpec(y_block, lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -560,9 +507,8 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
             jax.ShapeDtypeStruct((c, 1, 128), jnp.float32),
         )
     else:
-        kern = partial(
-            _band_synth_kernel_b if batched else _band_synth_kernel,
-            s_major)
+        kern = (_band_synth_kernel_b if batched
+                else _band_synth_kernel)
         out_specs = pl.BlockSpec(y_block,
                                  lambda i, *_: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)

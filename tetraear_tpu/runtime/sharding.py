@@ -249,12 +249,10 @@ class ShardedFFTDemod:
             down *= st.down
         while (k * g * up) % (down * need) != 0:
             k += 1
-        # segments=1: the time mesh axis IS this path's segmentation
-        # (each shard transforms its own window); TETRAEAR_FFTSEG is a
-        # single-program front-end knob and must not leak in here
+        # the time mesh axis IS this path's segmentation (each shard
+        # transforms its own window)
         self.chan = chan_mod.FFTChannelizer(self.fs, self.freqs_hz,
-                                            back_granularity=k * g,
-                                            segments=1)
+                                            back_granularity=k * g)
         self.seg_len = self.chan.block_len
         self.rrc = design.rrc_taps(sps=sps).astype(np.float32)
         self.plan_gran = k * g
