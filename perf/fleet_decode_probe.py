@@ -4,7 +4,7 @@ Measures the REAL DecodeRunner.run path (dispatch + fetch overlapped
 with host parsing — CLAUDE.md rule 5b: this is a workflow measurement,
 not a standalone-jit micro-bench) at fleet scale.  The dense mode
 fetches the full (C, Pe) corr/crc verdict planes per block (~268 MB at
-C=10240); sparse mode (TETRAEAR_SPARSE_HITS) ships packed top-K hit
+C=10240); sparse mode (the default) ships packed top-K hit
 keys (~C*(K+1) int32s) and reconstructs on host
 (dsp/framescan.sparse_hits docstring).
 

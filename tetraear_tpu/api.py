@@ -82,10 +82,16 @@ class PipelineConfig:
     raw_fm: bool = False                # FM-demod raw audio monitoring
     device_scan: bool = True            # fuse the sync/CRC scan into the
                                         # per-block demod dispatch
-    sparse_hits: bool | None = None     # fetch packed top-K hit keys
+    sparse_hits: bool = True            # fetch packed top-K hit keys
                                         # instead of the dense verdict
-                                        # planes (framescan.sparse_hits);
-                                        # None = TETRAEAR_SPARSE_HITS env
+                                        # planes (framescan.sparse_hits).
+                                        # Default ON: the real-chip A/B
+                                        # measured 1.46x (no voice) /
+                                        # 1.41x (with soft planes) over
+                                        # the dense fetch at C=10240
+                                        # (perf/tpu_agenda6 fleet_decode).
+                                        # False = the dense-plane debug
+                                        # oracle path.
 
 
 @dataclass
@@ -148,9 +154,7 @@ class Pipeline:
             import jax
             from tetraear_tpu.dsp import framescan
             from tetraear_tpu.dsp.backhalf import block_step_scan, TAILBITS
-            self._sparse = (
-                os.environ.get("TETRAEAR_SPARSE_HITS") == "1"
-                if config.sparse_hits is None else bool(config.sparse_hits))
+            self._sparse = bool(config.sparse_hits)
             self._pe_n, self._pc_n = framescan.plane_dims(
                 TAILBITS + 2 * self.bank.k_max)
             self._prev_soft = None      # device ref (lazy soft rows)

@@ -239,10 +239,11 @@ class DecodeRunner:
         # corr/crc planes (~268 MB per block at C=10240) compact to
         # ~C*(K+1) int32s on device; the host decodes them to flat
         # per-hit arrays and selects in O(hits)
-        # (batch.process_scanned_sparse).  Opt-in until the real-chip
-        # A/B lands (perf/tpu_agenda3.sh).
-        self.sparse = (os.environ.get("TETRAEAR_SPARSE_HITS") == "1"
-                       if sparse is None else bool(sparse))
+        # (batch.process_scanned_sparse).  DEFAULT: the real-chip A/B
+        # measured sparse 1.46x faster (1.41x with soft planes) at
+        # C=10240 (perf/tpu_agenda6 fleet_decode_probe).  sparse=False
+        # keeps the dense-plane fetch as the differential-test oracle.
+        self.sparse = True if sparse is None else bool(sparse)
         self.sparse_k = int(sparse_k if sparse_k is not None else
                             os.environ.get("TETRAEAR_SPARSE_K",
                                            framescan.SPARSE_K))
