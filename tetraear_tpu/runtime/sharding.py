@@ -123,6 +123,13 @@ class ShardedDemod:
                            P("carrier", "time"), P()),
             ))
 
+    def _n_out_syms(self, n_in: int) -> int:
+        """Symbols produced from n_in input-rate samples (plan ratio)."""
+        n = n_in
+        for st in self.plan.stages:
+            n = n * st.up // st.down
+        return n // self.sps
+
     # -- per-shard computation (runs under shard_map) -----------------------
 
     def _shard_step(self, x_r, seg_step, halo_cycles):
