@@ -204,6 +204,96 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         (st, tl, nhit, nok), _ = jax.lax.scan(body, init, None, length=n)
         return st, nhit, nok
 
+    # ---- end-to-end WITH VOICE: every carrier treated as an active
+    # call.  Per block the chain runs the fused demod+scan, the sparse
+    # hit extraction (the production fetch path), then TWO voice slots
+    # per carrier through the device channel decoder (jviterbi) and
+    # FOUR speech frames through the device ACELP bank (jspeech) with
+    # carried decoder state.  The final fetch depends on the PCM, the
+    # sparse keys and the scan counters, so nothing is dead code.  This
+    # is the reference CaptureThread's full voice path
+    # (tetraear/ui/modern.py:2088-2228) at an all-carriers-active load.
+    if mode == "voice":
+        if fused is None:
+            raise RuntimeError("voice bench mode needs the fused path")
+        from tetraear_tpu.dsp.framescan import sparse_hits, SPARSE_K
+        from tetraear_tpu.voice import jviterbi, jspeech
+        from tetraear_tpu.voice.etsi_tables import (
+            TAB0, TAB1, TAB2)
+
+        pos = np.concatenate([TAB0, TAB1, TAB2]) - 1     # (137,)
+        inv = np.argsort(pos).astype(np.int32)           # inverse perm
+        o1, o2 = 100, 500                                # slot offsets
+
+        def unbuild(ordered, bfi):
+            """(B, 286) ordered + (B,) bfi -> (B, 2, 138) traced."""
+            fa = ordered[:, 2 * jnp.asarray(inv)]
+            fb = ordered[:, 2 * jnp.asarray(inv) + 1]
+            fr = jnp.stack([fa, fb], axis=1).astype(jnp.int32)
+            b = jnp.broadcast_to(bfi[:, None, None].astype(jnp.int32),
+                                 (fr.shape[0], 2, 1))
+            return jnp.concatenate([b, fr], axis=2)      # (B, 2, 138)
+
+        def chain_voice(x_r, state, sstate, n):
+            from tetraear_tpu.dsp import framescan as fsmod
+            off = fsmod.TS_OFFSET_BITS // 2
+
+            def body(carry, _):
+                st, sst, nhit, nok, pacc = carry
+                out, st2 = fused.step(x_r, st)
+                hits = out["corr"] >= 0.90
+                span = min(hits.shape[1] - off,
+                           out["crc_err"].shape[1])
+                sync_al = jax.lax.slice_in_dim(hits, off, off + span,
+                                               1, axis=1)
+                crc_al = jax.lax.slice_in_dim(out["crc_err"], 0, span,
+                                              1, axis=1)
+                nhit = nhit + jnp.sum(hits.astype(jnp.int32))
+                nok = nok + jnp.sum((sync_al & (crc_al <= 2))
+                                    .astype(jnp.int32))
+                keys, counts = sparse_hits(out["corr"], out["crc_err"],
+                                           SPARSE_K)
+                # two 216-symbol voice slots per carrier -> (2C, 432)
+                soft = fused.soft_symbols(out["soft_planes"])
+                s1 = jax.lax.slice_in_dim(soft, o1, o1 + 216, 1, axis=1)
+                s2 = jax.lax.slice_in_dim(soft, o2, o2 + 216, 1, axis=1)
+                sb = jnp.concatenate([s1, s2], axis=0)
+                sb = jnp.round(sb.reshape(sb.shape[0], 432)
+                               * 127.0).astype(jnp.int32)
+                ordered, bfi = jviterbi.channel_decode_batch_traced(sb)
+                fr1 = unbuild(ordered[:n_carriers], bfi[:n_carriers])
+                fr2 = unbuild(ordered[n_carriers:], bfi[n_carriers:])
+                frames = jnp.concatenate([fr1, fr2], axis=1)  # (C,4,138)
+                valid = jnp.ones((n_carriers, 4), bool)
+                sst2, pcm = jspeech.decode_block(sst, frames, valid)
+                pacc = pacc + jnp.sum(pcm[:, :, 0].astype(jnp.int32))
+                pacc = pacc + keys[0, 0] + counts[0]
+                return (st2, sst2, nhit, nok, pacc), None
+
+            init = (state, sstate, jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0))
+            (st, sst, nhit, nok, pacc), _ = jax.lax.scan(
+                body, init, None, length=n)
+            return st, nhit, nok, pacc
+
+        chain_j = jax.jit(chain_voice, static_argnums=3)
+        sstate0 = jspeech.init_state(n_carriers)
+        elapsed = _time_chain(
+            chain_j,
+            lambda: (xd, fused.init_state(), sstate0, steps), steps,
+            lambda out: (
+                np.asarray(out[0]["bank"]["timing"]["next_t"])[0],
+                int(out[1]), int(out[2]), int(out[3])))
+        res["rt_factor"] = steps * block / fs / elapsed
+        res["carriers_rt"] = res["rt_factor"] * n_carriers
+        res["voice_carriers_rt"] = res["carriers_rt"]
+        res["elapsed_s"] = elapsed
+        res["input_msps"] = steps * block / elapsed / 1e6
+        from tetraear_tpu.runtime.profiling import roofline_fraction
+        res["roofline"] = roofline_fraction(
+            n_carriers, fs, res["rt_factor"], frontend=frontend)
+        return res
+
     if mode in ("e2e", "both"):
         if fused is not None:
             chain_j = jax.jit(chain_e2e_fused, static_argnums=2)
@@ -272,6 +362,9 @@ def main():
         if "demod_carriers_rt" in r and mode == "both":
             line["demod_only_carriers"] = round(
                 float(r["demod_carriers_rt"]), 1)
+        if "voice_carriers_rt" in r:
+            line["voice_carriers_rt"] = round(
+                float(r["voice_carriers_rt"]), 1)
         if "roofline" in r:
             line["roofline_pct"] = round(r["roofline"]["roofline_pct"], 2)
         print(json.dumps(line))

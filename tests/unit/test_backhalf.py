@@ -121,25 +121,6 @@ def test_fused_matches_classic_chain(bank, capture):
     assert hits.sum() > 0, "no sync hits in golden capture"
 
 
-def test_xpose_planes_path_bit_identical(bank, capture, monkeypatch):
-    """TETRAEAR_PALLAS_XPOSE=1 (natural_planes kernel instead of the
-    XLA transpose+concat+stack glue) yields bit-identical verdict
-    planes — the kernel is a pure index relabeling."""
-    from tetraear_tpu.dsp import kernels
-
-    x_r = jnp.asarray(kernels.c2r_np(capture[:bank.block_len]))
-    fused = backhalf.FusedRx(bank)
-    ref, _ = fused.step(x_r, fused.init_state())
-    monkeypatch.setenv("TETRAEAR_PALLAS_XPOSE", "1")
-    got, _ = fused.step(x_r, fused.init_state())
-    np.testing.assert_array_equal(np.asarray(got["crc_err"]),
-                                  np.asarray(ref["crc_err"]))
-    np.testing.assert_array_equal(np.asarray(got["corr"]),
-                                  np.asarray(ref["corr"]))
-    np.testing.assert_array_equal(np.asarray(got["soft_planes"]),
-                                  np.asarray(ref["soft_planes"]))
-
-
 def test_fused_rejects_unsupported_configs():
     bank = CarrierBankDemod(fs=2.4e6, freqs_hz=[12_500.0],
                             frontend="fft")      # 150 kHz channel, L=12

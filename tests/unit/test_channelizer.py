@@ -132,52 +132,6 @@ def test_pallas_band_extract_interpret():
     assert np.array_equal(ref, pal)
 
 
-def test_band_synth_batched_matches_per_carrier(monkeypatch):
-    """The group-batched band_synth body (TETRAEAR_BS_BATCHED=1)
-    matches the per-carrier body to f32 rounding on random spectra
-    (the backend may vectorize the grouped dots' accumulations in a
-    different order — measured 7e-8 max; symbol decisions, the real
-    contract, are pinned by test_backhalf/test_jax_dsp)."""
-    import jax.numpy as jnp
-    from tetraear_tpu.dsp import pallas_kernels as pk
-    rng = np.random.default_rng(7)
-    p, C, rows = 8, 16, 40
-    n_band = 128 * p
-    planes = rng.standard_normal((2, rows, 128)).astype(np.float32)
-    h1 = rng.standard_normal((2, 4, p, 128)).astype(np.float32)
-    starts = rng.integers(0, rows - p, C).astype(np.int32)
-    dsh = rng.integers(0, 4, C).astype(np.int32)
-    rv = np.arange(p)
-    m1 = np.exp(2j * np.pi * np.outer(rv, rv) / p)
-    m1c = np.block([[m1.real, m1.imag],
-                    [-m1.imag, m1.real]]).astype(np.float32)
-    lv = np.arange(128)
-    m2 = np.exp(2j * np.pi * np.outer(lv, lv) / 128)
-    tw = np.exp(2j * np.pi * np.outer(lv, rv) / n_band) / n_band
-    args = (jnp.asarray(planes), jnp.asarray(h1), jnp.asarray(starts),
-            jnp.asarray(dsh), jnp.asarray(m1c),
-            jnp.asarray(m2.real.astype(np.float32)),
-            jnp.asarray(m2.imag.astype(np.float32)),
-            jnp.asarray(tw.real.astype(np.float32)),
-            jnp.asarray(tw.imag.astype(np.float32)))
-    for drop in (None, 8):
-        ref = pk.band_synth(*args, rows_per_band=p, group=8,
-                            interpret=True, phasor_drop=drop,
-                            batched=False)
-        got = pk.band_synth(*args, rows_per_band=p, group=8,
-                            interpret=True, phasor_drop=drop,
-                            batched=True)
-        if drop is None:
-            ref, got = (ref,), (got,)
-        np.testing.assert_allclose(np.asarray(ref[0]),
-                                   np.asarray(got[0]),
-                                   rtol=2e-5, atol=2e-6)
-        if drop is not None:
-            np.testing.assert_allclose(np.asarray(ref[1]),
-                                       np.asarray(got[1]),
-                                       rtol=1e-5, atol=1e-4)
-
-
 def test_fft_frontend_validates_block():
     with pytest.raises(ValueError):
         CarrierBankDemod(fs=2.4e6, freqs_hz=[0.0], block_len=12_345,

@@ -124,20 +124,10 @@ class FusedRx:
         x = kernels.r2c(x_r)
         tail = kernels.r2c(cstate["tail"])
         xx = jnp.concatenate([tail, x])
-        import os
-        if (os.environ.get("TETRAEAR_PALLAS_XPOSE", "") == "1"
-                and ch.fft4):
-            # one-pass natural-order planes straight from the four-step
-            # H[k2, k1] (pallas_kernels.natural_planes) instead of the
-            # XLA transpose + wrap concat + stack materializations
-            h = ch._wideband_fft_h(xx)
-            hp = jnp.stack([jnp.real(h), jnp.imag(h)])
-            planes = pk.natural_planes(hp, interpret=interp)
-        else:
-            big_x = ch._wideband_fft(xx)
-            x_ext = jnp.concatenate([big_x, big_x[:ch.n_band]])
-            planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
-            planes = planes.reshape(2, -1, 128)
+        big_x = ch._wideband_fft(xx)
+        x_ext = jnp.concatenate([big_x, big_x[:ch.n_band]])
+        planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
+        planes = planes.reshape(2, -1, 128)
         y, ph = pk.band_synth(
             planes, jnp.asarray(ch.h1_planes),
             jnp.asarray(ch.row_start), jnp.asarray(ch.d_shift),

@@ -353,22 +353,6 @@ class FFTChannelizer:
         h = jnp.fft.fft(g.reshape(n2, n1), axis=1)   # [k2, k1]
         return h.T.reshape(-1)                       # X[k2 + n2*k1]
 
-    def _wideband_fft_h(self, xx: jnp.ndarray) -> jnp.ndarray:
-        """Four-step transform WITHOUT the final natural-order
-        transpose: returns H (n2, n1) with X[k2 + n2*k1] = H[k2, k1]
-        (consumed by pallas_kernels.natural_planes)."""
-        assert self.fft4
-        n1, n2 = self.fft4_n1, self.fft4_n2
-        xm = xx.reshape(n2, n1)
-        if os.environ.get("TETRAEAR_FFT6", "") == "1":
-            g = jnp.fft.fft(xm.T, axis=1).T
-        else:
-            g = jnp.fft.fft(xm, axis=0)
-        g = (g.reshape(n2, n1 // 64, 64)
-             * jnp.asarray(self._fft4_b)[:, :, None]
-             * jnp.asarray(self._fft4_a)[:, None, :])
-        return jnp.fft.fft(g.reshape(n2, n1), axis=1)
-
     def _synth(self, band: jnp.ndarray) -> jnp.ndarray:
         """(C, n_band) spectra -> (C, n_band) time samples; equals
         jnp.fft.ifft(band, axis=1) to f32 rounding.

@@ -39,60 +39,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _natural_planes_kernel(h_ref, o_ref):
-    # (128 k2, 128 k1) tile -> 128 natural rows (one per k1), each row
-    # being the tile's k1-column: a plain in-VMEM transpose
-    o_ref[0, :, 0, :] = h_ref[0].T
-
-
-@partial(jax.jit, static_argnames=("wrap_blocks", "interpret"))
-def natural_planes(h_planes: jnp.ndarray, wrap_blocks: int = 1,
-                   interpret: bool = False) -> jnp.ndarray:
-    """Four-step FFT output -> natural-order [re, im] spectrum planes.
-
-    The four-step transform ends with X[k2 + n2*k1] = H[k2, k1]; the
-    production glue (h.T -> wrap concat -> stack -> reshape) costs XLA
-    several big materializations (perf/fft4step_probe.py xpose_planes).
-    This kernel produces the (2, rows, 128) planes the band kernels
-    consume in ONE pass: natural row r covers k2 in [128*(r % s), ...)
-    at k1 = r // s (s = n2/128 rows per k1), so output viewed as
-    (2, n1, s, 128) is just H.reshape(s, 128, n1) transposed — each
-    (128, 128) tile of H transposes into 128 natural rows.
-
-    Args:
-        h_planes: (2, n2, n1) f32 [re, im] planes of H (n2, n1 both
-            multiples of 128).
-    Returns (2, (n1 + 128*wrap_blocks) * s, 128) f32 planes: rows
-    [0, n2*n1/128) are the natural-order spectrum; the next rows
-    REPLAY rows 0.. (the wrap extension — grid column q reads input
-    column block q % (n1/128), so block n1/128 re-emits the first
-    128*s rows).  Callers need wrap rows only up to n_band/128 <=
-    128*s; the rest is valid replay, never addressed.
-    """
-    _, n2, n1 = h_planes.shape
-    s_blocks = n2 // 128
-    q_blocks = n1 // 128
-    out4 = pl.pallas_call(
-        _natural_planes_kernel,
-        grid_spec=pl.GridSpec(
-            grid=(2, s_blocks, q_blocks + wrap_blocks),
-            in_specs=[
-                pl.BlockSpec((1, 128, 128),
-                             lambda p, s, q: (p, s, q % q_blocks),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 128, 1, 128),
-                                   lambda p, s, q: (p, q, s, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (2, n1 + 128 * wrap_blocks, s_blocks, 128), jnp.float32),
-        interpret=interpret,
-    )(h_planes)
-    rows = (n1 + 128 * wrap_blocks) * s_blocks
-    return out4.reshape(2, rows, 128)
-
-
 def _extract_kernel(starts_ref, x_hbm, out_ref, sem):
     c = pl.program_id(0)
     s = starts_ref[c]
@@ -297,118 +243,6 @@ def _band_synth_kernel(row_ref, d_ref, planes_hbm, h1_hbm,
                      None, nat_scr, h1_scr, sem_n, sem_h, 0)
 
 
-def _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
-                             m1c_ref, m2re_ref, m2im_ref, twre_ref,
-                             twim_ref, out_ref, ph_ref, nat_scr, h1_scr,
-                             sem_n, sem_h, phasor_drop):
-    """Group-batched formulation of _band_synth_body.
-
-    The per-carrier body issues ~6 VPU passes and three 128-wide
-    matmuls per carrier — at C=10240 that is latency-bound, not
-    bandwidth- or FLOP-bound.  Here the whole group runs as dense ops:
-    carriers stack along the LANE axis for stage 1 (scratch layout
-    (2, P, G, 128), so concat+reshape to the (2P, G*128) matmul operand
-    is layout-free) and stage 2 contracts the shared symmetric m2
-    against the (G, 128, 2P) intermediate in one batched dot.  The
-    per-element contraction SET is unchanged; the backend may
-    accumulate the grouped dots in a different order, so outputs match
-    the per-carrier body to f32 rounding (~1e-7; symbol decisions are
-    pinned by the chain exactness tests).
-    """
-    i = pl.program_id(0)
-    g_count = out_ref.shape[0]
-    p = nat_scr.shape[1]
-
-    def nat_dma(g):
-        c = i * g_count + g
-        return pltpu.make_async_copy(
-            planes_hbm.at[:, pl.ds(row_ref[c], p), :],
-            nat_scr.at[:, :, g], sem_n.at[g])
-
-    def h1_dma(g):
-        c = i * g_count + g
-        return pltpu.make_async_copy(
-            h1_hbm.at[:, d_ref[c]], h1_scr.at[:, :, g], sem_h.at[g])
-
-    for g in range(g_count):
-        nat_dma(g).start()
-        h1_dma(g).start()
-    for g in range(g_count):
-        nat_dma(g).wait()
-        h1_dma(g).wait()
-
-    nre = nat_scr[0]                                 # (P, G, 128)
-    nim = nat_scr[1]
-    hre = h1_scr[0]
-    him = h1_scr[1]
-    bre = nre * hre - nim * him
-    bim = nre * him + nim * hre
-    a = jnp.concatenate([bre, bim], axis=0)          # (2P, G, 128)
-    a2 = a.reshape(2 * p, g_count * 128)             # layout-free
-    t2 = jax.lax.dot_general(
-        a2, m1c_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (G*128 l, 2P)
-    t3 = t2.reshape(g_count, 128, 2 * p)
-    tre = t3[:, :, :p]                               # (G, 128 l, P s)
-    tim = t3[:, :, p:]
-    twre = twre_ref[:][None]                         # (1, 128, P)
-    twim = twim_ref[:][None]
-    ure = tre * twre - tim * twim
-    uim = tre * twim + tim * twre
-    u2 = jnp.concatenate([ure, uim], axis=2)         # (G, 128, 2P)
-    u2s = jnp.concatenate([-uim, ure], axis=2)
-    # m2[t, l] = exp(2 pi j l t / 128) is SYMMETRIC, so contracting its
-    # sublane dim against the intermediate's l sublanes computes the
-    # same sum_l m2[t, l] u[l, s2] as the per-carrier body
-    y3 = (jax.lax.dot_general(
-        m2re_ref[:], u2, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(
-            m2im_ref[:], u2s,
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))      # (128 t, G, 2P)
-    yre = jnp.transpose(y3[:, :, :p], (1, 0, 2))      # (G, 128 t, P s)
-    yim = jnp.transpose(y3[:, :, p:], (1, 0, 2))
-    out_ref[:, 0] = yre
-    out_ref[:, 1] = yim
-
-    if ph_ref is not None:
-        pw = yre * yre + yim * yim                   # (G, 128 t, P s)
-        tt = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
-        ss = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
-        live = ((ss + p * tt) >= phasor_drop).astype(jnp.float32)
-        s4 = ss % 4
-        wre = (jnp.where(s4 == 0, 1.0, 0.0)
-               - jnp.where(s4 == 2, 1.0, 0.0))
-        wim = (jnp.where(s4 == 3, 1.0, 0.0)
-               - jnp.where(s4 == 1, 1.0, 0.0))
-        phre = jnp.sum(pw * (wre * live)[None], axis=(1, 2))  # (G,)
-        phim = jnp.sum(pw * (wim * live)[None], axis=(1, 2))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (g_count, 1, 128), 2)
-        ph_ref[...] = (jnp.where(lane == 0, phre[:, None, None], 0.0)
-                       + jnp.where(lane == 1, phim[:, None, None], 0.0))
-
-
-def _band_synth_kernel_b(row_ref, d_ref, planes_hbm, h1_hbm,
-                         m1c_ref, m2re_ref, m2im_ref, twre_ref,
-                         twim_ref, out_ref, nat_scr, h1_scr, sem_n,
-                         sem_h):
-    _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
-                             m1c_ref, m2re_ref, m2im_ref, twre_ref,
-                             twim_ref, out_ref, None, nat_scr, h1_scr,
-                             sem_n, sem_h, 0)
-
-
-def _band_synth_ph_kernel_b(phasor_drop, row_ref, d_ref,
-                            planes_hbm, h1_hbm, m1c_ref, m2re_ref,
-                            m2im_ref, twre_ref, twim_ref, out_ref,
-                            ph_ref, nat_scr, h1_scr, sem_n, sem_h):
-    _band_synth_body_batched(row_ref, d_ref, planes_hbm, h1_hbm,
-                             m1c_ref, m2re_ref, m2im_ref, twre_ref,
-                             twim_ref, out_ref, ph_ref, nat_scr,
-                             h1_scr, sem_n, sem_h, phasor_drop)
-
-
 def _band_synth_ph_kernel(phasor_drop, row_ref, d_ref,
                           planes_hbm, h1_hbm, m1c_ref, m2re_ref,
                           m2im_ref, twre_ref, twim_ref, out_ref, ph_ref,
@@ -424,25 +258,21 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                twre: jnp.ndarray, twim: jnp.ndarray,
                rows_per_band: int, group: int = 8,
                interpret: bool = False,
-               phasor_drop: int | None = None,
-               batched: bool | None = None):
-    """See _band_synth_impl; ``batched`` (group-dense kernel body)
-    defaults from TETRAEAR_BS_BATCHED — resolved here, outside jit, so
-    the flag participates in the trace cache key."""
-    if batched is None:
-        # opt-in until the Mosaic lowering is A/B'd on the real chip
-        # (interpret mode can't validate the strided DMA / batched dots)
-        batched = os.environ.get("TETRAEAR_BS_BATCHED", "") == "1"
+               phasor_drop: int | None = None):
+    """See _band_synth_impl.  (A group-dense "batched" kernel body
+    existed behind TETRAEAR_BS_BATCHED; its real-chip A/B crashed the
+    Mosaic compiler (layout.h check failure, round 3) and it was
+    removed — the per-carrier body is the only formulation.)"""
     return _band_synth_impl(planes, h1_planes, row_starts, d_shift,
                             m1c, m2re, m2im, twre, twim,
                             rows_per_band=rows_per_band, group=group,
                             interpret=interpret,
-                            phasor_drop=phasor_drop, batched=batched)
+                            phasor_drop=phasor_drop)
 
 
 @partial(jax.jit,
          static_argnames=("rows_per_band", "group", "interpret",
-                          "phasor_drop", "batched"))
+                          "phasor_drop"))
 def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      row_starts: jnp.ndarray, d_shift: jnp.ndarray,
                      m1c: jnp.ndarray, m2re: jnp.ndarray,
@@ -450,8 +280,7 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      twre: jnp.ndarray, twim: jnp.ndarray,
                      rows_per_band: int, group: int = 8,
                      interpret: bool = False,
-                     phasor_drop: int | None = None,
-                     batched: bool = False):
+                     phasor_drop: int | None = None):
     """Fused band extract + H1 filter + inverse transform.
 
     Args:
@@ -493,9 +322,7 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
         if phasor_drop % 4 or p % 4:
             raise ValueError("phasor fusion needs drop % 4 == 0 and "
                              f"P % 4 == 0 (drop={phasor_drop}, P={p})")
-        kern = partial(
-            _band_synth_ph_kernel_b if batched else
-            _band_synth_ph_kernel, phasor_drop)
+        kern = partial(_band_synth_ph_kernel, phasor_drop)
         out_specs = (
             pl.BlockSpec(y_block, lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -507,14 +334,12 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
             jax.ShapeDtypeStruct((c, 1, 128), jnp.float32),
         )
     else:
-        kern = (_band_synth_kernel_b if batched
-                else _band_synth_kernel)
+        kern = _band_synth_kernel
         out_specs = pl.BlockSpec(y_block,
                                  lambda i, *_: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct(y_shape, jnp.float32)
-    scr_shape = ((2, p, group, 128) if batched
-                 else (group, 2, p, 128))
+    scr_shape = (group, 2, p, 128)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
