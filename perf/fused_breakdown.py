@@ -100,6 +100,20 @@ def main():
 
     timed("planes", chain_planes)
 
+    # two-pass Pallas MXU FFT producing the same planes (+wrap) directly
+    def chain_planes2p(x_r, n):
+        def body(carry, _2):
+            xx = jnp.concatenate(
+                [jnp.zeros(ch.overlap, jnp.complex64),
+                 kernels.r2c(x_r) + carry])
+            planes = ch.wideband_planes(xx)
+            return planes[0, 0, 0] * 1e-30 + 0j, planes[1, 0, 0]
+        c, tails = jax.lax.scan(body, jnp.complex64(0), None, length=n)
+        return tails
+
+    if ch.fft2p_ok:
+        timed("planes2p", chain_planes2p)
+
     def chain_synth(x_r, n):
         st0 = fused.init_state()["bank"]["channelizer"]
 

@@ -1,0 +1,79 @@
+"""Probe: raw achievable HBM streaming bandwidth on this chip.
+
+Chained elementwise passes over a large f32 array (read N + write N per
+step), fetch-synced.  Calibrates the bandwidth term of the roofline
+model (runtime/profiling.py): if y = x * a + carry sustains B GB/s,
+every "passes x bytes / B" estimate in BASELINE.md is bounded by B, not
+by the part's datasheet number.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python perf/hbm_bw_probe.py
+Env: PERF_MB (1024), PERF_STEPS (16).
+"""
+
+import json
+import os
+import signal
+import time
+
+import numpy as np
+
+
+def main():
+    budget = int(os.environ.get("PERF_TIMEOUT_S", "1200"))
+    signal.signal(signal.SIGALRM,
+                  lambda *a: (_ for _ in ()).throw(TimeoutError()))
+    signal.alarm(budget)
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    mb = int(os.environ.get("PERF_MB", "1024"))
+    steps = int(os.environ.get("PERF_STEPS", "16"))
+    n = mb * 1024 * 1024 // 4
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n)
+                    .astype(np.float32))
+    results = {"mb": mb, "steps": steps}
+
+    def timed(name, fn):
+        cj = jax.jit(fn, static_argnums=1)
+        out = cj(x, steps)
+        float(np.asarray(out[0] if isinstance(out, tuple) else out))
+        t0 = time.time()
+        out = cj(x, steps)
+        float(np.asarray(out[0] if isinstance(out, tuple) else out))
+        dt = (time.time() - t0) / steps
+        results[name + "_gbs"] = round(2 * mb / 1024 / dt, 1)
+        print(f"{name}: {2 * mb / 1024 / dt:.1f} GB/s "
+              f"({dt * 1e3:.1f} ms/step)", flush=True)
+
+    # (a) pure elementwise chain: read N, write N per step
+    def chain_axpy(x0, m):
+        def body(c, _):
+            y = x0 * c + 1.0
+            return y[0], y[-1]
+        c, tails = jax.lax.scan(body, jnp.float32(1.0), None, length=m)
+        return tails
+
+    timed("axpy", chain_axpy)
+
+    # (b) 2D row-major copy with a reshape (the planes-build shape)
+    def chain_copy2d(x0, m):
+        x2 = x0.reshape(-1, 128)
+
+        def body(c, _):
+            y = x2 + c
+            return y[0, 0], y[-1, -1]
+        c, tails = jax.lax.scan(body, jnp.float32(0.0), None, length=m)
+        return tails
+
+    timed("copy2d", chain_copy2d)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

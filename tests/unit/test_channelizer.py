@@ -319,3 +319,64 @@ def test_sixstep_wideband_fft_matches_fft(monkeypatch):
     assert rel < 1e-5, rel
 
 
+
+
+@pytest.mark.unit
+def test_fft2p_planes_matches_np_fft():
+    """Two-pass Pallas MXU FFT (pallas_kernels.fft2p_planes): natural-
+    order planes + wrap extension equal np.fft to f32 rounding."""
+    import jax.numpy as jnp
+    from tetraear_tpu.dsp import pallas_kernels as pk
+
+    rng = np.random.default_rng(5)
+    n1, n2 = 512, 256
+    n = n1 * n2
+    x = (rng.standard_normal(n)
+         + 1j * rng.standard_normal(n)).astype(np.complex64)
+    planes = np.stack([x.reshape(n2, n1).real,
+                       x.reshape(n2, n1).imag]).astype(np.float32)
+    got = np.asarray(pk.fft2p_planes(jnp.asarray(planes), n1, n2,
+                                     wrap_k1=2, interpret=True))
+    want = np.fft.fft(x)
+    gotc = (got[0] + 1j * got[1]).reshape(-1)
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(gotc[:n] - want)) / scale < 2e-5
+    # wrap rows replay bins 0..2*n2
+    assert np.max(np.abs(gotc[n:n + 2 * n2] - want[:2 * n2])) / scale \
+        < 2e-5
+
+
+@pytest.mark.unit
+def test_fft2p_chan_raw_decisions_exact(monkeypatch):
+    """FusedRx.chan_raw through the two-pass MXU FFT produces the same
+    scan verdicts as the XLA four-step glue on a golden carrier."""
+    import jax.numpy as jnp
+    from tetraear_tpu.dsp import backhalf, kernels
+    from tetraear_tpu.ref import golden
+
+    fs = 2.304e6
+    payloads = [golden.sds_text_payload("FFT2P CHECK")] * 24
+    iq = golden.golden_iq(payloads, fs=fs, freq_offset_hz=12_500.0,
+                          snr_db=20, seed=9)
+    bank = CarrierBankDemod(fs=fs, freqs_hz=[12_500.0], frontend="fft")
+    assert bank.channelizer.fft2p_ok
+    fused = backhalf.FusedRx(bank)
+    x_r = jnp.asarray(kernels.c2r_np(iq[:bank.block_len]))
+    ref, _ = fused.step(x_r, fused.init_state())
+    monkeypatch.setenv("TETRAEAR_FFT2P", "1")
+    got, _ = fused.step(x_r, fused.init_state())
+    # the ~3e-7 relative plane difference may flip noise-region symbols
+    # sitting exactly on a decision boundary; the contract is the
+    # VERDICTS: identical sync hits, identical CRC counts at the hits
+    hits_ref = np.asarray(ref["corr"]) >= 0.90
+    hits_got = np.asarray(got["corr"]) >= 0.90
+    assert hits_ref.sum() > 0
+    np.testing.assert_array_equal(hits_got, hits_ref)
+    from tetraear_tpu.dsp import framescan
+    off = framescan.TS_OFFSET_BITS // 2
+    err_ref = np.asarray(ref["crc_err"])
+    err_got = np.asarray(got["crc_err"])
+    for c, pe in zip(*np.nonzero(hits_ref)):
+        j = pe - off
+        if 0 <= j < err_ref.shape[1]:
+            assert err_got[c, j] == err_ref[c, j], (c, pe)

@@ -124,17 +124,22 @@ class FusedRx:
         x = kernels.r2c(x_r)
         tail = kernels.r2c(cstate["tail"])
         xx = jnp.concatenate([tail, x])
-        big_x = ch._wideband_fft(xx)
-        x_ext = jnp.concatenate([big_x, big_x[:ch.n_band]])
-        planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
-        planes = planes.reshape(2, -1, 128)
+        import os
+        if ch.fft2p_ok and os.environ.get("TETRAEAR_FFT2P") == "1":
+            planes = ch.wideband_planes(xx, interpret=interp)
+        else:
+            big_x = ch._wideband_fft(xx)
+            x_ext = jnp.concatenate([big_x, big_x[:ch.n_band]])
+            planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
+            planes = planes.reshape(2, -1, 128)
+        bs_group = int(os.environ.get("TETRAEAR_BS_GROUP", "8"))
         y, ph = pk.band_synth(
             planes, jnp.asarray(ch.h1_planes),
             jnp.asarray(ch.row_start), jnp.asarray(ch.d_shift),
             jnp.asarray(ch.m1c), jnp.asarray(ch.m2re),
             jnp.asarray(ch.m2im), jnp.asarray(ch.twre),
             jnp.asarray(ch.twim), ch.synth_rows,
-            interpret=interp, phasor_drop=ch.drop)
+            group=bs_group, interpret=interp, phasor_drop=ch.drop)
         nfft_f = jnp.float32(ch.nfft)
         ang = cstate["cycles"] * jnp.float32(TWO_PI) / nfft_f
         rot = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))    # (C,)

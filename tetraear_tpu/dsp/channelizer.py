@@ -304,6 +304,20 @@ class FFTChannelizer:
         # w^{k2 i1} = A[k2, i1a] * B[k2, i1b] — two tables of a few MB
         # that broadcast-multiply in the same fused pass.
         self.fft4 = self.nfft >= (1 << 20)
+        # TWO-PASS Pallas MXU FFT (pallas_kernels.fft2p_planes): the
+        # whole forward transform + natural-order relayout + wrap
+        # extension in two HBM passes of Cooley-Tukey matmuls — every
+        # XLA formulation above is pass-bound (>= 15 ms/block at 2^25
+        # for 268 MB of input).  wideband_planes() below produces the
+        # band_synth input directly.
+        lg = int(math.log2(self.nfft))
+        self.fft2p_n1 = 1 << ((lg + 1) // 2)
+        self.fft2p_n2 = self.nfft // self.fft2p_n1
+        self.fft2p_ok = (self.fft2p_n1 % 128 == 0
+                         and self.fft2p_n2 % 128 == 0
+                         and self.n_band % 128 == 0)
+        if self.fft2p_ok:
+            self.fft2p_wrap = -(-self.n_band // self.fft2p_n2)
         if self.fft4:
             lg = int(np.log2(self.nfft))
             n1 = 1 << ((lg + 1) // 2)
@@ -352,6 +366,20 @@ class FFTChannelizer:
              * jnp.asarray(self._fft4_a)[:, None, :])
         h = jnp.fft.fft(g.reshape(n2, n1), axis=1)   # [k2, k1]
         return h.T.reshape(-1)                       # X[k2 + n2*k1]
+
+    def wideband_planes(self, xx: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+        """(nfft,) complex64 overlap-save window -> (2, R, 128) f32
+        natural-order wrap-extended spectrum planes (the band_synth
+        input), R >= (nfft + n_band)/128, via the two-pass Pallas MXU
+        FFT.  Values equal the _wideband_fft + concat + stack glue to
+        f32 rounding (HIGHEST-precision matmuls)."""
+        from tetraear_tpu.dsp import pallas_kernels as pk
+        xm = xx.reshape(self.fft2p_n2, self.fft2p_n1)
+        pin = jnp.stack([jnp.real(xm), jnp.imag(xm)])
+        return pk.fft2p_planes(pin, self.fft2p_n1, self.fft2p_n2,
+                               wrap_k1=self.fft2p_wrap,
+                               interpret=interpret)
 
     def _synth(self, band: jnp.ndarray) -> jnp.ndarray:
         """(C, n_band) spectra -> (C, n_band) time samples; equals

@@ -1003,3 +1003,216 @@ def frame_scan_even(bits: jnp.ndarray, k3: jnp.ndarray,
         ),
         interpret=interpret,
     )(bits, k3, rsyn, c0)
+
+
+# -- two-pass MXU wideband FFT -> natural-order planes ---------------------
+#
+# XLA's FFT formulations of the 2^25 forward transform are all HBM-pass
+# bound: the monolithic FFT measures 27.4 ms/block, the four-step with
+# batched sub-FFTs 17.4, and even a single batched (8, 2^22) transform
+# 15.0 (perf/fft4step_probe.py) — ~36-90 GB/s effective against an
+# ~800 GB/s part, because the backend emits many internal passes per
+# sub-transform.  Here the whole transform is TWO passes over HBM:
+#
+#   pass 1 (grid over n1/128 column blocks of xm = x.reshape(n2, n1)):
+#     the n2-point DFT over sublanes as a Cooley-Tukey pair of real
+#     matmuls (n2 = 128 * A2), with the FACTORED four-step twiddle
+#     w_N^{k2 i1} = At[k2, i1 % 64] * Bt[k2, i1 // 64] applied in the
+#     same VMEM trip; writes G[k2, i1] planes.
+#   pass 2 (grid over n2/128 column blocks of G): in-VMEM transpose to
+#     (n1, 128 k2 lanes), the n1-point DFT over sublanes (n1 = 128*B2)
+#     as the same matmul pair, and the output block written STRAIGHT
+#     into the natural-order spectrum planes: out (2, n1 + wrap_k1, n2)
+#     flattens row-major to X[n = k2 + n2*k1] including the wrap
+#     extension rows (k1 = 0..wrap_k1-1 duplicated at the tail), i.e.
+#     exactly the (2, R, 128) layout band_synth consumes, with no
+#     XLA transpose / concat / stack passes in between.
+#
+# Value-bearing matmuls run at precision=HIGHEST (Mosaic's default
+# multiplies in bf16; the transform feeds the channel filter, and the
+# existing _wideband_fft contract is <= 1e-5 relative vs np.fft).
+
+def _dftm_planes(n: int) -> np.ndarray:
+    k = np.arange(n)
+    m = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    return np.stack([m.real, m.imag]).astype(np.float32)
+
+
+def _fft2p_tables(n1: int, n2: int) -> dict:
+    """Host tables for fft2p_planes (cached per (n1, n2))."""
+    n = n1 * n2
+    a2 = n2 // 128
+    b2 = n1 // 128
+    k2v = np.arange(n2)
+    w = -2j * np.pi / n
+    at = np.exp(w * np.outer(k2v, np.arange(64)))          # (n2, 64)
+    at2 = np.concatenate([at, at], axis=1)                 # (n2, 128)
+    bt = np.exp(w * 64 * np.outer(k2v, np.arange(n1 // 64)))
+    # per-column-block pair of Bt columns: q covers i1b = 2q, 2q+1;
+    # layout (q, [re, im], n2, 2) so the kernel's (1, 2, n2, 2) block
+    # slices one q
+    bq = np.stack([bt[:, 2 * q:2 * q + 2]
+                   for q in range(n1 // 128)])             # (n1/128, n2, 2)
+    bq = np.stack([bq.real, bq.imag], axis=1)     # (n1/128, 2, n2, 2)
+    # pass-1 inner/outer DFT matrices and CT twiddle for n2 = a2 * 128:
+    # i2 = a2*iB + iA, k2 = kB + 128*kA
+    w2 = np.exp(-2j * np.pi
+                * np.outer(np.arange(128), np.arange(a2)) / n2)
+    # pass-2: n1 = b2 * 128, i1 = b2*iB' + iA', k1 = kB' + 128*kA'
+    w1 = np.exp(-2j * np.pi
+                * np.outer(np.arange(128), np.arange(b2)) / n1)
+    return {
+        "at2": np.stack([at2.real, at2.imag]).astype(np.float32),
+        "bq": bq.astype(np.float32),
+        "f128": _dftm_planes(128),
+        "fa2": _dftm_planes(a2),
+        "fb2": _dftm_planes(b2),
+        "w2": np.stack([w2.real, w2.imag]).astype(np.float32),
+        "w1": np.stack([w1.real, w1.imag]).astype(np.float32),
+    }
+
+
+_FFT2P_TABLES = {}
+
+
+def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
+    """(128*a, 128) tile -> n-point DFT over the SUBLANE axis (n=128*a),
+    lanes ride along.  i = a*iB + iA (iA in [0, a)), k = kB + 128*kA;
+    inner 128-DFT contracts iB, outer a-DFT contracts iA.  Returns
+    (n, 128) planes with rows in k order."""
+    n = 128 * a
+    # inner: S[kB, (iA, l)] = sum_iB F128[kB, iB] T[(iB, iA), l]
+    t2re = tre.reshape(128, a * 128)
+    t2im = tim.reshape(128, a * 128)
+    f128re = f128[0]
+    f128im = f128[1]
+    sre = (_dot_hp(f128re, t2re) - _dot_hp(f128im, t2im))
+    sim = (_dot_hp(f128re, t2im) + _dot_hp(f128im, t2re))  # (128, a*128)
+    # CT twiddle w_n^{iA kB}: broadcast over lanes
+    s3re = sre.reshape(128, a, 128)
+    s3im = sim.reshape(128, a, 128)
+    wre = wsm[0][:, :, None]
+    wim = wsm[1][:, :, None]
+    ure = s3re * wre - s3im * wim
+    uim = s3re * wim + s3im * wre
+    # outer: contract iA; relayout so iA is the leading (sublane) axis
+    u2re = jnp.transpose(ure, (1, 0, 2)).reshape(a, 128 * 128)
+    u2im = jnp.transpose(uim, (1, 0, 2)).reshape(a, 128 * 128)
+    fare = fsmall[0]
+    faim = fsmall[1]
+    vre = (_dot_hp(fare, u2re) - _dot_hp(faim, u2im))
+    vim = (_dot_hp(fare, u2im) + _dot_hp(faim, u2re))      # (a, 128*128)
+    # rows (kA, kB) flatten to k = 128*kA + kB
+    return (vre.reshape(n, 128), vim.reshape(n, 128))
+
+
+def _fft2p_pass1_kernel(n2a, x_ref, bq_ref, at2_ref, f128_ref, fa_ref,
+                        w2_ref, g_ref):
+    xre = x_ref[0]
+    xim = x_ref[1]                                   # (n2, 128)
+    vre, vim = _ct_dft_cols(xre, xim, n2a, f128_ref, fa_ref, w2_ref)
+    # four-step twiddle w_N^{k2 i1}: At lane part x Bt half select
+    lane = jax.lax.broadcasted_iota(jnp.int32, vre.shape, 1)
+    twre = at2_ref[0]
+    twim = at2_ref[1]                                # (n2, 128)
+    bre = jnp.where(lane < 64, bq_ref[0, 0, :, 0:1], bq_ref[0, 0, :, 1:2])
+    bim = jnp.where(lane < 64, bq_ref[0, 1, :, 0:1], bq_ref[0, 1, :, 1:2])
+    wre = twre * bre - twim * bim
+    wim = twre * bim + twim * bre
+    g_ref[0] = vre * wre - vim * wim
+    g_ref[1] = vre * wim + vim * wre
+
+
+def _fft2p_pass2_kernel(n1b, wrap_k1, g_ref, fb_ref, f128_ref, w1_ref,
+                        out_ref):
+    n1 = 128 * n1b
+    gre = g_ref[0].T                                 # (n1, 128) relayout
+    gim = g_ref[1].T
+    vre, vim = _ct_dft_cols(gre, gim, n1b, f128_ref, fb_ref, w1_ref)
+    out_ref[0, 0:n1, :] = vre
+    out_ref[1, 0:n1, :] = vim
+    if wrap_k1:
+        out_ref[0, n1:n1 + wrap_k1, :] = vre[0:wrap_k1, :]
+        out_ref[1, n1:n1 + wrap_k1, :] = vim[0:wrap_k1, :]
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "interpret"))
+def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
+                 wrap_k1: int = 0, interpret: bool = False):
+    """Two-pass MXU FFT: (2, n2, n1) planes of x.reshape(n2, n1) ->
+    (2, (n1 + wrap_k1) * n2 / 128, 128) natural-order spectrum planes
+    (rows of 128 consecutive bins; rows n1*n2/128.. replay bins
+    0..wrap_k1*n2 — the overlap-save wrap extension).
+
+    Requires n1 % 128 == 0, n2 % 128 == 0 (true for every nfft >= 2^14
+    with the channelizer's n1 = 2^ceil(log2(nfft)/2) split) and
+    wrap_k1 <= n1.
+    """
+    if n1 % 128 or n2 % 128:
+        raise ValueError(f"fft2p needs 128 | n1, n2 (got {n1}, {n2})")
+    key = (n1, n2)
+    if key not in _FFT2P_TABLES:
+        _FFT2P_TABLES[key] = _fft2p_tables(n1, n2)
+    t = _FFT2P_TABLES[key]
+    a2 = n2 // 128
+    b2 = n1 // 128
+
+    g = pl.pallas_call(
+        partial(_fft2p_pass1_kernel, a2),
+        grid_spec=pl.GridSpec(
+            grid=(n1 // 128,),
+            in_specs=[
+                pl.BlockSpec((2, n2, 128), lambda q: (0, 0, q),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, n2, 2), lambda q: (q, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, n2, 128), lambda q: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128, 128), lambda q: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, a2, a2), lambda q: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128, a2), lambda q: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((2, n2, 128), lambda q: (0, 0, q),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, n2, n1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(planes_in,
+      jnp.asarray(t["bq"]),
+      jnp.asarray(t["at2"]),
+      jnp.asarray(t["f128"]), jnp.asarray(t["fa2"]),
+      jnp.asarray(t["w2"]))
+    # pass-1 emitted G as (2, n2 k2, n1 i1); pass 2 slices 128-lane k2
+    # column blocks of its TRANSPOSE via an input block on the k2 axis
+    out = pl.pallas_call(
+        partial(_fft2p_pass2_kernel, b2, wrap_k1),
+        grid_spec=pl.GridSpec(
+            grid=(n2 // 128,),
+            in_specs=[
+                pl.BlockSpec((2, 128, n1), lambda c: (0, c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, b2, b2), lambda c: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128, 128), lambda c: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128, b2), lambda c: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((2, n1 + wrap_k1, 128),
+                                   lambda c: (0, 0, c),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, n1 + wrap_k1, n2),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(g, jnp.asarray(t["fb2"]), jnp.asarray(t["f128"]),
+      jnp.asarray(t["w1"]))
+    rows = (n1 + wrap_k1) * n2 // 128
+    return out.reshape(2, rows, 128)
