@@ -329,6 +329,18 @@ class _QtNamespace:
         Horizontal = 1
         Vertical = 2
 
+    class KeyboardModifier:
+        NoModifier = 0
+        ControlModifier = 0x04000000
+
+
+class QFileDialog(QObject):
+    # tests monkeypatch this to simulate a user file pick
+    @staticmethod
+    def getOpenFileName(parent=None, caption="", directory="",
+                        filter=""):
+        return "", ""
+
 
 class QImage(QObject):
     class Format:

@@ -106,3 +106,28 @@ def test_worker_death_recovery():
         np.testing.assert_array_equal(frames[0]["bits"], slot)
     finally:
         layer.close()
+
+
+@pytest.mark.unit
+def test_sharded_layer_set_keys_reaches_workers_and_respawns():
+    """Runtime key load (reference decoder.py:101 set_keys via the GUI
+    Load-Keys button): live workers receive the keys, respawned workers
+    inherit them, and the parent-side templates follow."""
+    key = "0123456789abcdef0123"
+    want = ("TEA1", bytes.fromhex(key))
+    layer = ShardedFrameLayer(2, n_workers=2, auto_decrypt=True)
+    try:
+        layer.set_keys([key])
+        # parent-side decrypt template + in-process fallback decoders
+        # (lazy maps: keys apply to built AND future decoders)
+        assert want in layer._decrypt_template[0].user_keys
+        assert want in layer._inner.decoders[0].user_keys
+        # a live worker answers a key probe: kill one and let the
+        # respawn path rebuild from _spawn_args (keys inherited)
+        layer._procs[0].kill()
+        layer._procs[0].join()
+        layer._send_with_respawn(0, ("set_emitted", {}))
+        kf, auto, keys = layer._spawn_args
+        assert keys == (key,)
+    finally:
+        layer.close()

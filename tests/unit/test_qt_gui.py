@@ -152,20 +152,149 @@ def test_spectrum_sliders_and_auto_toggle(qt):
     assert win.settings.get("peak_threshold_db") == -60.0
 
 
+class _Ev:
+    """Stub mouse event at pixel x with optional Ctrl held."""
+
+    def __init__(self, x=800.0, ctrl=False):
+        self._x = x
+        self._ctrl = ctrl
+
+    def position(self):
+        ev = self
+
+        class P:
+            def x(self):
+                return ev._x
+        return P()
+
+    def modifiers(self):
+        from PyQt6.QtCore import Qt
+        return (Qt.KeyboardModifier.ControlModifier if self._ctrl
+                else Qt.KeyboardModifier.NoModifier)
+
+
 def test_zoom_click_to_tune_scales(qt):
     w = qt.WaterfallWidget(fs=2.4e6)
     got = []
     w.clicked_freq.connect(got.append)
     w.zoom = 4.0
-
-    class _Ev:
-        def position(self):
-            class P:
-                def x(self):
-                    return 800.0      # right edge of the 800px default
-            return P()
-    w.mousePressEvent(_Ev())
+    w.mousePressEvent(_Ev(800.0))   # right edge of the 800px default
     assert got and abs(got[0] - (0.5 * 2.4e6 / 4.0)) < 1e-6
+
+
+def test_ctrl_click_precision_tune(qt):
+    """Ctrl-click snaps to the interpolated peak near the click and
+    reports its -6 dB bandwidth (modern.py:698-857)."""
+    w = qt.WaterfallWidget(fs=2.4e6)
+    tuned, peaks = [], []
+    w.clicked_freq.connect(tuned.append)
+    w.peak_info.connect(peaks.append)
+    n = 512
+    p = np.full(n, -90.0)
+    k_pk = 384                       # peak at +0.25 * fs
+    p[k_pk - 2:k_pk + 3] = [-70.0, -55.0, -50.0, -55.0, -70.0]
+    w.last_power = p
+    # click slightly OFF the peak: precision tune must still snap to it
+    w.mousePressEvent(_Ev(x=800.0 * (k_pk + 3) / n, ctrl=True))
+    assert len(tuned) == 1 and len(peaks) == 1
+    want = (k_pk - n / 2) / n * 2.4e6
+    assert abs(tuned[0] - want) < 2.4e6 / n        # within one bin
+    assert abs(peaks[0]["freq_offset_hz"] - want) < 2.4e6 / n
+    assert peaks[0]["power_db"] >= -51.0
+    bin_hz = 2.4e6 / n
+    assert 0 < peaks[0]["bandwidth_hz"] < 8 * bin_hz
+    # plain click unchanged by the feature
+    w.mousePressEvent(_Ev(x=400.0))
+    assert abs(tuned[1]) < 1e-6
+
+
+def test_load_keys_applies_live_and_persists(qt, tmp_path):
+    """Load-Keys button (modern.py:2918, 3987-4021): parses the hex key
+    file, stores keys for future captures, and pushes them into the
+    live pipeline via Pipeline.set_keys."""
+    win = qt.ModernTetraGUI()
+    kf = tmp_path / "keys.txt"
+    kf.write_text("# comment\n"
+                  "0123456789abcdef0123\n"          # 20 hex -> TEA1
+                  "// slash comment\n"
+                  "00 11 22 33 44 55 66 77 88 99 aa bb cc dd ee ff\n"
+                  "not-a-key\n")
+    calls = []
+
+    class _Pipe:
+        def set_keys(self, keys):
+            calls.append(list(keys))
+
+    class _Thr:
+        pipeline = _Pipe()
+    win.thread = _Thr()
+    win.on_load_keys(path=str(kf))
+    assert win.encryption_keys == [
+        "0123456789abcdef0123",
+        "00112233445566778899aabbccddeeff"]
+    assert calls == [win.encryption_keys]
+    assert "2" in win.status.text()
+    # file-dialog cancel is a no-op
+    win.on_load_keys(path="")
+    assert win.encryption_keys and len(calls) == 1
+    # empty file: keys unchanged, status explains
+    (tmp_path / "empty.txt").write_text("# nothing\n")
+    win.on_load_keys(path=str(tmp_path / "empty.txt"))
+    assert win.encryption_keys  # retained
+    assert "no valid keys" in win.status.text()
+
+
+def test_pipeline_set_keys_reaches_decoders(qt, tmp_path):
+    """Pipeline.set_keys pushes runtime keys into every per-carrier
+    decoder (host path) — the GUI Load-Keys contract end to end."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    pipe = Pipeline(PipelineConfig(
+        sample_rate=2.4e6, carrier_offsets_hz=(0.0,), voice=False,
+        detect_gate=False))
+    assert pipe.decoders
+    pipe.set_keys(["0123456789abcdef0123"])
+    for d in pipe.decoders:
+        assert ("TEA1", bytes.fromhex("0123456789abcdef0123")) \
+            in d.user_keys
+
+
+def test_rawfm_checkbox_records_wav(qt, tmp_path):
+    """Raw-FM checkbox (modern.py:2040-2061): pipeline FM audio flows
+    through the resampling recorder into a 48 kHz WAV."""
+    from tetraear_tpu.ui.recording import RawFMRecorder
+    win = qt.ModernTetraGUI()
+    win.rawfm_recorder = RawFMRecorder(tmp_path, fs=2.4e6)
+    win.rawfm_chk.setChecked(True)          # -> on_rawfm_toggled(True)
+    assert win.rawfm_recorder.recording
+    t = np.arange(48_000) / 2.4e6
+    win.rawfm_recorder.feed(
+        (0.3 * np.sin(2 * np.pi * 700 * t)).astype(np.float32))
+    win.rawfm_chk.setChecked(False)
+    assert not win.rawfm_recorder.recording
+    wavs = list(tmp_path.glob("rawfm_*.wav"))
+    assert len(wavs) == 1
+    import wave
+    with wave.open(str(wavs[0])) as wf:
+        assert wf.getframerate() == 48_000
+        n = wf.getnframes()
+        # 48000 input samples at 2.4 MHz -> 0.02 s -> ~960 out samples
+        assert 800 <= n <= 960
+
+
+def test_status_strip_updates_from_stats(qt):
+    """stats_update -> the always-visible sync/CRC/decrypt strip
+    (modern.py:5221-5302)."""
+    win = qt.ModernTetraGUI()
+    win.status_tracker.min_detect_s = 0.0
+    win.on_stats({"frames": 0, "signal_present": False})
+    assert "No TETRA Signal" in win.tetra_status.text()
+    win.on_stats({"frames": 20, "valid_frames": 10, "crc_pass": 8,
+                  "encrypted": 4, "decrypted": 2,
+                  "signal_present": True})
+    assert "TETRA Signal Detected" in win.tetra_status.text()
+    assert "Sync 50%" in win.rate_label.text()
+    assert "CRC 40%" in win.rate_label.text()
+    assert "Decrypt 50%" in win.rate_label.text()
 
 
 def test_settings_dialog_roundtrip(qt, tmp_path):

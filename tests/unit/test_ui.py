@@ -120,3 +120,44 @@ def test_recording_max_prune(tmp_path):
     assert len(rc.recordings) == 2
     assert not paths[0].exists() and not paths[1].exists()
     assert paths[2].exists() and paths[3].exists()
+
+
+def test_status_tracker_state_machine():
+    """TetraStatusTracker keeps the reference's detection thresholds
+    (modern.py:5221-5302): none -> analyzing countdown -> detected ->
+    high confidence; no-signal resets the first-frame clock."""
+    from tetraear_tpu.ui.status import TetraStatusTracker
+    tr = TetraStatusTracker(min_detect_s=3.0)
+    s = tr.evaluate({"frames": 0, "signal_present": False}, now=100.0)
+    assert s["state"] == "none"
+    # frames appear: countdown until min_detect_s elapses
+    base = {"signal_present": True, "frames": 4, "valid_frames": 1,
+            "crc_pass": 1, "encrypted": 0, "decrypted": 0}
+    s = tr.evaluate(base, now=100.0)
+    assert s["state"] == "analyzing" and "Analyzing" in s["text"]
+    # after the wait: 4 frames with sync rate 0.25 -> detected
+    s = tr.evaluate(base, now=104.0)
+    assert s["state"] == "detected"
+    # high confidence: >= 5 frames and sync > 0.2
+    s = tr.evaluate({**base, "frames": 8, "valid_frames": 4},
+                    now=104.0)
+    assert s["state"] == "high"
+    assert s["sync_rate"] == 0.5
+    # signal loss resets the clock
+    s = tr.evaluate({"frames": 8, "signal_present": False}, now=105.0)
+    assert s["state"] == "none"
+    s = tr.evaluate(base, now=106.0)
+    assert s["state"] == "analyzing"
+
+
+def test_keyload_parses_reference_format(tmp_path):
+    """GUI key-file parser accepts the reference's format
+    (modern.py:3993-4006): comments, separators, 16-32 hex chars."""
+    from tetraear_tpu.utils.keyload import load_key_file, parse_key_text
+    assert parse_key_text("# c\n//c\n\nAB:CD 12-34 5678 9abc DEF0 11\n"
+                          "deadbeef\n"            # 8 chars: too short
+                          "0123456789abcdef\n") == [
+        "abcd123456789abcdef011", "0123456789abcdef"]
+    p = tmp_path / "k.txt"
+    p.write_text("0123456789abcdef0123\n")
+    assert load_key_file(p) == ["0123456789abcdef0123"]

@@ -310,6 +310,17 @@ class Pipeline:
             np.fft.fftfreq(n, 1.0 / self.config.sample_rate))
         return present, float(freqs[peak_bin]), power_db
 
+    def set_keys(self, hex_keys) -> None:
+        """Runtime key load across the whole frame layer (the reference
+        control panel's Load-Keys button feeding TetraDecoder.set_keys,
+        modern.py:2817-3167 / decoder.py:101): host per-carrier decoders
+        when they exist, the sharded worker fleet otherwise."""
+        keys = [str(k).strip() for k in hex_keys if str(k).strip()]
+        for d in self.decoders:
+            d.set_keys(keys)
+        if not self.decoders and hasattr(self.batch, "set_keys"):
+            self.batch.set_keys(keys)
+
     # -- block processing --------------------------------------------------
 
     def process_block(self, block: np.ndarray) -> list:

@@ -68,6 +68,13 @@ class _LazyDecoders:
             d = self._m[ci] = self._make()
         return d
 
+    def set_keys(self, keys) -> None:
+        """Runtime key load: applies to every already-built decoder and
+        to all future ones (reference decoder.py:101 set_keys)."""
+        self._keys = tuple(keys)
+        for d in self._m.values():
+            d.set_keys(list(keys))
+
 
 class _Emitted(dict):
     """Sparse emitted_until watermark map (missing carrier -> 0)."""
@@ -129,6 +136,9 @@ def _worker_main(conn, key_file, auto_decrypt, keys):
         kind = msg[0]
         if kind == "set_emitted":
             emitted.update(msg[1])
+            continue
+        if kind == "set_keys":
+            decoders.set_keys(msg[1])
             continue
         try:
             if kind == "block":
@@ -210,6 +220,19 @@ class ShardedFrameLayer:
         self._procs[w] = p
 
     # -- lifecycle -----------------------------------------------------
+
+    def set_keys(self, keys) -> None:
+        """Runtime key load across the worker fleet (reference Load-Keys
+        button -> TetraDecoder.set_keys): live workers get a set_keys
+        message, future respawns inherit via _spawn_args, and the
+        parent-side decrypt finishing template follows."""
+        keys = tuple(keys)
+        kf, auto, _old = self._spawn_args
+        self._spawn_args = (kf, auto, keys)
+        self._inner.decoders.set_keys(keys)
+        self._decrypt_template.set_keys(keys)
+        for w in range(self.n_workers):
+            self._send_with_respawn(w, ("set_keys", list(keys)))
 
     def close(self):
         for c in self._conns:

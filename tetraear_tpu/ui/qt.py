@@ -24,10 +24,11 @@ try:
     from PyQt6.QtCore import Qt, QThread, pyqtSignal
     from PyQt6.QtGui import QImage, QPixmap
     from PyQt6.QtWidgets import (QApplication, QCheckBox, QComboBox,
-                                 QDoubleSpinBox, QHBoxLayout, QLabel,
-                                 QLineEdit, QMainWindow, QPushButton,
-                                 QSlider, QTableWidget, QTableWidgetItem,
-                                 QTabWidget, QVBoxLayout, QWidget)
+                                 QDoubleSpinBox, QFileDialog, QHBoxLayout,
+                                 QLabel, QLineEdit, QMainWindow,
+                                 QPushButton, QSlider, QTableWidget,
+                                 QTableWidgetItem, QTabWidget, QVBoxLayout,
+                                 QWidget)
     QT_AVAILABLE = True
 except ImportError:  # pragma: no cover - headless environments
     QT_AVAILABLE = False
@@ -57,15 +58,19 @@ if QT_AVAILABLE:
         frame_decoded = pyqtSignal(dict)
         spectrum_update = pyqtSignal(object)
         voice_audio = pyqtSignal(object)
+        raw_audio = pyqtSignal(object)
         status_update = pyqtSignal(str)
+        stats_update = pyqtSignal(dict)
 
         def __init__(self, config, source):
             super().__init__()
             self.config = config
             self.source = source
+            self.pipeline = None        # live handle for runtime key load
             self._running = False
 
         def run(self):
+            import time as _time
             from tetraear_tpu.api import Pipeline
             self._running = True
             pipe = Pipeline(
@@ -73,7 +78,10 @@ if QT_AVAILABLE:
                 on_frame=self.frame_decoded.emit,
                 on_spectrum=self.spectrum_update.emit,
                 on_audio=self.voice_audio.emit,
-                on_status=self.status_update.emit)
+                on_status=self.status_update.emit,
+                on_raw_audio=self.raw_audio.emit)
+            self.pipeline = pipe
+            last_stats = 0.0
             try:
                 with self.source:
                     while self._running:
@@ -81,8 +89,13 @@ if QT_AVAILABLE:
                         if len(block) < pipe.block_len:
                             break
                         pipe.process_block(block)
+                        now = _time.time()
+                        if now - last_stats >= 1.0:
+                            last_stats = now
+                            self.stats_update.emit(pipe.stats.as_dict())
             except Exception as e:
                 self.status_update.emit(f"error: {e}")
+            self.pipeline = None
             self.status_update.emit("Stopped")
 
         def stop(self):
@@ -93,6 +106,7 @@ if QT_AVAILABLE:
         (modern.py:649-1362 analogue)."""
 
         clicked_freq = pyqtSignal(float)
+        peak_info = pyqtSignal(dict)
 
         def __init__(self, fs: float, width: int = 800, height: int = 200):
             super().__init__()
@@ -107,10 +121,12 @@ if QT_AVAILABLE:
             self.manual_floor_db = -90.0
             self.manual_ceiling_db = -20.0
             self.last_cal = {"floor_db": -90.0, "ceiling_db": -20.0}
+            self.last_power = None      # displayed slice (zoomed)
 
         def push(self, power_db):
             p = self.denoise(np.asarray(power_db))
             p = spec_mod.zoom_slice(p, self.zoom)
+            self.last_power = p
             if self.auto_cal:
                 cal = spec_mod.auto_calibrate(p)
                 self.last_cal = cal
@@ -127,6 +143,30 @@ if QT_AVAILABLE:
 
         def mousePressEvent(self, ev):
             x = ev.position().x() / max(self.width(), 1)
+            if (ev.modifiers() & Qt.KeyboardModifier.ControlModifier
+                    and self.last_power is not None
+                    and len(self.last_power) >= 16):
+                # Ctrl-click precision tune (modern.py:698-772): snap to
+                # the sub-bin-interpolated peak in a window around the
+                # click, and report its -6 dB bandwidth (774-857)
+                p = np.asarray(self.last_power)
+                n = len(p)
+                k = int(np.clip(round(x * n), 0, n - 1))
+                half = max(4, n // 32)
+                lo = max(0, k - half)
+                win = p[lo:min(n, k + half)]
+                fs_v = self.fs / self.zoom
+                bin_hz = fs_v / n
+                fs_w = bin_hz * len(win)   # keeps the window's bin width
+                pk = spec_mod.find_peak(win, fs_w)
+                freq = (pk["freq_offset_hz"]
+                        + (lo + len(win) / 2 - n / 2) * bin_hz)
+                bw = spec_mod.estimate_bandwidth(win, fs_w)
+                self.peak_info.emit({"freq_offset_hz": freq,
+                                     "power_db": pk["power_db"],
+                                     "bandwidth_hz": bw})
+                self.clicked_freq.emit(freq)
+                return
             self.clicked_freq.emit((x - 0.5) * self.fs / self.zoom)
 
     class ScannerDialog(QWidget):
@@ -294,6 +334,10 @@ if QT_AVAILABLE:
                 delete_silent=not self.settings.get("save_silence", False),
                 max_recordings=int(self.settings.get("max_recordings", 0))
                 or None)
+            from tetraear_tpu.ui.status import TetraStatusTracker
+            self.status_tracker = TetraStatusTracker()
+            self.encryption_keys: list[str] = []
+            self.rawfm_recorder = None
             self._all_frames = []
             # apply the persisted log level at startup (the settings
             # dialog writes it; parity with the reference's behavior) —
@@ -348,10 +392,29 @@ if QT_AVAILABLE:
             self.monitor_chk.toggled.connect(
                 lambda on: self.recorder.set_monitor(on))
             panel.addWidget(self.monitor_chk)
+            self.rawfm_chk = QCheckBox("Raw FM")
+            self.rawfm_chk.toggled.connect(self.on_rawfm_toggled)
+            panel.addWidget(self.rawfm_chk)
+            self.load_keys_btn = QPushButton("Load Keys")
+            self.load_keys_btn.clicked.connect(lambda: self.on_load_keys())
+            panel.addWidget(self.load_keys_btn)
             panel.addStretch(1)
             self.status = QLabel("idle")
             panel.addWidget(self.status)
             layout.addLayout(panel)
+
+            # always-visible status strip (modern.py:5221-5302): TETRA
+            # detection state + live sync/CRC/decrypt rates + the
+            # Ctrl-click peak readout
+            strip = QHBoxLayout()
+            self.tetra_status = QLabel("No TETRA Signal")
+            strip.addWidget(self.tetra_status)
+            self.rate_label = QLabel("")
+            strip.addWidget(self.rate_label)
+            self.peak_label = QLabel("")
+            strip.addWidget(self.peak_label)
+            strip.addStretch(1)
+            layout.addLayout(strip)
 
             # gain + sample-rate controls (modern.py:2817-3167)
             hw = QHBoxLayout()
@@ -387,6 +450,7 @@ if QT_AVAILABLE:
             self.waterfall = WaterfallWidget(
                 fs=self.settings.get("sample_rate", 2.4e6))
             self.waterfall.clicked_freq.connect(self._tune_offset)
+            self.waterfall.peak_info.connect(self._show_peak)
             layout.addWidget(self.waterfall)
 
             # spectrum zoom / top / bottom / threshold sliders + auto
@@ -553,6 +617,64 @@ if QT_AVAILABLE:
                                                    self.recorder)
             self._settings_dialog.show()
 
+        def on_load_keys(self, path=None):
+            """Load-Keys button (modern.py:2918-2922, 3987-4021): pick a
+            key file, apply to the LIVE pipeline via Pipeline.set_keys,
+            and keep the keys for future captures."""
+            from tetraear_tpu.utils.keyload import load_key_file
+            if path is None:
+                path, _filt = QFileDialog.getOpenFileName(
+                    self, "Load Keys", "",
+                    "Key Files (*.txt);;All Files (*.*)")
+            if not path:
+                return
+            try:
+                keys = load_key_file(path)
+            except OSError as e:
+                self.status.setText(f"key load failed: {e}")
+                return
+            if not keys:
+                self.status.setText("no valid keys in file")
+                return
+            self.encryption_keys = keys
+            pipe = getattr(self.thread, "pipeline", None)
+            if pipe is not None:
+                pipe.set_keys(keys)
+            self.status.setText(f"loaded {len(keys)} encryption keys")
+
+        def on_rawfm_toggled(self, on: bool):
+            """Raw-FM monitoring checkbox (modern.py:2040-2061): FM
+            discriminator audio from the Pipeline streamed to a 48 kHz
+            WAV; live-togglable (Pipeline checks config.raw_fm per
+            block)."""
+            pipe = getattr(self.thread, "pipeline", None)
+            if pipe is not None:
+                pipe.config.raw_fm = on
+            rec = self.rawfm_recorder
+            if rec is None:
+                return
+            if on:
+                path = rec.start()
+                self.status.setText(f"raw FM -> {path.name}")
+            else:
+                path = rec.stop()
+                if path is not None:
+                    self.status.setText(f"raw FM saved {path.name}")
+
+        def on_stats(self, stats: dict):
+            """1 Hz pipeline stats -> the status strip."""
+            st = self.status_tracker.evaluate(stats)
+            self.tetra_status.setText(st["text"])
+            self.rate_label.setText(
+                f"Sync {st['sync_rate']:.0%} | CRC {st['crc_rate']:.0%}"
+                f" | Decrypt {st['decrypt_rate']:.0%}")
+
+        def _show_peak(self, info: dict):
+            self.peak_label.setText(
+                f"peak {info['freq_offset_hz'] / 1e3:+.1f} kHz  "
+                f"{info['power_db']:.1f} dB  "
+                f"bw {info['bandwidth_hz'] / 1e3:.1f} kHz")
+
         def on_start(self):
             from tetraear_tpu.api import PipelineConfig
             from tetraear_tpu.runtime.sources import open_source
@@ -563,18 +685,27 @@ if QT_AVAILABLE:
             cfg = PipelineConfig(
                 sample_rate=self.settings.get("sample_rate", 2.4e6),
                 frequency=freq,
-                auto_decrypt=self.auto_decrypt.isChecked())
+                auto_decrypt=self.auto_decrypt.isChecked(),
+                keys=tuple(self.encryption_keys),
+                raw_fm=self.rawfm_chk.isChecked())
             source = open_source("rtlsdr",
                                  sample_rate=cfg.sample_rate,
                                  frequency=freq,
                                  gain=self.settings.get("gain", "auto"))
             from tetraear_tpu.frame.aggregator import CallAggregator
+            from tetraear_tpu.ui.recording import RawFMRecorder
             self.aggregator = CallAggregator()
+            self.rawfm_recorder = RawFMRecorder(
+                self.recorder.records_dir, fs=cfg.sample_rate)
+            if cfg.raw_fm:
+                self.rawfm_recorder.start()
             self.thread = CaptureThread(cfg, source)
             self.thread.frame_decoded.connect(self.on_frame)
             self.thread.spectrum_update.connect(self.waterfall.push)
             self.thread.status_update.connect(self.status.setText)
             self.thread.voice_audio.connect(self.recorder.feed)
+            self.thread.raw_audio.connect(self.rawfm_recorder.feed)
+            self.thread.stats_update.connect(self.on_stats)
             self.thread.finished.connect(self._thread_done)
             self.thread.start()
             self.status.setText("running")
@@ -585,6 +716,8 @@ if QT_AVAILABLE:
 
         def _thread_done(self):
             self.thread = None
+            if self.rawfm_recorder is not None:
+                self.rawfm_recorder.stop()
             self.status.setText("stopped")
 
         def _append_frame_row(self, frame: dict):

@@ -123,3 +123,68 @@ class RecordingController:
 
     def close(self) -> None:
         self.stop()
+
+
+class RawFMRecorder:
+    """48 kHz WAV sink for the raw-FM monitoring path (the reference's
+    Raw FM checkbox, modern.py:2040-2061 + 2258-2300): receives the
+    Pipeline's input-rate FM-discriminator audio (PipelineConfig.raw_fm
+    -> on_raw_audio) and streams it through a stateful polyphase
+    resampler to AUDIO_RATE before writing."""
+
+    def __init__(self, records_dir, fs: float,
+                 audio_rate: float = 48_000.0):
+        from fractions import Fraction
+        from tetraear_tpu.dsp import design
+        from tetraear_tpu.ref import polyphase
+        self._polyphase = polyphase
+        frac = Fraction(int(round(audio_rate)), int(round(fs)))
+        up, down = frac.numerator, frac.denominator
+        h = design.kaiser_lowpass(min(15_000.0, audio_rate * 0.4),
+                                  audio_rate * 0.1, fs * up,
+                                  atten_db=50.0)
+        self._st = design.ResampleStage(
+            up=up, down=down, taps=tuple((h * up).astype(np.float32)))
+        self._hist = np.zeros(polyphase.stage_history_len(self._st),
+                              np.complex64)
+        self._pending = np.zeros(0, np.float32)
+        self.records_dir = Path(records_dir)
+        self.audio_rate = audio_rate
+        self._down = down
+        self._rec = None
+
+    @property
+    def recording(self) -> bool:
+        return self._rec is not None
+
+    def start(self) -> Path:
+        from tetraear_tpu.voice.export import WavRecorder
+        if self._rec is not None:
+            return self._rec.path
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        path = self.records_dir / f"rawfm_{ts}.wav"
+        self._rec = WavRecorder(path, sample_rate=int(self.audio_rate),
+                                delete_if_silent=False)
+        logger.info("raw FM recording to %s", path)
+        return path
+
+    def feed(self, audio: np.ndarray) -> None:
+        """Input-rate float32 FM audio (Pipeline on_raw_audio)."""
+        if self._rec is None:
+            return
+        buf = np.concatenate([self._pending,
+                              np.asarray(audio, np.float32)])
+        n = len(buf) - len(buf) % self._down
+        self._pending = buf[n:]
+        if n == 0:
+            return
+        y, self._hist = self._polyphase.stage_apply(
+            self._st, buf[:n].astype(np.complex64), self._hist)
+        self._rec.write(y.real.astype(np.float32))
+
+    def stop(self) -> Path | None:
+        if self._rec is None:
+            return None
+        path = self._rec.close()
+        self._rec = None
+        return path
