@@ -17,7 +17,7 @@ def test_checkpoint_mismatch_raises(tmp_path):
     import jax.numpy as jnp
     state = {"a": jnp.ones(4), "b": jnp.zeros(2)}
     checkpoint.save_state(tmp_path / "s.npz", state)
-    leaves, extra = checkpoint.load_state(tmp_path / "s.npz")
+    leaves, extra, _aux = checkpoint.load_state(tmp_path / "s.npz")
     with pytest.raises(ValueError):
         checkpoint.restore_into({"a": jnp.ones(4)}, leaves)
     restored = checkpoint.restore_into(state, leaves)

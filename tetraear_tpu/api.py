@@ -822,20 +822,57 @@ class Pipeline:
     # -- checkpoint --------------------------------------------------------
 
     def save_checkpoint(self, path) -> None:
-        """DSP state + frame-layer stream positions.  The 600-symbol
-        frame-alignment tails are not persisted: after a restore the
-        first straddling frame per carrier may be lost (same bound as a
-        reference restart), everything after is seamless."""
+        """SEAMLESS checkpoint: DSP state, frame-layer stream positions
+        AND alignment tails, the device-scan bit tail, the lazy
+        previous-block soft planes, and every per-carrier voice decoder
+        state (host C states via tetra_speech_decoder_get_state; the
+        device pool's full slot bank).  A kill/restore across a block
+        boundary reproduces the uninterrupted run's frames and audio
+        bit for bit (tests/unit/test_seamless_checkpoint.py) — the
+        round-2 version dropped straddling frames and reset voice
+        decoder states (audible artifact per active call)."""
         from tetraear_tpu.runtime import checkpoint
-        checkpoint.save_state(path, self.state, extra={
+        extra = {
             "sym_base": self.batch._sym_base.tolist(),
             "emitted_until": self.batch._emitted_until.tolist(),
             "stats": self.stats.as_dict(),
-        })
+            "fm_prev": [float(np.real(self._fm_prev)),
+                        float(np.imag(self._fm_prev))],
+            "afc_offset": float(self._afc_offset),
+            "batch_first": bool(getattr(self.batch, "_first", False)),
+            "trackers": [t.slot_counter for t in self.trackers],
+        }
+        aux = {}
+        if self._tail_bits is not None:
+            aux["tail_bits"] = np.asarray(self._tail_bits)
+        if getattr(self, "_prev_soft", None) is not None:
+            aux["prev_soft"] = np.asarray(self._prev_soft)
+            aux["prev_nc"] = np.asarray(self._prev_nc)
+        for name in ("_tail_hard", "_tail_soft", "_tail_valid"):
+            t = getattr(self.batch, name, None)
+            if t is not None:
+                aux["batch" + name] = np.asarray(t)
+        # host voice decoder states (stateful LPC/excitation memory)
+        vhost = [(ci, vp.state_bytes())
+                 for ci, vp in sorted(self._voice_states.items())
+                 if vp.stateful]
+        vhost = [(ci, b) for ci, b in vhost if b is not None]
+        if vhost:
+            aux["vhost"] = np.stack(
+                [np.frombuffer(b, np.int16) for _, b in vhost])
+            extra["vhost_carriers"] = [int(ci) for ci, _ in vhost]
+        if self._voice_device is not None:
+            leaves, meta = self._voice_device.checkpoint_state()
+            for i, leaf in enumerate(leaves):
+                aux[f"vdev_{i}"] = leaf
+            extra["vdev"] = meta
+            extra["vdev_n"] = len(leaves)
+        checkpoint.save_state(path, self.state, extra=extra, aux=aux)
 
     def load_checkpoint(self, path) -> None:
+        import jax.numpy as jnp
         from tetraear_tpu.runtime import checkpoint
-        leaves, extra = checkpoint.load_state(path)
+        leaves, extra, aux = checkpoint.load_state(path)
         self.state = checkpoint.restore_into(
             self.state, leaves, saved_treedef=extra.get("__treedef__"))
         if "sym_base" in extra:
@@ -843,7 +880,29 @@ class Pipeline:
         if "emitted_until" in extra:
             self.batch._emitted_until = np.asarray(
                 extra["emitted_until"], np.int64)
-        self.batch._first = False
+        if "fm_prev" in extra:
+            self._fm_prev = complex(*extra["fm_prev"])
+        if "afc_offset" in extra:
+            self._afc_offset = float(extra["afc_offset"])
+        for t, cnt in zip(self.trackers, extra.get("trackers", [])):
+            t.slot_counter = int(cnt)
+        if "tail_bits" in aux:
+            self._tail_bits = jnp.asarray(aux["tail_bits"])
+        if "prev_soft" in aux:
+            self._prev_soft = jnp.asarray(aux["prev_soft"])
+            self._prev_nc = np.asarray(aux["prev_nc"])
+        for name in ("_tail_hard", "_tail_soft", "_tail_valid"):
+            if "batch" + name in aux and hasattr(self.batch, name):
+                setattr(self.batch, name, aux["batch" + name])
+        if self.voice is not None:
+            for i, ci in enumerate(extra.get("vhost_carriers", [])):
+                self.voice_for(int(ci)).set_state_bytes(
+                    aux["vhost"][i].tobytes())
+        if "vdev" in extra and self._voice_device is not None:
+            self._voice_device.restore_state(
+                [aux[f"vdev_{i}"] for i in range(int(extra["vdev_n"]))],
+                extra["vdev"])
+        self.batch._first = bool(extra.get("batch_first", False))
         self._first_block = False
 
 

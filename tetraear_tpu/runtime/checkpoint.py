@@ -21,18 +21,25 @@ def _flatten(state) -> dict:
     return arrays, treedef
 
 
-def save_state(path, state, extra: dict | None = None) -> None:
+def save_state(path, state, extra: dict | None = None,
+               aux: dict | None = None) -> None:
+    """aux: named numpy arrays saved alongside the state pytree (host
+    tails, voice decoder states, ...) — optional pieces whose presence
+    can vary by configuration, so they stay out of the validated
+    treedef."""
     arrays, treedef = _flatten(state)
     arrays["__treedef__"] = np.frombuffer(
         str(treedef).encode(), dtype=np.uint8)
     if extra:
         arrays["__extra__"] = np.frombuffer(
             json.dumps(extra, default=str).encode(), dtype=np.uint8)
+    for k, v in (aux or {}).items():
+        arrays[f"aux_{k}"] = np.asarray(v)
     np.savez(path, **arrays)
 
 
 def load_state(path) -> tuple:
-    """Returns (state_leaves_as_list, extra_dict).
+    """Returns (state_leaves_as_list, extra_dict, aux_dict).
 
     Leaves come back in flatten order; the caller's current state template
     is used to unflatten.  The saved treedef string travels along as
@@ -50,7 +57,8 @@ def load_state(path) -> tuple:
         extra = json.loads(bytes(data["__extra__"]).decode())
     if "__treedef__" in data:
         extra["__treedef__"] = bytes(data["__treedef__"]).decode()
-    return leaves, extra
+    aux = {k[4:]: data[k] for k in data.files if k.startswith("aux_")}
+    return leaves, extra, aux
 
 
 def restore_into(template, leaves, saved_treedef: str | None = None):

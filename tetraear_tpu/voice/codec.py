@@ -65,6 +65,21 @@ def _load_library():
                 ]
                 lib.tetra_speech_decoder_new.restype = ctypes.c_void_p
                 lib.tetra_speech_decoder_free.argtypes = [ctypes.c_void_p]
+                # state (de)serialization (checkpoint/resume); absent
+                # from pre-round-3 builds — gated via hasattr
+                if hasattr(lib, "tetra_speech_decoder_state_size"):
+                    lib.tetra_speech_decoder_state_size.restype = \
+                        ctypes.c_int
+                    lib.tetra_speech_decoder_get_state.restype = None
+                    lib.tetra_speech_decoder_get_state.argtypes = [
+                        ctypes.c_void_p,
+                        ctypes.POINTER(ctypes.c_int16),
+                    ]
+                    lib.tetra_speech_decoder_set_state.restype = None
+                    lib.tetra_speech_decoder_set_state.argtypes = [
+                        ctypes.c_void_p,
+                        ctypes.POINTER(ctypes.c_int16),
+                    ]
                 lib.tetra_channel_encode.restype = ctypes.c_int
                 lib.tetra_channel_encode.argtypes = [
                     ctypes.POINTER(ctypes.c_int16),   # 2*(1+137) params
@@ -195,6 +210,38 @@ class VoiceProcessor:
                 self._lib.tetra_speech_decoder_free(self._dec_state)
             except Exception:
                 pass
+
+    # -- state (de)serialization (checkpoint/resume) --------------------
+
+    @property
+    def stateful(self) -> bool:
+        """True when the library supports decoder-state snapshots."""
+        return (self.working
+                and hasattr(self._lib, "tetra_speech_decoder_state_size"))
+
+    def state_bytes(self) -> bytes | None:
+        """Snapshot of the LPC/excitation decoder memory, or None when
+        unavailable (no codec / pre-round-3 .so)."""
+        if not self.stateful:
+            return None
+        n = self._lib.tetra_speech_decoder_state_size() // 2
+        buf = np.zeros(n, np.int16)
+        self._lib.tetra_speech_decoder_get_state(
+            self._dec_state,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        return buf.tobytes()
+
+    def set_state_bytes(self, data: bytes) -> None:
+        if not self.stateful:
+            return
+        want = self._lib.tetra_speech_decoder_state_size()
+        if len(data) != want:
+            raise ValueError(f"decoder state is {len(data)} bytes, "
+                             f"library expects {want}")
+        buf = np.frombuffer(data, np.int16).copy()
+        self._lib.tetra_speech_decoder_set_state(
+            self._dec_state,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
 
     def channel_decode(self, frame_data: bytes) -> np.ndarray | None:
         """690-word block -> (2, 1+137) int16 [BFI, params...] per frame."""

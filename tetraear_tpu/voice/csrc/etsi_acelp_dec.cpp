@@ -538,6 +538,45 @@ void tetra_etsi_decoder_free(void *dec) {
   delete static_cast<etsi::EtsiDecoder *>(dec);
 }
 
+/* ---- decoder state (de)serialization for checkpoint/resume ----------
+ * The state is a fixed set of Word16 arrays plus one internal pointer
+ * (exc) at a constant offset, so a flat little-endian int16 image is a
+ * complete, portable snapshot.  Field order is part of the format. */
+
+enum { ETSI_DEC_EXC_WORDS = etsi::EXC_OFF + etsi::L_FRAME + etsi::L_SUBFR,
+       ETSI_DEC_STATE_WORDS = ETSI_DEC_EXC_WORDS + 10 + 10 + 10 + 23 + 3 };
+
+int tetra_etsi_decoder_state_size(void) {
+  return ETSI_DEC_STATE_WORDS * (int)sizeof(int16_t);
+}
+
+void tetra_etsi_decoder_get_state(const void *dec, int16_t *buf) {
+  const auto *d = static_cast<const etsi::EtsiDecoder *>(dec);
+  std::memcpy(buf, d->old_exc, sizeof(d->old_exc));
+  buf += ETSI_DEC_EXC_WORDS;
+  std::memcpy(buf, d->lspold, sizeof(d->lspold));   buf += 10;
+  std::memcpy(buf, d->lspnew, sizeof(d->lspnew));   buf += 10;
+  std::memcpy(buf, d->mem_syn, sizeof(d->mem_syn)); buf += 10;
+  std::memcpy(buf, d->old_parm, sizeof(d->old_parm)); buf += 23;
+  buf[0] = d->old_t0;
+  buf[1] = d->last_ener_pit;
+  buf[2] = d->last_ener_cod;
+}
+
+void tetra_etsi_decoder_set_state(void *dec, const int16_t *buf) {
+  auto *d = static_cast<etsi::EtsiDecoder *>(dec);
+  std::memcpy(d->old_exc, buf, sizeof(d->old_exc));
+  buf += ETSI_DEC_EXC_WORDS;
+  std::memcpy(d->lspold, buf, sizeof(d->lspold));   buf += 10;
+  std::memcpy(d->lspnew, buf, sizeof(d->lspnew));   buf += 10;
+  std::memcpy(d->mem_syn, buf, sizeof(d->mem_syn)); buf += 10;
+  std::memcpy(d->old_parm, buf, sizeof(d->old_parm)); buf += 23;
+  d->old_t0 = buf[0];
+  d->last_ener_pit = buf[1];
+  d->last_ener_cod = buf[2];
+  d->exc = &d->old_exc[etsi::EXC_OFF];  /* re-derive internal pointer */
+}
+
 /* params: [BFI, p1..p23]; synth: 240 samples (NOT yet Post_Process'd:
  * apply tetra_etsi_post_process for the reference's x2 output scale). */
 int tetra_etsi_decode_frame(void *dec, const int16_t *params,

@@ -27,9 +27,25 @@ void *tetra_etsi_encoder_new(void);
 void tetra_etsi_encoder_free(void *);
 int tetra_etsi_encode_frame(void *, const int16_t *, int16_t *);
 
+int tetra_etsi_decoder_state_size(void);
+void tetra_etsi_decoder_get_state(const void *, int16_t *);
+void tetra_etsi_decoder_set_state(void *, const int16_t *);
+
 void *tetra_speech_decoder_new(void) { return tetra_etsi_decoder_new(); }
 
 void tetra_speech_decoder_free(void *dec) { tetra_etsi_decoder_free(dec); }
+
+int tetra_speech_decoder_state_size(void) {
+  return tetra_etsi_decoder_state_size();
+}
+
+void tetra_speech_decoder_get_state(const void *dec, int16_t *buf) {
+  tetra_etsi_decoder_get_state(dec, buf);
+}
+
+void tetra_speech_decoder_set_state(void *dec, const int16_t *buf) {
+  tetra_etsi_decoder_set_state(dec, buf);
+}
 
 int tetra_speech_decode(void *dec, const int16_t *params, int16_t *pcm) {
   if (!dec || !params || !pcm) return 1;

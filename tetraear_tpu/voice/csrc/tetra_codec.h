@@ -77,6 +77,14 @@ int tetra_speech_decode(void *dec, const int16_t *params, int16_t *pcm);
 int tetra_speech_decode_many(void *dec, const int16_t *params,
                              int32_t n_frames, int16_t *pcm);
 
+/* Decoder state (de)serialization for checkpoint/resume: a flat
+ * little-endian int16 image of the LPC/excitation memory (field order
+ * is part of the format).  get/set buffers must hold
+ * tetra_speech_decoder_state_size() bytes. */
+int tetra_speech_decoder_state_size(void);
+void tetra_speech_decoder_get_state(const void *dec, int16_t *buf);
+void tetra_speech_decoder_set_state(void *dec, const int16_t *buf);
+
 /* Speech encoder instance. */
 void *tetra_speech_encoder_new(void);
 void tetra_speech_encoder_free(void *enc);

@@ -60,6 +60,34 @@ class DeviceSpeechPool:
 
         self._step = jax.jit(step)
 
+    # -- checkpoint/resume ---------------------------------------------
+
+    def checkpoint_state(self) -> tuple:
+        """-> (np leaf list, json-able meta) capturing every device
+        decoder state plus the carrier->slot map and LRU order."""
+        import jax
+        leaves = [np.asarray(l) for l in
+                  jax.tree_util.tree_flatten(self.state)[0]]
+        meta = {"map": [[int(c), int(s)] for c, s in self._map.items()],
+                "free": [int(s) for s in self._free],
+                "slots": self.slots}
+        return leaves, meta
+
+    def restore_state(self, leaves, meta: dict) -> None:
+        import jax
+        import jax.numpy as jnp
+        if int(meta.get("slots", self.slots)) != self.slots:
+            raise ValueError(
+                f"checkpoint has {meta.get('slots')} voice slots, pool "
+                f"configured with {self.slots}")
+        flat, treedef = jax.tree_util.tree_flatten(self.state)
+        if len(flat) != len(leaves):
+            raise ValueError("voice pool state leaf count mismatch")
+        self.state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(l) for l in leaves])
+        self._map = OrderedDict((int(c), int(s)) for c, s in meta["map"])
+        self._free = [int(s) for s in meta["free"]]
+
     # -- slot management ---------------------------------------------------
 
     def _slot_for(self, carrier: int, reset: list) -> int:
