@@ -40,11 +40,14 @@ def main():
 
     def timed(name, fn):
         cj = jax.jit(fn, static_argnums=1)
-        out = cj(x, steps)
-        float(np.asarray(out[0] if isinstance(out, tuple) else out))
+
+        def fetch(out):
+            v = out[0] if isinstance(out, tuple) else out
+            return float(np.asarray(v).ravel()[-1])
+
+        fetch(cj(x, steps))
         t0 = time.time()
-        out = cj(x, steps)
-        float(np.asarray(out[0] if isinstance(out, tuple) else out))
+        fetch(cj(x, steps))
         dt = (time.time() - t0) / steps
         results[name + "_gbs"] = round(2 * mb / 1024 / dt, 1)
         print(f"{name}: {2 * mb / 1024 / dt:.1f} GB/s "

@@ -227,3 +227,106 @@ def test_decoder_bit_exact_long_sequence(acelp):
             assert np.array_equal(ref_pp, my_pp)
     finally:
         acelp.tetra_etsi_decoder_free(ctypes.c_void_p(dec))
+
+
+# ---- encoder conformance corpus sweep (round-3 VERDICT item 9) ---------
+
+def _corpus_signal(kind: str, n: int = 12 * 240,
+                   seed: int = 0) -> np.ndarray:
+    """Deterministic 8 kHz test signals: speech-like (LPC-filtered pitch
+    pulse trains), pure tones, white noise, DTMF digit pairs, a chirp."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 8000.0
+    if kind.startswith("speech"):
+        pitch = int(kind.split("-")[1])
+        e = np.zeros(n)
+        e[::pitch] = 1.0
+        e += 0.05 * rng.standard_normal(n)
+        y = np.zeros(n)
+        for i in range(n):
+            y[i] = e[i]
+            if i > 0:
+                y[i] += 1.2 * y[i - 1]
+            if i > 1:
+                y[i] += -0.8 * y[i - 2]
+            if i > 2:
+                y[i] += 0.3 * y[i - 3]
+        return (y / np.max(np.abs(y)) * 8000).astype(np.int16)
+    if kind.startswith("tone"):
+        f = float(kind.split("-")[1])
+        return (6000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    if kind == "noise":
+        return (2500 * rng.standard_normal(n)).clip(
+            -30000, 30000).astype(np.int16)
+    if kind.startswith("dtmf"):
+        f1, f2 = (float(x) for x in kind.split("-")[1:])
+        return (2000 * (np.sin(2 * np.pi * f1 * t)
+                        + np.sin(2 * np.pi * f2 * t))).astype(np.int16)
+    if kind == "chirp":
+        return (5000 * np.sin(2 * np.pi * (200 + 1400 * t / t[-1]) * t)
+                ).astype(np.int16)
+    raise ValueError(kind)
+
+
+# floors from the measured baseline (g++ -O2, 2026-08): speech 7.4-9.8,
+# tone 10.1/21.1, noise 1.1, dtmf 14.4/15.7, chirp 13.2 dB — set ~2.5 dB
+# under so legitimate toolchain jitter passes but a real encoder
+# regression (gain/pitch/codebook bugs) cannot hide
+_CORPUS = [
+    ("speech-40", 7.0), ("speech-57", 6.0), ("speech-90", 5.0),
+    ("tone-440", 7.5), ("tone-1000", 18.0),
+    ("noise", 0.3),
+    ("dtmf-697-1209", 13.0), ("dtmf-852-1477", 9.5),
+    ("chirp", 10.5),
+]
+
+
+@pytest.mark.codec
+@pytest.mark.parametrize("kind,snr_floor", _CORPUS,
+                         ids=[k for k, _ in _CORPUS])
+def test_encoder_conformance_corpus(acelp, kind, snr_floor):
+    """Corpus sweep (reference contract:
+    tests/codec/test_codec_verification.py:249-288 — theirs only checks
+    scoder produces bytes; ours pins interop + quality): every frame our
+    encoder emits must decode to IDENTICAL samples on our decoder and
+    the reference sdecoder binary, and the reconstruction must clear a
+    measured SNR floor so encoder regressions can't hide behind the
+    format check."""
+    o = Oracle("sdecoder.exe")
+    o("Init_Decod_Tetra")
+    acelp.tetra_etsi_encoder_new.restype = ctypes.c_void_p
+    acelp.tetra_etsi_encode_frame.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16)]
+    enc = acelp.tetra_etsi_encoder_new()
+    dec = acelp.tetra_etsi_decoder_new()
+
+    pcm = _corpus_signal(kind)
+    ref_out, my_out = [], []
+    for f in range(len(pcm) // 240):
+        prm = np.zeros(24, np.int16)
+        seg = np.ascontiguousarray(pcm[f * 240:(f + 1) * 240])
+        acelp.tetra_etsi_encode_frame(
+            enc, seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            prm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        syn_r = np.zeros(240, np.int16)
+        o("Decod_Tetra", prm.copy(), syn_r)
+        syn_m = np.zeros(240, np.int16)
+        acelp.tetra_etsi_decode_frame(
+            dec, prm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            syn_m.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        # per-frame identity: our decoder == the ETSI reference binary
+        # on OUR encoder's output (catches illegal parameter ranges the
+        # reference would interpret differently)
+        np.testing.assert_array_equal(syn_m, syn_r, err_msg=f"frame {f}")
+        ref_out.append(syn_r.copy())
+        my_out.append(syn_m.copy())
+
+    ref = np.concatenate(ref_out).astype(np.float64)
+    a = pcm.astype(np.float64)[480:]       # skip codec warmup
+    b = ref[480:]
+    g = np.dot(a, b) / max(np.dot(b, b), 1e-9)
+    snr = 10 * np.log10(np.dot(a, a) / max(np.sum((a - g * b) ** 2),
+                                           1e-9))
+    assert snr >= snr_floor, f"{kind}: SNR {snr:.2f} < {snr_floor}"
+    assert np.sqrt(np.mean(b ** 2)) > 100      # audible energy
