@@ -213,6 +213,7 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
     # sparse keys and the scan counters, so nothing is dead code.  This
     # is the reference CaptureThread's full voice path
     # (tetraear/ui/modern.py:2088-2228) at an all-carriers-active load.
+    run_voice = None
     if mode in ("voice", "both") and fused is not None:
         from tetraear_tpu.dsp.framescan import sparse_hits, SPARSE_K
         from tetraear_tpu.voice import jviterbi, jspeech
@@ -274,26 +275,34 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
                 body, init, None, length=n)
             return st, nhit, nok, pacc
 
-        chain_j = jax.jit(chain_voice, static_argnums=3)
-        sstate0 = jspeech.init_state(n_carriers)
-        try:
-            elapsed = _time_chain(
-                chain_j,
-                lambda: (xd, fused.init_state(), sstate0, steps), steps,
-                lambda out: (
-                    np.asarray(out[0]["bank"]["timing"]["next_t"])[0],
-                    int(out[1]), int(out[2]), int(out[3])))
-            res["voice_rt_factor"] = steps * block / fs / elapsed
-            res["voice_carriers_rt"] = (res["voice_rt_factor"]
-                                        * n_carriers)
-            res["voice_elapsed_s"] = elapsed
-        except Exception as e:
-            # in both-mode the voice add-on must not nuke the e2e
-            # headline (it shares the bench watchdog budget)
-            if mode == "voice":
-                raise
-            res["voice_error"] = f"{type(e).__name__}: {e}"
+        def run_voice():
+            chain_j = jax.jit(chain_voice, static_argnums=3)
+            sstate0 = jspeech.init_state(n_carriers)
+            try:
+                elapsed = _time_chain(
+                    chain_j,
+                    lambda: (xd, fused.init_state(), sstate0, steps),
+                    steps,
+                    lambda out: (
+                        np.asarray(
+                            out[0]["bank"]["timing"]["next_t"])[0],
+                        int(out[1]), int(out[2]), int(out[3])))
+                res["voice_rt_factor"] = steps * block / fs / elapsed
+                res["voice_carriers_rt"] = (res["voice_rt_factor"]
+                                            * n_carriers)
+                res["voice_elapsed_s"] = elapsed
+            except Exception as e:
+                # in both-mode the voice add-on must not nuke the e2e
+                # headline (it shares the bench watchdog budget; a TPU
+                # worker crash here still loses the run — which is why
+                # both-mode measures e2e FIRST)
+                if mode == "voice":
+                    raise
+                res["voice_error"] = f"{type(e).__name__}: {e}"
+
     if mode == "voice":
+        if run_voice is not None:
+            run_voice()
         if "voice_rt_factor" not in res:
             raise RuntimeError("voice bench mode needs the fused path")
         elapsed = res["voice_elapsed_s"]
@@ -329,6 +338,12 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         from tetraear_tpu.runtime.profiling import roofline_fraction
         res["roofline"] = roofline_fraction(
             n_carriers, fs, res["rt_factor"], frontend=frontend)
+        # voice add-on AFTER the headline is banked (a voice-chain
+        # failure must not cost the e2e number); opt out with
+        # BENCH_VOICE=0
+        if (mode == "both" and run_voice is not None
+                and os.environ.get("BENCH_VOICE") != "0"):
+            run_voice()
     elif mode == "demod":
         res["rt_factor"] = res["demod_rt_factor"]
         res["carriers_rt"] = res["demod_carriers_rt"]

@@ -369,3 +369,87 @@ def test_pipeline_device_scan_equivalence():
     # split path drops the first diff symbol -> positions shift by one
     assert [(p - 1, m) for p, m in fused] == split
     assert len(fused) >= 4
+
+
+def test_pipeline_fused_backhalf_equivalence(monkeypatch):
+    """The streaming Pipeline's FusedRx path (eligible config: fft
+    frontend, 72 kHz-family rate, carrier_afc off; forced on CPU via
+    TETRAEAR_FORCE_FUSED) yields the same frames as the classic
+    block_step_scan formulation — same contract as the offline
+    DecodeRunner's fused selection (runtime/stream.py)."""
+    from tetraear_tpu.ref import golden
+
+    fs = 2.304e6                       # 72 kHz * 32
+    payloads = [golden.sds_text_payload(f"FUSED PIPE {i}")
+                for i in range(8)]
+    iq = golden.golden_iq(payloads, fs=fs, freq_offset_hz=12_500.0,
+                          snr_db=25, seed=31)
+
+    def run(force_fused):
+        if force_fused:
+            monkeypatch.setenv("TETRAEAR_FORCE_FUSED", "1")
+        else:
+            monkeypatch.delenv("TETRAEAR_FORCE_FUSED", raising=False)
+        got = []
+        cfg = PipelineConfig(sample_rate=fs,
+                             carrier_offsets_hz=(12_500.0,),
+                             frontend="fft", carrier_afc=False,
+                             detect_gate=False, voice=False,
+                             auto_decrypt=False, validate=False,
+                             block_len=48_000)
+        pipe = Pipeline(cfg, on_frame=got.append)
+        if force_fused:
+            assert pipe._fused is not None, "config must be eligible"
+        else:
+            assert pipe._fused is None
+        n_blocks = len(iq) // pipe.block_len
+        for b in range(n_blocks):
+            pipe.process_block(
+                iq[b * pipe.block_len:(b + 1) * pipe.block_len])
+        return [(f["stream_symbol"], f.get("burst_crc"),
+                 f.get("sds_message")) for f in got]
+
+    fused = run(True)
+    classic = run(False)
+    assert fused == classic
+    assert sum(1 for _, crc, _ in fused if crc) >= 6
+
+
+def test_pipeline_fused_checkpoint_roundtrip(monkeypatch, tmp_path):
+    """Seamless checkpoint works on the fused streaming path (its state
+    tree embeds the device bit tail)."""
+    from tetraear_tpu.ref import golden
+
+    monkeypatch.setenv("TETRAEAR_FORCE_FUSED", "1")
+    fs = 2.304e6
+    payloads = [golden.sds_text_payload("FUSED CKPT")] * 8
+    iq = golden.golden_iq(payloads, fs=fs, freq_offset_hz=12_500.0,
+                          snr_db=25, seed=32)
+    cfg = PipelineConfig(sample_rate=fs, carrier_offsets_hz=(12_500.0,),
+                         frontend="fft", carrier_afc=False,
+                         detect_gate=False, voice=False,
+                         auto_decrypt=False, validate=False,
+                         block_len=48_000)
+
+    def key(frames):
+        return [(f["stream_symbol"], f.get("burst_crc"),
+                 f.get("sds_message")) for f in frames]
+
+    base = []
+    pipe = Pipeline(cfg, on_frame=base.append)
+    blocks = [iq[b * pipe.block_len:(b + 1) * pipe.block_len]
+              for b in range(len(iq) // pipe.block_len)]
+    for b in blocks:
+        pipe.process_block(b)
+
+    got = []
+    p1 = Pipeline(cfg, on_frame=got.append)
+    assert p1._fused is not None
+    for b in blocks[:2]:
+        p1.process_block(b)
+    p1.save_checkpoint(tmp_path / "f.npz")
+    p2 = Pipeline(cfg, on_frame=got.append)
+    p2.load_checkpoint(tmp_path / "f.npz")
+    for b in blocks[2:]:
+        p2.process_block(b)
+    assert key(got) == key(base)

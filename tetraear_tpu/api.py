@@ -56,6 +56,11 @@ class PipelineConfig:
     afc: bool = False                   # coarse capture-level AFC (FFT peak)
     afc_retune_hz: float = 2000.0       # retune source when |offset| exceeds
     carrier_afc: bool = True            # per-carrier d^4 tracking loop
+    frontend: str = "conv"              # "fft": wideband FFT channelizer
+                                        # (the fleet-scale frontend; on a
+                                        # 72 kHz-family rate with
+                                        # carrier_afc off it enables the
+                                        # fused Pallas back half)
     fft_size: int = 2048
     voice: bool = True                  # decode voice when codec available
     voice_threads: int = 0              # >1: synthesize voice carriers
@@ -136,12 +141,20 @@ class Pipeline:
         self._fm_prev = 1.0 + 0j
 
         # Round block length down to the demod granularity.
-        probe = CarrierBankDemod(fs=config.sample_rate, freqs_hz=[0.0])
-        gran = probe.granularity
-        self.block_len = max(gran, (config.block_len // gran) * gran)
+        probe = CarrierBankDemod(fs=config.sample_rate, freqs_hz=[0.0],
+                                 frontend=config.frontend)
+        if config.frontend == "fft":
+            # the FFT channelizer's overlap-save geometry fixes the
+            # block length (nfft - overlap); config.block_len is a
+            # request the conv frontend rounds, not a contract
+            self.block_len = probe.block_len
+        else:
+            gran = probe.granularity
+            self.block_len = max(gran, (config.block_len // gran) * gran)
         self.bank = CarrierBankDemod(
             fs=config.sample_rate, freqs_hz=config.carrier_offsets_hz,
-            block_len=self.block_len, afc=config.carrier_afc)
+            block_len=self.block_len, afc=config.carrier_afc,
+            frontend=config.frontend)
         self.n_carriers = self.bank.n_carriers
         self.state = self.bank.init_state()
         self._first_block = True
@@ -150,8 +163,10 @@ class Pipeline:
         # second dispatch and a (C, 2W) bit-plane transfer per block)
         self._device_scan = bool(config.device_scan)
         self._tail_bits = None
+        self._fused = None
         if self._device_scan:
             import jax
+            import jax.numpy as jnp
             from tetraear_tpu.dsp import framescan
             from tetraear_tpu.dsp.backhalf import block_step_scan, TAILBITS
             self._sparse = bool(config.sparse_hits)
@@ -162,28 +177,70 @@ class Pipeline:
             sparse_k = int(os.environ.get("TETRAEAR_SPARSE_K",
                                           framescan.SPARSE_K))
 
-            def step(x_r, st, tb):
-                from tetraear_tpu.runtime.stream import masked_pack
-                scan, st2, tl2, n_c, out = block_step_scan(
-                    self.bank, x_r, st, tb)
-                if self._sparse:
-                    # trace-time guard: a z-layout change that desyncs
-                    # the host width formulas must fail fast, not
-                    # decode keys to shifted positions
-                    assert scan["corr"].shape[1] == self._pe_n, (
-                        scan["corr"].shape, self._pe_n)
-                    keys, counts = framescan.sparse_hits(
-                        scan["corr"], scan["crc_err"], sparse_k)
-                    scan = {"keys": keys, "counts": counts}
-                    # compact transfer: packed 2-bit symbols + valid
-                    # counts instead of the (C, K) planes (stream
-                    # .masked_pack; validity is contiguous from 0)
-                    out = dict(out, hard=masked_pack(out["hard"],
-                                                     out["valid"]),
-                               valid=n_c)
-                return scan, st2, tl2, n_c, out
+            # fused back half (dsp.backhalf, same selection as the
+            # offline DecodeRunner): demod + scan in two Pallas kernel
+            # trips when the config is eligible (fft frontend on a
+            # 72 kHz-family rate, Pallas synth, carrier_afc off) —
+            # bit-identical verdicts and symbol decisions, ~25% more
+            # realtime carriers at C=10240 (BENCH fused vs split)
+            want = (jax.default_backend() == "tpu"
+                    or os.environ.get("TETRAEAR_FORCE_FUSED") == "1")
+            if os.environ.get("TETRAEAR_NO_FUSED") != "1" and want:
+                try:
+                    from tetraear_tpu.dsp.backhalf import FusedRx
+                    self._fused = FusedRx(self.bank)
+                except ValueError:
+                    self._fused = None
 
-            self._block_step = jax.jit(step)
+            def _sparsify(scan, out, n_c):
+                from tetraear_tpu.runtime.stream import masked_pack
+                # trace-time guard: a z-layout change that desyncs the
+                # host width formulas must fail fast, not decode keys
+                # to shifted positions
+                assert scan["corr"].shape[1] == self._pe_n, (
+                    scan["corr"].shape, self._pe_n)
+                keys, counts = framescan.sparse_hits(
+                    scan["corr"], scan["crc_err"], sparse_k)
+                # compact transfer: packed 2-bit symbols + valid counts
+                # instead of the (C, K) planes (stream.masked_pack;
+                # validity is contiguous from 0)
+                out = dict(out, hard=masked_pack(out["hard"],
+                                                 out["valid"]),
+                           valid=n_c)
+                return {"keys": keys, "counts": counts}, out
+
+            if self._fused is not None:
+                fused = self._fused
+                k_r = jnp.arange(self.bank.k_max, dtype=jnp.int32)[None]
+
+                def fstep(x_r, st):
+                    out_f, st2 = fused.step(x_r, st)
+                    # hard/valid reconstructed from the soft signs —
+                    # identical decisions (hard msb = d_im < 0 =
+                    # soft0 > 0), same as stream._scan_fused_impl
+                    soft = fused.soft_symbols(out_f["soft_planes"])
+                    msb = (soft[:, :, 0] > 0).astype(jnp.uint8)
+                    lsb = (soft[:, :, 1] > 0).astype(jnp.uint8)
+                    n_c = out_f["n_valid"]
+                    out = {"hard": (msb << 1) | lsb, "soft": soft,
+                           "valid": k_r < n_c[:, None]}
+                    scan = {"corr": out_f["corr"],
+                            "crc_err": out_f["crc_err"]}
+                    if self._sparse:
+                        scan, out = _sparsify(scan, out, n_c)
+                    return scan, st2, n_c, out
+
+                self._block_step = jax.jit(fstep)
+                self.state = fused.init_state()
+            else:
+                def step(x_r, st, tb):
+                    scan, st2, tl2, n_c, out = block_step_scan(
+                        self.bank, x_r, st, tb)
+                    if self._sparse:
+                        scan, out = _sparsify(scan, out, n_c)
+                    return scan, st2, tl2, n_c, out
+
+                self._block_step = jax.jit(step)
 
         key_manager = None
         if config.key_file:
@@ -358,16 +415,25 @@ class Pipeline:
             import jax.numpy as jnp
             from tetraear_tpu.dsp import kernels
             from tetraear_tpu.dsp.backhalf import TAILBITS
-            if self._tail_bits is None:
-                self._tail_bits = jnp.zeros(
-                    (self.n_carriers, TAILBITS), jnp.uint8)
-                # the device tail replicates the host tail; the
-                # first-diff-symbol drop is skipped on both sides (one
-                # garbage symbol at the stream head cannot form a frame)
-                self.batch._first = False
             x_r = jnp.asarray(kernels.c2r_np(block))
-            scan, self.state, self._tail_bits, _n_c, out = \
-                self._block_step(x_r, self.state, self._tail_bits)
+            if self._fused is not None:
+                # the device tail replicates the host tail (carried
+                # inside the fused state); the first-diff-symbol drop
+                # is skipped on both sides
+                self.batch._first = False
+                scan, self.state, _n_c, out = self._block_step(
+                    x_r, self.state)
+            else:
+                if self._tail_bits is None:
+                    self._tail_bits = jnp.zeros(
+                        (self.n_carriers, TAILBITS), jnp.uint8)
+                    # the device tail replicates the host tail; the
+                    # first-diff-symbol drop is skipped on both sides
+                    # (one garbage symbol at the stream head cannot
+                    # form a frame)
+                    self.batch._first = False
+                scan, self.state, self._tail_bits, _n_c, out = \
+                    self._block_step(x_r, self.state, self._tail_bits)
             if self._sparse:
                 from tetraear_tpu.runtime.stream import (unpack_block,
                                                          LazySoftRows)

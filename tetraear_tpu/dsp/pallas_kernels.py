@@ -1080,28 +1080,38 @@ def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
     lanes ride along.  i = a*iB + iA (iA in [0, a)), k = kB + 128*kA;
     inner 128-DFT contracts iB, outer a-DFT contracts iA.  Returns
     (n, 128) planes with rows in k order."""
+    import os
+    ablate = set(os.environ.get("TETRAEAR_FFT2P_ABLATE", "").split(","))
+    dot = _dot01 if "hp" in ablate else _dot_hp
     n = 128 * a
     # inner: S[kB, (iA, l)] = sum_iB F128[kB, iB] T[(iB, iA), l]
     t2re = tre.reshape(128, a * 128)
     t2im = tim.reshape(128, a * 128)
     f128re = f128[0]
     f128im = f128[1]
-    sre = (_dot_hp(f128re, t2re) - _dot_hp(f128im, t2im))
-    sim = (_dot_hp(f128re, t2im) + _dot_hp(f128im, t2re))  # (128, a*128)
+    sre = (dot(f128re, t2re) - dot(f128im, t2im))
+    sim = (dot(f128re, t2im) + dot(f128im, t2re))  # (128, a*128)
     # CT twiddle w_n^{iA kB}: broadcast over lanes
     s3re = sre.reshape(128, a, 128)
     s3im = sim.reshape(128, a, 128)
-    wre = wsm[0][:, :, None]
-    wim = wsm[1][:, :, None]
-    ure = s3re * wre - s3im * wim
-    uim = s3re * wim + s3im * wre
+    if "notw" in ablate:
+        ure, uim = s3re, s3im
+    else:
+        wre = wsm[0][:, :, None]
+        wim = wsm[1][:, :, None]
+        ure = s3re * wre - s3im * wim
+        uim = s3re * wim + s3im * wre
     # outer: contract iA; relayout so iA is the leading (sublane) axis
-    u2re = jnp.transpose(ure, (1, 0, 2)).reshape(a, 128 * 128)
-    u2im = jnp.transpose(uim, (1, 0, 2)).reshape(a, 128 * 128)
+    if "noxpose" in ablate:              # WRONG VALUES: timing ablation
+        u2re = ure.reshape(a, 128 * 128)
+        u2im = uim.reshape(a, 128 * 128)
+    else:
+        u2re = jnp.transpose(ure, (1, 0, 2)).reshape(a, 128 * 128)
+        u2im = jnp.transpose(uim, (1, 0, 2)).reshape(a, 128 * 128)
     fare = fsmall[0]
     faim = fsmall[1]
-    vre = (_dot_hp(fare, u2re) - _dot_hp(faim, u2im))
-    vim = (_dot_hp(fare, u2im) + _dot_hp(faim, u2re))      # (a, 128*128)
+    vre = (dot(fare, u2re) - dot(faim, u2im))
+    vim = (dot(fare, u2im) + dot(faim, u2re))      # (a, 128*128)
     # rows (kA, kB) flatten to k = 128*kA + kB
     return (vre.reshape(n, 128), vim.reshape(n, 128))
 
@@ -1125,9 +1135,15 @@ def _fft2p_pass1_kernel(n2a, x_ref, bq_ref, at2_ref, f128_ref, fa_ref,
 
 def _fft2p_pass2_kernel(n1b, wrap_k1, g_ref, fb_ref, f128_ref, w1_ref,
                         out_ref):
+    import os
+    ablate = set(os.environ.get("TETRAEAR_FFT2P_ABLATE", "").split(","))
     n1 = 128 * n1b
-    gre = g_ref[0].T                                 # (n1, 128) relayout
-    gim = g_ref[1].T
+    if "noxpose2" in ablate:             # WRONG VALUES: timing ablation
+        gre = g_ref[0].reshape(n1, 128)
+        gim = g_ref[1].reshape(n1, 128)
+    else:
+        gre = g_ref[0].T                             # (n1, 128) relayout
+        gim = g_ref[1].T
     vre, vim = _ct_dft_cols(gre, gim, n1b, f128_ref, fb_ref, w1_ref)
     out_ref[0, 0:n1, :] = vre
     out_ref[1, 0:n1, :] = vim
