@@ -31,6 +31,8 @@ class Dashboard:
         self.frames = deque(maxlen=128)
         self.spectrum = None
         self.denoise = spec_mod.SpectrumDenoiser()
+        from tetraear_tpu.ui.status import TetraStatusTracker
+        self.status_tracker = TetraStatusTracker()
         self.last_draw = 0.0
         pipeline.on_frame = self.frames.append
         pipeline.on_spectrum = self._on_spectrum
@@ -70,10 +72,17 @@ class Dashboard:
                     f"voice={stats.voice_frames} "
                     f"enc={stats.encrypted}/{stats.decrypted}dec{act} ",
                     w - 1, curses.A_REVERSE)
-        scr.addnstr(1, 0, self._spectrum_row(w - 1), w - 1)
-        scr.addnstr(2, 0, "-" * (w - 1), w - 1)
-        row = 3
-        for f in list(self.frames)[-(h - 4):]:
+        # TETRA detection strip — same Qt-free state machine as the Qt
+        # window's status strip (ui/status.py, modern.py:5221-5302)
+        st = self.status_tracker.evaluate(stats.as_dict())
+        scr.addnstr(1, 0,
+                    f" {st['text']}  |  Sync {st['sync_rate']:.0%} "
+                    f"CRC {st['crc_rate']:.0%} "
+                    f"Decrypt {st['decrypt_rate']:.0%} ", w - 1)
+        scr.addnstr(2, 0, self._spectrum_row(w - 1), w - 1)
+        scr.addnstr(3, 0, "-" * (w - 1), w - 1)
+        row = 4
+        for f in list(self.frames)[-(h - 5):]:
             crc = "+" if f.get("burst_crc") else "x"
             enc = ("DEC" if f.get("decrypted")
                    else "ENC" if f.get("encrypted") else "CLR")
