@@ -32,6 +32,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tetraear_tpu.dsp import design, kernels, sync, timing
 
 
+def _global_device_put(x_np: np.ndarray, sharding: NamedSharding):
+    """device_put that also works in multi-process (DCN) runs: each
+    process materializes only its addressable shards by slicing the
+    host-global array (every host holds the full input; a production
+    fleet would slice its SDR band feed the same way)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(
+            x_np.shape, sharding,
+            lambda idx: np.ascontiguousarray(x_np[idx]))
+    return jax.device_put(jnp.asarray(x_np), sharding)
+
+
+def _fetch_global(tree):
+    """Fetch possibly multi-process-sharded outputs to host numpy:
+    single-process -> plain np.asarray; multi-process -> allgather the
+    non-addressable shards across hosts so every process returns the
+    full result."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
 def make_mesh(n_carrier_shards: int, n_time_shards: int,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -202,9 +225,10 @@ class ShardedDemod:
         x = np.broadcast_to(iq[None, :need], (self.n_carriers, need))
         x_r = kernels.c2r_np(np.ascontiguousarray(x))
         sh = NamedSharding(self.mesh, P("carrier", "time"))
-        xd = jax.device_put(jnp.asarray(x_r), sh)
-        hard, soft, valid, hits = self._step(
-            xd, jnp.asarray(self.seg_step), jnp.asarray(self.halo_cycles))
+        xd = _global_device_put(x_r, sh)
+        hard, soft, valid, hits = _fetch_global(self._step(
+            xd, jnp.asarray(self.seg_step),
+            jnp.asarray(self.halo_cycles)))
         return {
             "hard": np.asarray(hard),    # (C, n_time, K)
             "soft": np.asarray(soft),
@@ -406,9 +430,9 @@ class ShardedFFTDemod:
             raise ValueError(f"need {need} samples, got {len(iq)}")
         x_r = kernels.c2r_np(iq[:need])
         sh_x = NamedSharding(self.mesh, P("time"))
-        xd = jax.device_put(jnp.asarray(x_r), sh_x)
+        xd = _global_device_put(x_r, sh_x)
         sc = jnp.asarray(self.seg_cycles)
-        hard, valid, hits = self._step(xd, sc)
+        hard, valid, hits = _fetch_global(self._step(xd, sc))
         return {
             "hard": np.asarray(hard),
             "valid": np.asarray(valid),
