@@ -281,17 +281,36 @@ def _mac0_chain(init, x, y):
 
 def _pred_lt(buf, t0, frac, base: int):
     """Pred_Lt on the excitation buffer (B, EXC_LEN) at static offset
-    ``base``; t0/frac per carrier.  60-step scan: each new sample may
-    feed later taps (t0 < 60), so this is a true recursion."""
+    ``base``; t0/frac per carrier.  Each new sample may feed later taps
+    (pos - t0 + 16 can reach written samples), so this is a true
+    recursion — but the per-sample (B, 33) take_along_axis gather the
+    first formulation used made the scan LATENCY-bound on TPU (the
+    whole voice chain measured ~420 ms/block at any batch size,
+    agenda8).  Here the window region is gathered ONCE per subframe
+    into a sliding ``ext`` buffer; inside the 60-step scan the window
+    read is a batch-uniform dynamic_slice (the scan counter is the
+    only offset) and the recursion feedback is a one-hot masked add at
+    per-carrier lag t0 + 16 (> 32 always, PIT_MIN = 18, so feedback
+    never lands inside the current window read).  Bit-exact: the
+    saturating L_mac0 chain is unchanged, only data movement differs.
+    """
     coef1 = [int(v) for v in T.COEF1]
     coef2 = [int(v) for v in T.COEF2]
     zero = jnp.zeros_like(t0)
+    w_ext = L_SUBFR + 32                       # window span of all steps
+    start0 = base - t0 - 16                    # (B,) >= 0 by layout
+    j = jnp.arange(w_ext, dtype=jnp.int32)
+    ext0 = jnp.take_along_axis(buf, start0[:, None] + j[None], axis=1)
+    # positions j >= t0 + 16 alias buf[base + ...] (this subframe's
+    # output region): zero them so the one-hot ADD of computed samples
+    # is an overwrite
+    wrap = (t0 + 16)[:, None]
+    ext0 = jnp.where(j[None] < wrap, ext0, 0)
 
-    def step(buf, i):
-        pos = base + i
-        start = pos - t0 - 16
-        idx = start[:, None] + jnp.arange(33)
-        w = jnp.take_along_axis(buf, idx, axis=1)      # (B, 33)
+    def step(carry, i):
+        ext = carry
+        w = jax.lax.dynamic_slice(
+            ext, (jnp.int32(0), i), (ext.shape[0], 33))
         v0 = w[:, 16]
         L1 = zero
         L2 = zero
@@ -301,21 +320,30 @@ def _pred_lt(buf, t0, frac, base: int):
         v1 = F.round_w(F.L_add(L1, L1))
         v2 = F.round_w(F.L_add(L2, L2))
         val = jnp.where(frac == 0, v0, jnp.where(frac == 1, v1, v2))
-        buf = jax.lax.dynamic_update_slice(
-            buf, val[:, None], (jnp.int32(0), pos))
-        return buf, None
+        # recursion feedback: sample i is read again (as a tap) at ext
+        # position i + t0 + 16; beyond w_ext the one-hot is empty and
+        # the write drops (never read again)
+        ext = ext + val[:, None] * (j[None] == (i + wrap))
+        return ext, val
 
-    buf, _ = jax.lax.scan(step, buf, jnp.arange(L_SUBFR, dtype=jnp.int32))
-    return buf
+    _, vals = jax.lax.scan(step, ext0,
+                           jnp.arange(L_SUBFR, dtype=jnp.int32))
+    return jax.lax.dynamic_update_slice(
+        buf, vals.T, (jnp.int32(0), jnp.int32(base)))
 
 
 def _sharpen(h, t0):
     """Pitch-sharpen the impulse response in place: h (B, 60),
     h[i] += mult(h[i - t0], 0x6668) for i >= t0 (recursive when
     2*t0 <= 59)."""
+    ar = jnp.arange(L_SUBFR, dtype=jnp.int32)
+
     def step(h, i):
-        idx = jnp.clip(i - t0, 0, L_SUBFR - 1)
-        hv = jnp.take_along_axis(h, idx[:, None], axis=1)[:, 0]
+        # one-hot masked reduce instead of a per-step gather (same
+        # TPU-latency reasoning as _pred_lt); i < t0 -> empty one-hot
+        # -> hv = 0, discarded by the i >= t0 select anyway
+        sel = ar[None, :] == (i - t0)[:, None]
+        hv = jnp.sum(jnp.where(sel, h, 0), axis=1)
         cur = jax.lax.dynamic_slice_in_dim(h, i, 1, axis=1)[:, 0]
         nv = jnp.where(i >= t0, F.add(cur, F.mult(hv, 0x6668)), cur)
         return jax.lax.dynamic_update_slice(
