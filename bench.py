@@ -394,6 +394,9 @@ def main():
                 float(r["voice_carriers_rt"]), 1)
         if "roofline" in r:
             line["roofline_pct"] = round(r["roofline"]["roofline_pct"], 2)
+            line["roofline_measured_pct"] = round(
+                r["roofline"].get("roofline_measured_pct",
+                                  r["roofline"]["roofline_pct"]), 2)
         print(json.dumps(line))
         extra = (f" demod_only={r['demod_carriers_rt']:.0f}"
                  if "demod_carriers_rt" in r else "")

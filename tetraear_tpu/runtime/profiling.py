@@ -141,8 +141,16 @@ def roofline_fraction(n_carriers: int, fs: float, rt_factor: float,
     achieved_flops = flops * rt_factor
     achieved_bw = bbytes * rt_factor
     frac = max(achieved_flops / peak_flops, achieved_bw / peak_bw)
+    # measured roofline: datasheet HBM (819 GB/s) is not sustainable on
+    # this part — chained streaming passes measure ~405 GB/s
+    # (perf/hbm_bw_probe.py, agenda8: axpy 404.8 / copy2d 405.5), the
+    # honest denominator for memory-bound stages.  Reported alongside
+    # the datasheet figure, never instead of it.
+    meas_bw = float(os.environ.get("TETRAEAR_MEASURED_GBS", "405")) * 1e9
+    frac_meas = max(achieved_flops / peak_flops, achieved_bw / meas_bw)
     return {
         "roofline_pct": 100.0 * frac,
+        "roofline_measured_pct": 100.0 * frac_meas,
         "achieved_tflops": achieved_flops / 1e12,
         "achieved_gbs": achieved_bw / 1e9,
         "bound": ("compute" if achieved_flops / peak_flops
