@@ -219,7 +219,11 @@ class FusedRx:
         # ---- the fused back-half kernel ----
         k3, rsyn, c0row = (jnp.asarray(t) for t in self._tables)
         import os
-        group = int(os.environ.get("TETRAEAR_BH_GROUP", "8"))
+        # group sweep on hardware (agenda7/8): 8 -> 45.8, 16 -> 44.3,
+        # 32 -> 44.0 ms/block at C=10240; fused_backhalf falls back to
+        # group=1 whenever C % group != 0, so small test banks are
+        # unaffected
+        group = int(os.environ.get("TETRAEAR_BH_GROUP", "32"))
         corr, err, soft, bt2, last, misc = pk.fused_backhalf(
             y, state["bit_tail"], rr, jnp.asarray(self._rc_planes),
             sc, bsel, dsel, k3, rsyn, c0row,

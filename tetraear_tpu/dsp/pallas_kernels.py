@@ -368,6 +368,10 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
             ],
         ),
         out_shape=out_shape,
+        # group > 8 overflows the 16 MB default scoped-vmem budget
+        # (agenda group sweep: BS_GROUP=16 needed 20 MB); v5e has 128
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(row_starts, d_shift, planes, h1_planes, m1c, m2re, m2im, twre,
       twim)
