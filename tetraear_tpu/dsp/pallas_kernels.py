@@ -645,20 +645,38 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
 
     z = bdot(epad_ref[...],
              bt_scr[...].astype(jnp.bfloat16).reshape(g_count, tr, 128)
-             ).reshape(g_count * z_rows, 128)        # (G*Z, 128)
-    for mi in ([] if "place" in ablate else range(n_m)):
-        inner = (jax.lax.dot_general(
-            pm, fplace_ref[mi, 0],
+             ).reshape(g_count * z_rows, 128)        # (G*Z, Z128)
+    place_fused = os.environ.get("TETRAEAR_BH_PLACE", "fused") != "split"
+    if place_fused and "place" not in ablate:
+        # ONE depth-2SY matmul for all n_m classes x both bit planes
+        # (the split form launched 2*n_m depth-SY matmuls at ~6% MXU
+        # row utilization each); values identical — same 0/1 taps,
+        # f32 accumulation
+        pmpl = jnp.concatenate([pm, pl_b], axis=0)   # (2SY, GC)
+        inner_all = jax.lax.dot_general(
+            pmpl, fplace_ref[...],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                pl_b, fplace_ref[mi, 1],
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        for mi in range(n_m):
+            inner = inner_all[:, mi * 128:(mi + 1) * 128]
+            z = z + bdot(eplace_ref[mi],
+                         inner.reshape(g_count, 128, 128)).reshape(
+                             g_count * z_rows, 128)
+    else:
+        for mi in ([] if "place" in ablate else range(n_m)):
+            cols = slice(mi * 128, (mi + 1) * 128)
+            inner = (jax.lax.dot_general(
+                pm, fplace_ref[0:sy, cols],
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)) \
-            .astype(jnp.bfloat16)                    # (GC, 128)
-        z = z + bdot(eplace_ref[mi],
-                     inner.reshape(g_count, 128, 128)).reshape(
-                         g_count * z_rows, 128)
+                preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    pl_b, fplace_ref[sy:2 * sy, cols],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)) \
+                .astype(jnp.bfloat16)                # (GC, 128)
+            z = z + bdot(eplace_ref[mi],
+                         inner.reshape(g_count, 128, 128)).reshape(
+                             g_count * z_rows, 128)
 
     # ---- one batched even-position sync + CRC scan ----
     if "scan" in ablate:
@@ -729,9 +747,12 @@ def _bh_static_tables(group, tb, z_rows, tr, w_width, base, sy, k_max):
             lam = base + 4 * u + qi - 4
             if 0 <= lam < w_width:
                 p_all[lam, qi * sy + u] = 1.0
-    # placement row map B[r, t'] = [tb + 32 t' == 128 r + m], tiled
+    # placement row map B[r, t'] = [tb + 32 t' == 128 r + m], tiled;
+    # f_place flat layout (2*SY, n_m*128): rows [pm 0..SY) | pl SY..2SY),
+    # column block mi — one fused depth-2SY matmul covers every class
+    # and both bit planes (see _backhalf_kernel)
     e_place = np.zeros((len(ms), z_rows, 128), np.float32)
-    f_place = np.zeros((len(ms), 2, sy, 128), np.float32)
+    f_place = np.zeros((2 * sy, len(ms) * 128), np.float32)
     for mi, m in enumerate(ms):
         for t in range(128):
             r, rem = divmod(tb + 32 * t - m, 128)
@@ -741,7 +762,7 @@ def _bh_static_tables(group, tb, z_rows, tr, w_width, base, sy, k_max):
             for u in range(sy):
                 ll = m + 2 * u + beta
                 if 0 <= ll < 128:
-                    f_place[mi, beta, u, ll] = 1.0
+                    f_place[beta * sy + u, mi * 128 + ll] = 1.0
     e_pad = np.zeros((z_rows, tr), np.float32)
     for q in range(tr):
         e_pad[q, q] = 1.0
@@ -879,8 +900,8 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
                 pl.BlockSpec((n_m, group, z_rows, 128),
                              lambda i, *_: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_m, 2, sy, 128),
-                             lambda i, *_: (0, 0, 0, 0),
+                pl.BlockSpec((2 * sy, n_m * 128),
+                             lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((group, z_rows, tr),
                              lambda i, *_: (0, 0, 0),
