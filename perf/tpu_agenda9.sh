@@ -27,8 +27,9 @@ done
 echo "=== voice chain stage ladder C=4096 $(date +%H:%M:%S)"
 PERF_CARRIERS=4096 python perf/voice_chain_probe.py
 
-echo "=== back-half step with group-32 default $(date +%H:%M:%S)"
+echo "=== back-half step: fused vs split placement $(date +%H:%M:%S)"
 PERF_ONLY=step python perf/fused_breakdown.py
+TETRAEAR_BH_PLACE=split PERF_ONLY=step python perf/fused_breakdown.py
 
 echo "=== band_synth group sweep $(date +%H:%M:%S)"
 for g in 16 32; do
