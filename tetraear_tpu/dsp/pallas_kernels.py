@@ -587,32 +587,60 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
         pc_scr[9:10, g * 128:(g + 1) * 128] = jnp.full(
             (1, 128), sc_ref[g, 6], jnp.float32)
 
-    # ---- batched interpolation: T[qblock*SY + u, g*128 + t'] ----
-    # (Mosaic supports only DEFAULT and HIGHEST dot precisions; the
-    # default-bf16 ablation measures the full-precision cost at
-    # ~1.7 ms/block — not worth a manual bf16x3 split)
-    prec = None if "hp" in ablate else _HP
-    t_re = jax.lax.dot_general(
-        pall_ref[...], wre_scr[...],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32)
-    t_im = jax.lax.dot_general(
-        pall_ref[...], wim_scr[...],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32)   # (176,GC)
-
-    # ---- full-lane weight combine: current symbol blocks 4..10,
-    # previous 0..6, weights broadcast from the per-carrier rows ----
+    # ---- batched interpolation + weight combine ----
+    # T[qblock*SY + u, :] = W[base + 4u + qi - 4, :] — the p_all
+    # "matmul" contracts a ONE-HOT row-selection matrix, so the default
+    # form reads the tap blocks as strided sublane slices of the W
+    # scratch instead (exact: same rows, same f32 accumulation order;
+    # the matmul at HIGHEST ablated at ~3.2 ms/block plus ~1.7 base —
+    # TETRAEAR_BH_INTERP=matmul keeps it for the A/B).
+    base = (drop - 4) - qmin * p
     sym_re = jnp.zeros((sy, gc), jnp.float32)
     sym_im = jnp.zeros((sy, gc), jnp.float32)
     prv_re = jnp.zeros((sy, gc), jnp.float32)
     prv_im = jnp.zeros((sy, gc), jnp.float32)
-    for q in range(7):
-        w_row = pc_scr[q:q + 1, :]
-        sym_re = sym_re + w_row * t_re[(q + 4) * sy:(q + 5) * sy]
-        sym_im = sym_im + w_row * t_im[(q + 4) * sy:(q + 5) * sy]
-        prv_re = prv_re + w_row * t_re[q * sy:(q + 1) * sy]
-        prv_im = prv_im + w_row * t_im[q * sy:(q + 1) * sy]
+    if (os.environ.get("TETRAEAR_BH_INTERP", "slice") == "matmul"
+            or "hp" in ablate):
+        prec = None if "hp" in ablate else _HP
+        t_re = jax.lax.dot_general(
+            pall_ref[...], wre_scr[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+        t_im = jax.lax.dot_general(
+            pall_ref[...], wim_scr[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+        for q in range(7):
+            w_row = pc_scr[q:q + 1, :]
+            sym_re = sym_re + w_row * t_re[(q + 4) * sy:(q + 5) * sy]
+            sym_im = sym_im + w_row * t_im[(q + 4) * sy:(q + 5) * sy]
+            prv_re = prv_re + w_row * t_re[q * sy:(q + 1) * sy]
+            prv_im = prv_im + w_row * t_im[q * sy:(q + 1) * sy]
+    else:
+        w_pad = wre_scr.shape[0]                    # w_width + pad rows
+        # pad rows (beyond loop A's writes) read as the matmul's
+        # out-of-range zeros; scratch is uninitialized, so zero them
+        if w_pad > w_width:
+            wre_scr[w_width:w_pad, :] = jnp.zeros((w_pad - w_width, gc),
+                                                  jnp.float32)
+            wim_scr[w_width:w_pad, :] = jnp.zeros((w_pad - w_width, gc),
+                                                  jnp.float32)
+        wr4_re = wre_scr[...].reshape(w_pad // 4, 4, gc)
+        wr4_im = wim_scr[...].reshape(w_pad // 4, 4, gc)
+
+        def wslice(qi):
+            a_, r_ = divmod(base + qi - 4, 4)       # static ints
+            return (wr4_re[a_:a_ + sy, r_, :],
+                    wr4_im[a_:a_ + sy, r_, :])
+
+        for q in range(7):
+            w_row = pc_scr[q:q + 1, :]
+            tr_s, ti_s = wslice(q + 4)
+            pr_s, pi_s = wslice(q)
+            sym_re = sym_re + w_row * tr_s
+            sym_im = sym_im + w_row * ti_s
+            prv_re = prv_re + w_row * pr_s
+            prv_im = prv_im + w_row * pi_s
     ur = jax.lax.broadcasted_iota(jnp.int32, (sy, gc), 0)
     tl = jax.lax.broadcasted_iota(jnp.int32, (sy, gc), 1)
     first = (ur == 0) & (tl % 128 == 0)
@@ -862,6 +890,10 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
     span = q0 + 2 - qmin
     w_width = span * p
     base = d0 - qmin * p
+    # W scratch pad: the slice-form interpolation reads tap rows up to
+    # base + 4*(sy-1) + 6; rows beyond loop A's w_width writes are
+    # zeroed in-kernel (the selection matmul's out-of-range zeros)
+    w_pad = -(-max(w_width, base + 4 * sy + 8) // 8) * 8
     key = (group, tb, z_rows, tr, w_width, base, sy, k_max)
     if key not in _BH_TABLE_CACHE:
         _BH_TABLE_CACHE[key] = _bh_static_tables(
@@ -931,8 +963,8 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((w_width, gc), jnp.float32),
-                pltpu.VMEM((w_width, gc), jnp.float32),
+                pltpu.VMEM((w_pad, gc), jnp.float32),
+                pltpu.VMEM((w_pad, gc), jnp.float32),
                 pltpu.VMEM((16, gc), jnp.float32),
                 pltpu.VMEM((gt, 128), jnp.float32),
             ],
