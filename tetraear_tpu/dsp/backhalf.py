@@ -140,7 +140,7 @@ class FusedRx:
             x_ext = jnp.concatenate([big_x, big_x[:ch.n_band]])
             planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
             planes = planes.reshape(2, -1, 128)
-        bs_group = int(os.environ.get("TETRAEAR_BS_GROUP", "8"))
+        bs_group = int(os.environ.get("TETRAEAR_BS_GROUP", "32"))  # agenda9: 24.6/24.7/23.7 ms at 8/16/32
         y, ph = pk.band_synth(
             planes, jnp.asarray(ch.h1_planes),
             jnp.asarray(ch.row_start), jnp.asarray(ch.d_shift),

@@ -245,7 +245,7 @@ def _syn_filt(a, x, mem):
     def step(m, xi):
         m, y = _syn_filt_step(a, m, xi)
         return m, y
-    mem, ys = jax.lax.scan(step, mem, x.T)
+    mem, ys = jax.lax.scan(step, mem, x.T, unroll=10)
     return ys.T, mem
 
 
@@ -263,7 +263,7 @@ def _lpc_gain(a):
         [x0[None], jnp.zeros((L_SUBFR - 1,) + b, jnp.int32)], axis=0)
     (m, L), _ = jax.lax.scan(
         step, (jnp.zeros(b + (10,), jnp.int32), jnp.zeros(b, jnp.int32)),
-        xs)
+        xs, unroll=10)
     return L
 
 
@@ -273,7 +273,7 @@ def _mac0_chain(init, x, y):
     def step(L, xy):
         xi, yi = xy
         return F.L_mac0(L, xi, yi), None
-    L, _ = jax.lax.scan(step, init, (x.T, y.T))
+    L, _ = jax.lax.scan(step, init, (x.T, y.T), unroll=10)
     return L
 
 
@@ -327,7 +327,8 @@ def _pred_lt(buf, t0, frac, base: int):
         return ext, val
 
     _, vals = jax.lax.scan(step, ext0,
-                           jnp.arange(L_SUBFR, dtype=jnp.int32))
+                           jnp.arange(L_SUBFR, dtype=jnp.int32),
+                           unroll=6)
     return jax.lax.dynamic_update_slice(
         buf, vals.T, (jnp.int32(0), jnp.int32(base)))
 
@@ -349,7 +350,7 @@ def _sharpen(h, t0):
         return jax.lax.dynamic_update_slice(
             h, nv[:, None], (jnp.int32(0), i)), None
 
-    h, _ = jax.lax.scan(step, h, jnp.arange(L_SUBFR, dtype=jnp.int32))
+    h, _ = jax.lax.scan(step, h, jnp.arange(L_SUBFR, dtype=jnp.int32), unroll=6)
     return h
 
 
