@@ -103,17 +103,25 @@ def channel_decode_batch_traced(soft: jnp.ndarray) -> tuple:
     init = init.at[:, 0].set(0)
     _, decisions = jax.lax.scan(
         lambda m, r_i: vit_step(m, r_i), init,
-        jnp.transpose(r, (1, 0, 2)))           # (STEPS, B, 16)
+        jnp.transpose(r, (1, 0, 2)), unroll=4)  # (STEPS, B, 16)
+
+    st_iota = jnp.arange(_STATES, dtype=jnp.int32)[None, :]
 
     def tb_step(state, dec_i):
-        # state (B,) post-step state; dec_i (B, 16) parity decisions
+        # state (B,) post-step state; dec_i (B, 16) parity decisions.
+        # One-hot masked reduce instead of a per-step take_along_axis
+        # gather (gathers inside sample scans are latency-poison on
+        # TPU — same fix as jspeech._pred_lt)
         bit = (state >> 3).astype(jnp.uint8)
-        par = jnp.take_along_axis(dec_i, state[:, None], axis=1)[:, 0]
-        prev = 2 * (state & 7) + par.astype(jnp.int32)
+        sel = st_iota == state[:, None]
+        par = jnp.sum(jnp.where(sel, dec_i.astype(jnp.int32), 0),
+                      axis=1)
+        prev = 2 * (state & 7) + par
         return prev, bit
 
     state0 = jnp.zeros((soft.shape[0],), jnp.int32)   # zero tail
-    _, bits_rev = jax.lax.scan(tb_step, state0, decisions[::-1])
+    _, bits_rev = jax.lax.scan(tb_step, state0, decisions[::-1],
+                               unroll=8)
     conv_bits = bits_rev[::-1].T               # (B, STEPS)
 
     ordered = jnp.concatenate(
