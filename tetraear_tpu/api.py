@@ -72,11 +72,12 @@ class PipelineConfig:
                                         # vs the host codec); None =
                                         # TETRAEAR_DEVICE_VOICE env if
                                         # set, else ON when the backend
-                                        # is a TPU (real-chip A/B:
-                                        # ~284k realtime voice carriers
-                                        # at B=4096 vs ~33k frames/s
-                                        # per host core —
-                                        # perf/jspeech_probe.py)
+                                        # is a TPU (~2.1k realtime
+                                        # voice carriers/chip measured
+                                        # end to end at C=10240 vs
+                                        # ~420 per host core; see the
+                                        # default-on rationale at the
+                                        # construction site below)
     device_voice_slots: int = 256       # device decoder states; carriers
                                         # beyond this LRU-evict (an
                                         # evicted carrier resyncs from a
@@ -303,11 +304,15 @@ class Pipeline:
             if env is not None:
                 device_voice = env == "1"
             else:
-                # default ON on a real TPU: the chip A/B measured ~284k
-                # realtime voice carriers at B=4096 vs ~33k frames/s
-                # per host core (perf/jspeech_probe.py, audio bit-exact)
-                # — host synthesis cannot keep up with a fleet.  On the
-                # CPU backend the host codec path stays the default.
+                # default ON on a real TPU: the round-3 end-to-end
+                # voice bench (agenda9/10, scan-chained with dependent
+                # fetch) sustains ~2.1k realtime voice carriers per
+                # chip at C=10240 vs ~420 per host core (~14k frames/s,
+                # 71 us/frame) — and device synthesis keeps the soft
+                # planes on device (no per-block PCIe fetch).  The
+                # round-2 probe's ~284k figure was a relay measurement
+                # artifact; BENCH_MODE=voice is the honest number.  On
+                # the CPU backend the host codec path stays the default.
                 import jax
                 device_voice = jax.default_backend() == "tpu"
         else:
