@@ -374,11 +374,17 @@ class FFTChannelizer:
         input), R >= (nfft + n_band)/128, via the two-pass Pallas MXU
         FFT.  Values equal the _wideband_fft + concat + stack glue to
         f32 rounding (HIGHEST-precision matmuls)."""
+        import os
         from tetraear_tpu.dsp import pallas_kernels as pk
         xm = xx.reshape(self.fft2p_n2, self.fft2p_n1)
         pin = jnp.stack([jnp.real(xm), jnp.imag(xm)])
+        # grid-block widths: wider blocks turn the strided column
+        # reads/writes into longer contiguous runs (A/B knobs)
+        cols = int(os.environ.get("TETRAEAR_FFT2P_COLS", "128"))
+        rows2 = int(os.environ.get("TETRAEAR_FFT2P_ROWS2", "128"))
         return pk.fft2p_planes(pin, self.fft2p_n1, self.fft2p_n2,
                                wrap_k1=self.fft2p_wrap,
+                               cols=cols, rows2=rows2,
                                interpret=interpret)
 
     def _synth(self, band: jnp.ndarray) -> jnp.ndarray:

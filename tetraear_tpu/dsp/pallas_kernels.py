@@ -1141,16 +1141,17 @@ def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
     ablate = set(os.environ.get("TETRAEAR_FFT2P_ABLATE", "").split(","))
     dot = _dot01 if "hp" in ablate else _dot_hp
     n = 128 * a
+    w = tre.shape[1]                     # lane width (any multiple of 128)
     # inner: S[kB, (iA, l)] = sum_iB F128[kB, iB] T[(iB, iA), l]
-    t2re = tre.reshape(128, a * 128)
-    t2im = tim.reshape(128, a * 128)
+    t2re = tre.reshape(128, a * w)
+    t2im = tim.reshape(128, a * w)
     f128re = f128[0]
     f128im = f128[1]
     sre = (dot(f128re, t2re) - dot(f128im, t2im))
-    sim = (dot(f128re, t2im) + dot(f128im, t2re))  # (128, a*128)
+    sim = (dot(f128re, t2im) + dot(f128im, t2re))  # (128, a*w)
     # CT twiddle w_n^{iA kB}: broadcast over lanes
-    s3re = sre.reshape(128, a, 128)
-    s3im = sim.reshape(128, a, 128)
+    s3re = sre.reshape(128, a, w)
+    s3im = sim.reshape(128, a, w)
     if "notw" in ablate:
         ure, uim = s3re, s3im
     else:
@@ -1160,34 +1161,41 @@ def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
         uim = s3re * wim + s3im * wre
     # outer: contract iA; relayout so iA is the leading (sublane) axis
     if "noxpose" in ablate:              # WRONG VALUES: timing ablation
-        u2re = ure.reshape(a, 128 * 128)
-        u2im = uim.reshape(a, 128 * 128)
+        u2re = ure.reshape(a, 128 * w)
+        u2im = uim.reshape(a, 128 * w)
     else:
-        u2re = jnp.transpose(ure, (1, 0, 2)).reshape(a, 128 * 128)
-        u2im = jnp.transpose(uim, (1, 0, 2)).reshape(a, 128 * 128)
+        u2re = jnp.transpose(ure, (1, 0, 2)).reshape(a, 128 * w)
+        u2im = jnp.transpose(uim, (1, 0, 2)).reshape(a, 128 * w)
     fare = fsmall[0]
     faim = fsmall[1]
     vre = (dot(fare, u2re) - dot(faim, u2im))
-    vim = (dot(fare, u2im) + dot(faim, u2re))      # (a, 128*128)
+    vim = (dot(fare, u2im) + dot(faim, u2re))      # (a, 128*w)
     # rows (kA, kB) flatten to k = 128*kA + kB
-    return (vre.reshape(n, 128), vim.reshape(n, 128))
+    return (vre.reshape(n, w), vim.reshape(n, w))
 
 
 def _fft2p_pass1_kernel(n2a, x_ref, bq_ref, at2_ref, f128_ref, fa_ref,
                         w2_ref, g_ref):
     xre = x_ref[0]
-    xim = x_ref[1]                                   # (n2, 128)
+    xim = x_ref[1]                                   # (n2, W)
     vre, vim = _ct_dft_cols(xre, xim, n2a, f128_ref, fa_ref, w2_ref)
-    # four-step twiddle w_N^{k2 i1}: At lane part x Bt half select
-    lane = jax.lax.broadcasted_iota(jnp.int32, vre.shape, 1)
+    # four-step twiddle w_N^{k2 i1}: At lane part x Bt half select,
+    # one 128-lane tile at a time (At repeats every 64 lanes; Bt
+    # columns 2q'+0/1 live in bq row q' = i1 // 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (vre.shape[0], 128), 1)
     twre = at2_ref[0]
     twim = at2_ref[1]                                # (n2, 128)
-    bre = jnp.where(lane < 64, bq_ref[0, 0, :, 0:1], bq_ref[0, 0, :, 1:2])
-    bim = jnp.where(lane < 64, bq_ref[0, 1, :, 0:1], bq_ref[0, 1, :, 1:2])
-    wre = twre * bre - twim * bim
-    wim = twre * bim + twim * bre
-    g_ref[0] = vre * wre - vim * wim
-    g_ref[1] = vre * wim + vim * wre
+    for t in range(vre.shape[1] // 128):
+        vr = vre[:, 128 * t:128 * (t + 1)]
+        vi = vim[:, 128 * t:128 * (t + 1)]
+        bre = jnp.where(lane < 64, bq_ref[t, 0, :, 0:1],
+                        bq_ref[t, 0, :, 1:2])
+        bim = jnp.where(lane < 64, bq_ref[t, 1, :, 0:1],
+                        bq_ref[t, 1, :, 1:2])
+        wre = twre * bre - twim * bim
+        wim = twre * bim + twim * bre
+        g_ref[0, :, 128 * t:128 * (t + 1)] = vr * wre - vi * wim
+        g_ref[1, :, 128 * t:128 * (t + 1)] = vr * wim + vi * wre
 
 
 def _fft2p_pass2_kernel(n1b, wrap_k1, g_ref, fb_ref, f128_ref, w1_ref,
@@ -1196,10 +1204,10 @@ def _fft2p_pass2_kernel(n1b, wrap_k1, g_ref, fb_ref, f128_ref, w1_ref,
     ablate = set(os.environ.get("TETRAEAR_FFT2P_ABLATE", "").split(","))
     n1 = 128 * n1b
     if "noxpose2" in ablate:             # WRONG VALUES: timing ablation
-        gre = g_ref[0].reshape(n1, 128)
-        gim = g_ref[1].reshape(n1, 128)
+        gre = g_ref[0].reshape(n1, -1)
+        gim = g_ref[1].reshape(n1, -1)
     else:
-        gre = g_ref[0].T                             # (n1, 128) relayout
+        gre = g_ref[0].T                             # (n1, R) relayout
         gim = g_ref[1].T
     vre, vim = _ct_dft_cols(gre, gim, n1b, f128_ref, fb_ref, w1_ref)
     out_ref[0, 0:n1, :] = vre
@@ -1209,9 +1217,11 @@ def _fft2p_pass2_kernel(n1b, wrap_k1, g_ref, fb_ref, f128_ref, w1_ref,
         out_ref[1, n1:n1 + wrap_k1, :] = vim[0:wrap_k1, :]
 
 
-@partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "interpret"))
+@partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "cols",
+                                   "rows2", "interpret"))
 def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
-                 wrap_k1: int = 0, interpret: bool = False):
+                 wrap_k1: int = 0, cols: int = 128, rows2: int = 128,
+                 interpret: bool = False):
     """Two-pass MXU FFT: (2, n2, n1) planes of x.reshape(n2, n1) ->
     (2, (n1 + wrap_k1) * n2 / 128, 128) natural-order spectrum planes
     (rows of 128 consecutive bins; rows n1*n2/128.. replay bins
@@ -1223,6 +1233,9 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
     """
     if n1 % 128 or n2 % 128:
         raise ValueError(f"fft2p needs 128 | n1, n2 (got {n1}, {n2})")
+    if cols % 128 or n1 % cols or rows2 % 128 or n2 % rows2:
+        raise ValueError(f"fft2p grid blocks: need 128 | cols | n1 and "
+                         f"128 | rows2 | n2 (got {cols}, {rows2})")
     key = (n1, n2)
     if key not in _FFT2P_TABLES:
         _FFT2P_TABLES[key] = _fft2p_tables(n1, n2)
@@ -1233,11 +1246,12 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
     g = pl.pallas_call(
         partial(_fft2p_pass1_kernel, a2),
         grid_spec=pl.GridSpec(
-            grid=(n1 // 128,),
+            grid=(n1 // cols,),
             in_specs=[
-                pl.BlockSpec((2, n2, 128), lambda q: (0, 0, q),
+                pl.BlockSpec((2, n2, cols), lambda q: (0, 0, q),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, n2, 2), lambda q: (q, 0, 0, 0),
+                pl.BlockSpec((cols // 128, 2, n2, 2),
+                             lambda q: (q, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, n2, 128), lambda q: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -1248,7 +1262,7 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
                 pl.BlockSpec((2, 128, a2), lambda q: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((2, n2, 128), lambda q: (0, 0, q),
+            out_specs=pl.BlockSpec((2, n2, cols), lambda q: (0, 0, q),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((2, n2, n1), jnp.float32),
@@ -1265,9 +1279,9 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
     out = pl.pallas_call(
         partial(_fft2p_pass2_kernel, b2, wrap_k1),
         grid_spec=pl.GridSpec(
-            grid=(n2 // 128,),
+            grid=(n2 // rows2,),
             in_specs=[
-                pl.BlockSpec((2, 128, n1), lambda c: (0, c, 0),
+                pl.BlockSpec((2, rows2, n1), lambda c: (0, c, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, b2, b2), lambda c: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -1276,7 +1290,7 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
                 pl.BlockSpec((2, 128, b2), lambda c: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((2, n1 + wrap_k1, 128),
+            out_specs=pl.BlockSpec((2, n1 + wrap_k1, rows2),
                                    lambda c: (0, 0, c),
                                    memory_space=pltpu.VMEM),
         ),
