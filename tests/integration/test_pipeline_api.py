@@ -453,3 +453,42 @@ def test_pipeline_fused_checkpoint_roundtrip(monkeypatch, tmp_path):
     for b in blocks[2:]:
         p2.process_block(b)
     assert key(got) == key(base)
+
+
+def test_pipeline_fused_with_frame_workers(monkeypatch):
+    """Fused streaming path + the carrier-sharded worker frame layer
+    (frame_workers > 0) yields the same frames as the in-process
+    layer."""
+    from tetraear_tpu.ref import golden
+
+    monkeypatch.setenv("TETRAEAR_FORCE_FUSED", "1")
+    fs = 2.304e6
+    payloads = [golden.sds_text_payload(f"FUSED WORKERS {i}")
+                for i in range(8)]
+    iq = golden.golden_iq(payloads, fs=fs, freq_offset_hz=12_500.0,
+                          snr_db=25, seed=77)
+
+    def run(workers):
+        got = []
+        cfg = PipelineConfig(sample_rate=fs,
+                             carrier_offsets_hz=(12_500.0,),
+                             frontend="fft", carrier_afc=False,
+                             detect_gate=False, voice=False,
+                             auto_decrypt=False, validate=False,
+                             frame_workers=workers)
+        pipe = Pipeline(cfg, on_frame=got.append)
+        assert pipe._fused is not None
+        try:
+            for b in range(len(iq) // pipe.block_len):
+                pipe.process_block(
+                    iq[b * pipe.block_len:(b + 1) * pipe.block_len])
+        finally:
+            if workers:
+                pipe.batch.close()
+        return [(f["stream_symbol"], f.get("burst_crc"),
+                 f.get("sds_message")) for f in got]
+
+    inproc = run(0)
+    sharded = run(2)
+    assert inproc == sharded
+    assert sum(1 for _, crc, _ in inproc if crc) >= 6
