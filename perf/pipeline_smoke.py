@@ -72,10 +72,13 @@ def main():
     if len(iq) < need:
         iq = np.concatenate([iq, np.zeros(need - len(iq), np.complex64)])
 
-    t0 = time.time()
+    times = []
     for b in range(n_blocks):
+        t0 = time.time()
         pipe.process_block(iq[b * pipe.block_len:(b + 1) * pipe.block_len])
-    dt = time.time() - t0
+        times.append(time.time() - t0)
+    # block 0 pays the jit compiles; steady state is the rest
+    dt = (np.mean(times[1:]) if len(times) > 1 else times[0])
 
     texts = {f.get("sds_message") for f in frames if f.get("sds_message")}
     got = sum(1 for k in range(active)
@@ -86,8 +89,9 @@ def main():
         "crc_pass": pipe.stats.crc_pass,
         "texts_decoded": got,
         "voice_frames": pipe.stats.voice_frames,
-        "wall_s_per_block": round(dt / n_blocks, 3),
-        "rt_factor": round(pipe.block_len / fs / (dt / n_blocks), 2),
+        "first_block_s": round(times[0], 1),
+        "warm_s_per_block": round(float(dt), 3),
+        "rt_factor": round(pipe.block_len / fs / float(dt), 2),
     }
     print(json.dumps(res))
     assert got >= max(1, active - 1), f"only {got}/{active} texts decoded"

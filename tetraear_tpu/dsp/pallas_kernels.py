@@ -523,55 +523,61 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
     span = w_width // p
     gc = g_count * 128
 
-    # ---- loop A: per-carrier corrections; everything downstream works
-    # on TRANSPOSED symbol-plane layouts (rows = within-symbol index,
-    # lanes = carrier*128 + t') so the (.., SY)-narrow tensors of the
-    # first formulation — 16/128 lanes live on every VPU op — become
-    # full-lane (SY, G*128) rows ----
+    # ---- stage A: corrections, BATCHED across the group; everything
+    # downstream works on TRANSPOSED symbol-plane layouts (rows =
+    # within-symbol index, lanes = carrier*128 + t') so the (.., SY)-
+    # narrow tensors of the first formulation — 16/128 lanes live on
+    # every VPU op — become full-lane (SY, G*128) rows.  (The original
+    # per-carrier loop ablated at ~2 ms/block of pure group-serial
+    # elementwise work at C=10240.) ----
+    row_t, lane_t = divmod(d0, p)
+    if "nocorr" in ablate:
+        cre_a = y_ref[:, 0]
+        cim_a = y_ref[:, 1]                      # (G, 128, P)
+    else:
+        cor_re = (rr_ref[:, 0] * rc_ref[:, 0]
+                  - rr_ref[:, 1] * rc_ref[:, 1])     # (G, 128, P)
+        cor_im = (rr_ref[:, 0] * rc_ref[:, 1]
+                  + rr_ref[:, 1] * rc_ref[:, 0])
+        cre_a = y_ref[:, 0] * cor_re - y_ref[:, 1] * cor_im
+        cim_a = y_ref[:, 0] * cor_im + y_ref[:, 1] * cor_re
+
+    # splice the carried interpolation tail over k in [drop-4, drop);
+    # masks are carrier-independent, values come from the SMEM scalars
+    if "nosplice" not in ablate:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (1, 128, p), 1)
+        si = jax.lax.broadcasted_iota(jnp.int32, (1, 128, p), 2)
+        for j in range(4):
+            mk = (ri == row_t) & (si == lane_t + j)
+            vre = jnp.stack([sc_ref[g, 7 + j] for g in range(g_count)])
+            vim = jnp.stack([sc_ref[g, 11 + j] for g in range(g_count)])
+            cre_a = jnp.where(mk, vre[:, None, None], cre_a)
+            cim_a = jnp.where(mk, vim[:, None, None], cim_a)
+
+    last_ref[:, 0, 0, :] = cre_a[:, 127, :]
+    last_ref[:, 1, 0, :] = cim_a[:, 127, :]
+
+    # W columns, transposed: scrW[row lam, lane g*128 + t'] =
+    # y[t' + qmin + oi, lam] — a lane roll of the transposed tiles,
+    # batched: (G, 128, P) -> (P, G*128) per shift
+    if "noW" not in ablate:
+        creT = jnp.transpose(cre_a, (0, 2, 1))   # (G, P, 128)
+        cimT = jnp.transpose(cim_a, (0, 2, 1))
+        for oi in range(span):
+            sh = (128 - (qmin + oi)) % 128
+            rre = jnp.transpose(pltpu.roll(creT, shift=sh, axis=2),
+                                (1, 0, 2)).reshape(p, gc)
+            rim = jnp.transpose(pltpu.roll(cimT, shift=sh, axis=2),
+                                (1, 0, 2)).reshape(p, gc)
+            wre_scr[oi * p:(oi + 1) * p, :] = rre
+            wim_scr[oi * p:(oi + 1) * p, :] = rim
+    bt_scr[...] = bt_ref[...].reshape(g_count * tr, 128)
+
+    # per-carrier rows of the (16, G*128) scalar plane: 0..6 the
+    # Catmull-Rom tap-block weights, 7 n_valid, 8/9 prev symbol
+    # (SMEM scalar reads stay per-carrier — they're scalars)
     for g in range(g_count):
         c = i * g_count + g
-        yre = y_ref[g, 0]
-        yim = y_ref[g, 1]                        # (128, P)
-        rrre = rr_ref[g, 0]
-        rrim = rr_ref[g, 1]                      # (128, 1)
-        rcre = rc_ref[g, 0]
-        rcim = rc_ref[g, 1]                      # (1, P)
-        if "nocorr" in ablate:
-            cre, cim = yre, yim
-        else:
-            cor_re = rrre * rcre - rrim * rcim   # (128, P) broadcast
-            cor_im = rrre * rcim + rrim * rcre
-            cre = yre * cor_re - yim * cor_im
-            cim = yre * cor_im + yim * cor_re
-
-        # splice the carried interpolation tail over k in [drop-4, drop)
-        row_t, lane_t = divmod(d0, p)
-        if "nosplice" not in ablate:
-            ri = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
-            si = jax.lax.broadcasted_iota(jnp.int32, (128, p), 1)
-            for j in range(4):
-                mk = (ri == row_t) & (si == lane_t + j)
-                cre = jnp.where(mk, sc_ref[g, 7 + j], cre)
-                cim = jnp.where(mk, sc_ref[g, 11 + j], cim)
-
-        last_ref[g, 0] = cre[127:128, :]
-        last_ref[g, 1] = cim[127:128, :]
-
-        # W columns, transposed: scrW[row lam, lane g*128 + t'] =
-        # y[t' + qmin + oi, lam] — a lane roll of the transposed tile
-        if "noW" not in ablate:
-            creT = cre.T                         # (P, 128)
-            cimT = cim.T
-            for oi in range(span):
-                sh = (128 - (qmin + oi)) % 128
-                wre_scr[oi * p:(oi + 1) * p, g * 128:(g + 1) * 128] = (
-                    pltpu.roll(creT, shift=sh, axis=1))
-                wim_scr[oi * p:(oi + 1) * p, g * 128:(g + 1) * 128] = (
-                    pltpu.roll(cimT, shift=sh, axis=1))
-        bt_scr[g * tr:(g + 1) * tr, :] = bt_ref[g]
-
-        # per-carrier rows of the (16, G*128) scalar plane: 0..6 the
-        # Catmull-Rom tap-block weights, 7 n_valid, 8/9 prev symbol
         b = bsel_ref[c]
         for q in ([] if "nopc" in ablate else range(7)):
             w = jnp.float32(0.0)
