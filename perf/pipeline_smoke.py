@@ -9,7 +9,7 @@ path runs end to end on hardware.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python perf/pipeline_smoke.py
 Env: PERF_CARRIERS (256 bank size), PERF_ACTIVE (6), PERF_BLOCKS (3),
-     PERF_TIMEOUT_S (2400).
+     PERF_WORKERS (0 = in-process frame layer), PERF_TIMEOUT_S (2400).
 """
 
 import json
@@ -51,7 +51,8 @@ def main():
     cfg = PipelineConfig(
         sample_rate=fs, carrier_offsets_hz=offsets, frontend="fft",
         carrier_afc=False, detect_gate=False, validate=False,
-        voice=True, auto_decrypt=False)
+        voice=True, auto_decrypt=False,
+        frame_workers=int(os.environ.get("PERF_WORKERS", "0")))
     pipe = Pipeline(cfg, on_frame=frames.append, on_audio=audio.append)
     fused = pipe._fused is not None
     print(f"C={c} fs={fs/1e6:.3f}M block={pipe.block_len} fused={fused} "
@@ -85,6 +86,7 @@ def main():
               if f"[TXT] PIPE SMOKE {k}" in texts)
     res = {
         "carriers": c, "active": active, "blocks": n_blocks,
+        "workers": cfg.frame_workers,
         "fused": fused, "frames": len(frames),
         "crc_pass": pipe.stats.crc_pass,
         "texts_decoded": got,
