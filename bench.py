@@ -122,14 +122,26 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         return st, tails
 
     if mode in ("demod", "both"):
-        chain_j = jax.jit(chain_demod, static_argnums=2)
-        elapsed = _time_chain(
-            chain_j, lambda: (xd, bank.init_state(), steps), steps,
-            lambda out: (np.asarray(out[0]["timing"]["next_t"])[0],
-                         np.asarray(out[1])[-1, 0]))
-        res["demod_rt_factor"] = steps * block / fs / elapsed
-        res["demod_carriers_rt"] = res["demod_rt_factor"] * n_carriers
-        res["demod_elapsed_s"] = elapsed
+        try:
+            chain_j = jax.jit(chain_demod, static_argnums=2)
+            elapsed = _time_chain(
+                chain_j, lambda: (xd, bank.init_state(), steps), steps,
+                lambda out: (np.asarray(out[0]["timing"]["next_t"])[0],
+                             np.asarray(out[1])[-1, 0]))
+            res["demod_rt_factor"] = steps * block / fs / elapsed
+            res["demod_carriers_rt"] = (res["demod_rt_factor"]
+                                        * n_carriers)
+            res["demod_elapsed_s"] = elapsed
+        except Exception as e:
+            # both-mode: the demod-only comparison number must not cost
+            # the e2e headline (r03 lesson: one failure zeroed the run)
+            if mode == "demod":
+                raise
+            res.setdefault("degraded", []).append(
+                f"demod: {type(e).__name__}: {e}"[:300])
+            print(f"# bench ladder: demod-only chain failed, continuing"
+                  f" ({type(e).__name__}: {e})", file=sys.stderr,
+                  flush=True)
 
     # ---- end-to-end chain: IQ -> sync + CRC verdicts everywhere ----
     # Fused path (dsp.backhalf): band synthesis + timing + DQPSK +
@@ -138,11 +150,11 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
     # chain kept behind BENCH_NO_FUSED=1 and for ineligible configs.
     fused = None
     if os.environ.get("BENCH_NO_FUSED") != "1":
-        try:
-            from tetraear_tpu.dsp.backhalf import FusedRx
-            fused = FusedRx(bank)
-        except ValueError:
-            fused = None
+        from tetraear_tpu.dsp.backhalf import try_fused
+        # the bench measures the fused kernels in interpret mode on CPU
+        # too (exactness smokes), so force past the backend check
+        os.environ.setdefault("TETRAEAR_FORCE_FUSED", "1")
+        fused, _reason = try_fused(bank)
 
     def chain_e2e_fused(x_r, state, n):
         from tetraear_tpu.dsp import framescan as fsmod
@@ -291,6 +303,10 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
                 res["voice_carriers_rt"] = (res["voice_rt_factor"]
                                             * n_carriers)
                 res["voice_elapsed_s"] = elapsed
+                from tetraear_tpu.runtime.profiling import voice_roofline
+                res["voice_model"] = voice_roofline(
+                    n_carriers, block / fs,
+                    rt_factor=res["voice_rt_factor"])
             except Exception as e:
                 # in both-mode the voice add-on must not nuke the e2e
                 # headline (it shares the bench watchdog budget; a TPU
@@ -316,21 +332,46 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         return res
 
     if mode in ("e2e", "both"):
-        if fused is not None:
-            chain_j = jax.jit(chain_e2e_fused, static_argnums=2)
-            elapsed = _time_chain(
-                chain_j, lambda: (xd, fused.init_state(), steps), steps,
-                lambda out: (
-                    np.asarray(out[0]["bank"]["timing"]["next_t"])[0],
-                    int(out[1]), int(out[2])))
-        else:
-            chain_j = jax.jit(chain_e2e, static_argnums=3)
-            tail0 = jnp.zeros((n_carriers, t2), jnp.uint8)
-            elapsed = _time_chain(
-                chain_j, lambda: (xd, bank.init_state(), tail0, steps),
-                steps,
-                lambda out: (np.asarray(out[0]["timing"]["next_t"])[0],
-                             int(out[1]), int(out[2])))
+        # degrade ladder (VERDICT r03 item 3): a broken fused kernel
+        # must cost the fused premium, not the whole headline
+        ladder = (["fused"] if fused is not None else []) + ["classic"]
+        elapsed = None
+        errors = []
+        for variant in ladder:
+            try:
+                if variant == "fused":
+                    chain_j = jax.jit(chain_e2e_fused, static_argnums=2)
+                    elapsed = _time_chain(
+                        chain_j, lambda: (xd, fused.init_state(), steps),
+                        steps,
+                        lambda out: (
+                            np.asarray(
+                                out[0]["bank"]["timing"]["next_t"])[0],
+                            int(out[1]), int(out[2])))
+                else:
+                    chain_j = jax.jit(chain_e2e, static_argnums=3)
+                    tail0 = jnp.zeros((n_carriers, t2), jnp.uint8)
+                    elapsed = _time_chain(
+                        chain_j,
+                        lambda: (xd, bank.init_state(), tail0, steps),
+                        steps,
+                        lambda out: (
+                            np.asarray(out[0]["timing"]["next_t"])[0],
+                            int(out[1]), int(out[2])))
+                break
+            except Exception as e:
+                msg = f"e2e-{variant}: {type(e).__name__}: {e}"[:300]
+                errors.append(msg)
+                print(f"# bench ladder: {msg}", file=sys.stderr,
+                      flush=True)
+                if variant == "fused":
+                    fused = None       # voice add-on needs fused too
+        if elapsed is None:
+            raise RuntimeError("every e2e ladder variant failed: "
+                               + " | ".join(errors))
+        if errors:
+            res.setdefault("degraded", []).extend(errors)
+        res["e2e_variant"] = variant
         res["rt_factor"] = steps * block / fs / elapsed
         res["carriers_rt"] = res["rt_factor"] * n_carriers
         res["elapsed_s"] = elapsed
@@ -342,6 +383,7 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         # failure must not cost the e2e number); opt out with
         # BENCH_VOICE=0
         if (mode == "both" and run_voice is not None
+                and fused is not None
                 and os.environ.get("BENCH_VOICE") != "0"):
             run_voice()
     elif mode == "demod":
@@ -375,9 +417,37 @@ def main():
     signal.alarm(budget_s)
     unit = ("realtime carriers (25 kHz pi/4-DQPSK, IQ->sync+CRC-checked "
             "frames on device)")
+    # BENCH_r03 post-mortem: the round-3 run died INSIDE a relay compile
+    # with rc=0 and no JSON on stdout — the except-path guard below never
+    # ran (or its output was lost unflushed).  Two defenses: stdout goes
+    # line-buffered so anything printed survives an abrupt exit, and a
+    # bootstrap zero line goes out FIRST — harness parsers take the LAST
+    # JSON line, so a successful run supersedes it, while a hard death
+    # mid-compile still leaves a parseable, honest zero.
     try:
-        r = run_bench(n_carriers=n_carriers, steps=steps,
-                      frontend=frontend, mode=mode)
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:
+        pass
+    print(json.dumps({
+        "metric": "realtime_tetra_carriers_per_chip", "value": 0.0,
+        "unit": unit, "vs_baseline": 0.0,
+        "degraded": "bootstrap sentinel: bench died before reporting",
+    }), flush=True)
+    try:
+        try:
+            r = run_bench(n_carriers=n_carriers, steps=steps,
+                          frontend=frontend, mode=mode)
+        except Exception as e:
+            # last ladder rung: the conv frontend on a fresh bank
+            if frontend == "conv" or mode == "voice":
+                raise
+            print(f"# bench ladder: {frontend} frontend bank failed "
+                  f"({type(e).__name__}: {e}); retrying frontend=conv",
+                  file=sys.stderr, flush=True)
+            r = run_bench(n_carriers=n_carriers, steps=steps,
+                          frontend="conv", mode=mode)
+            r.setdefault("degraded", []).insert(
+                0, f"frontend-{frontend}: {type(e).__name__}: {e}"[:300])
         signal.alarm(0)
         value = r["carriers_rt"]
         line = {
@@ -386,18 +456,28 @@ def main():
             "unit": unit,
             "vs_baseline": round(float(value) / 1.0, 1),
         }
+        if "degraded" in r:
+            line["degraded"] = r["degraded"]
+        if "e2e_variant" in r:
+            line["e2e_variant"] = r["e2e_variant"]
         if "demod_carriers_rt" in r and mode == "both":
             line["demod_only_carriers"] = round(
                 float(r["demod_carriers_rt"]), 1)
         if "voice_carriers_rt" in r:
             line["voice_carriers_rt"] = round(
                 float(r["voice_carriers_rt"]), 1)
+        if "voice_model" in r:
+            vm = r["voice_model"]
+            line["voice_model_carriers_rt"] = round(
+                float(vm["model_voice_carriers_rt"]), 1)
+            line["voice_model_pct"] = round(
+                float(vm.get("voice_model_pct", 0.0)), 1)
         if "roofline" in r:
             line["roofline_pct"] = round(r["roofline"]["roofline_pct"], 2)
             line["roofline_measured_pct"] = round(
                 r["roofline"].get("roofline_measured_pct",
                                   r["roofline"]["roofline_pct"]), 2)
-        print(json.dumps(line))
+        print(json.dumps(line), flush=True)
         extra = (f" demod_only={r['demod_carriers_rt']:.0f}"
                  if "demod_carriers_rt" in r else "")
         if "roofline" in r:
@@ -416,8 +496,11 @@ def main():
             "value": 0.0,
             "unit": unit,
             "vs_baseline": 0.0,
-        }))
-        print(f"# bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            "degraded": f"fatal: {type(e).__name__}: {e}"[:300],
+        }), flush=True)
+        sys.stdout.flush()
+        print(f"# bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
         raise SystemExit(0)
 
 

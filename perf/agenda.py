@@ -11,11 +11,15 @@ Steps (each its own subprocess so a TPU worker crash in one cannot
 corrupt the rest; CLAUDE.md rule 1 — never hard-kill mid-TPU-op, every
 child uses its own in-process watchdog):
 
+    gate-kernels perf/gate_kernels.py AOT-compile gate (every Pallas
+                 production graph at bench shapes; compile only)
     bench        bench.py default (e2e headline + demod-only + voice)
     breakdown    perf/fused_breakdown.py per-stage ladder
     hbm          perf/hbm_bw_probe.py streaming-bandwidth calibration
 
 `--quick` runs bench only.  `--steps a,b,c` selects explicitly.
+`python perf/agenda.py gate-kernels` runs the compile gate alone (the
+mandatory pre-commit check for Pallas-touching changes, CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STEPS = {
+    "gate-kernels": [sys.executable, "perf/gate_kernels.py"],
     "bench": [sys.executable, "bench.py"],
     "breakdown": [sys.executable, "perf/fused_breakdown.py"],
     "hbm": [sys.executable, "perf/hbm_bw_probe.py"],
@@ -88,7 +93,7 @@ def run_step(name: str, cmd: list) -> dict:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="perf/agenda.py")
-    ap.add_argument("command", choices=["run-all"])
+    ap.add_argument("command", choices=["run-all", "gate-kernels"])
     ap.add_argument("--out", default=None,
                     help="output JSON path (default PERF_<sha>.json)")
     ap.add_argument("--quick", action="store_true",
@@ -98,9 +103,10 @@ def main(argv=None) -> int:
     ap.add_argument("--gate-tries", type=int, default=12)
     args = ap.parse_args(argv)
 
-    names = (["bench"] if args.quick
+    names = (["gate-kernels"] if args.command == "gate-kernels"
+             else ["bench"] if args.quick
              else args.steps.split(",") if args.steps
-             else ["hbm", "bench", "breakdown"])
+             else ["gate-kernels", "hbm", "bench", "breakdown"])
     unknown = [n for n in names if n not in STEPS]
     if unknown:
         ap.error(f"unknown steps {unknown}; choose from {sorted(STEPS)}")
@@ -120,7 +126,8 @@ def main(argv=None) -> int:
         return 1
     for n in names:
         bundle["steps"][n] = run_step(n, STEPS[n])
-    out_path = args.out or os.path.join(ROOT, f"PERF_{sha}.json")
+    prefix = "GATE" if args.command == "gate-kernels" else "PERF"
+    out_path = args.out or os.path.join(ROOT, f"{prefix}_{sha}.json")
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(bundle, f, indent=1)
     print(f"# wrote {out_path}", flush=True)

@@ -178,20 +178,13 @@ class Pipeline:
             sparse_k = int(os.environ.get("TETRAEAR_SPARSE_K",
                                           framescan.SPARSE_K))
 
-            # fused back half (dsp.backhalf, same selection as the
-            # offline DecodeRunner): demod + scan in two Pallas kernel
-            # trips when the config is eligible (fft frontend on a
-            # 72 kHz-family rate, Pallas synth, carrier_afc off) —
-            # bit-identical verdicts and symbol decisions, ~25% more
-            # realtime carriers at C=10240 (BENCH fused vs split)
-            want = (jax.default_backend() == "tpu"
-                    or os.environ.get("TETRAEAR_FORCE_FUSED") == "1")
-            if os.environ.get("TETRAEAR_NO_FUSED") != "1" and want:
-                try:
-                    from tetraear_tpu.dsp.backhalf import FusedRx
-                    self._fused = FusedRx(self.bank)
-                except ValueError:
-                    self._fused = None
+            # fused back half: THE selection decision lives in
+            # backhalf.try_fused (one documented decision point shared
+            # with DecodeRunner and bench.py) — bit-identical verdicts
+            # and symbol decisions, ~25% more realtime carriers at
+            # C=10240 (BENCH fused vs split)
+            from tetraear_tpu.dsp.backhalf import try_fused
+            self._fused, self._backhalf_reason = try_fused(self.bank)
 
             def _sparsify(scan, out, n_c):
                 from tetraear_tpu.runtime.stream import masked_pack

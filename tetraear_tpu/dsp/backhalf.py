@@ -49,6 +49,39 @@ TWO_PI = 2.0 * np.pi
 TAILBITS = 1200
 
 
+def try_fused(bank) -> tuple:
+    """THE fused-vs-classic decision point (VERDICT r03 item 7).
+
+    Every production consumer (api.Pipeline, runtime.stream
+    DecodeRunner, bench.py) selects its back half HERE; eligibility
+    itself lives in FusedRx.__init__ (module docstring).  The classic
+    split chain (pipeline.CarrierBankDemod._step_impl + framescan) is
+    the DELIBERATE fallback — reachable for conv-frontend / AFC /
+    non-72kHz-family configs, on non-TPU backends, via
+    TETRAEAR_NO_FUSED=1, and as the bench degrade ladder's second rung
+    when a fused compile fails on hardware (measured gap at C=10240:
+    fused 23.6k vs classic 18.2k realtime carriers, BENCH_r02/
+    BASELINE.md).  It is NOT an unreconciled twin: the exactness suite
+    pins both formulations to identical symbol decisions and verdict
+    planes (tests/unit/test_backhalf.py).
+
+    Returns (FusedRx | None, reason string).
+    """
+    import os
+    if os.environ.get("TETRAEAR_NO_FUSED") == "1":
+        return None, "TETRAEAR_NO_FUSED=1"
+    want = (jax.default_backend() == "tpu"
+            or os.environ.get("TETRAEAR_FORCE_FUSED") == "1")
+    if not want:
+        return None, ("non-TPU backend (interpret-mode Pallas is slower "
+                      "than the XLA chain; TETRAEAR_FORCE_FUSED=1 "
+                      "overrides for exactness tests)")
+    try:
+        return FusedRx(bank), "fused"
+    except ValueError as e:
+        return None, str(e)
+
+
 class FusedRx:
     """Fused block step for a CarrierBankDemod-compatible carrier bank.
 

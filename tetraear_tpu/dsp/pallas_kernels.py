@@ -542,20 +542,13 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
         cre_a = y_ref[:, 0] * cor_re - y_ref[:, 1] * cor_im
         cim_a = y_ref[:, 0] * cor_im + y_ref[:, 1] * cor_re
 
-    # splice the carried interpolation tail over k in [drop-4, drop);
-    # masks are carrier-independent, values come from the SMEM scalars
-    if "nosplice" not in ablate:
-        ri = jax.lax.broadcasted_iota(jnp.int32, (1, 128, p), 1)
-        si = jax.lax.broadcasted_iota(jnp.int32, (1, 128, p), 2)
-        for j in range(4):
-            mk = (ri == row_t) & (si == lane_t + j)
-            vre = jnp.stack([sc_ref[g, 7 + j] for g in range(g_count)])
-            vim = jnp.stack([sc_ref[g, 11 + j] for g in range(g_count)])
-            cre_a = jnp.where(mk, vre[:, None, None], cre_a)
-            cim_a = jnp.where(mk, vim[:, None, None], cim_a)
-
-    last_ref[:, 0, 0, :] = cre_a[:, 127, :]
-    last_ref[:, 1, 0, :] = cim_a[:, 127, :]
+    # the final-sample row stays a per-g (1, P) store: the batched
+    # `last_ref[:, 0, 0, :] = cre_a[:, 127, :]` form crashes Mosaic's
+    # LLO lowering (lower_to_llo.cc:1093 `Check failed: d >> 32 == 0`,
+    # bisected on hardware via perf/gate_kernels.py, round 4)
+    for g in range(g_count):
+        last_ref[g, 0] = cre_a[g, 127:128, :]
+        last_ref[g, 1] = cim_a[g, 127:128, :]
 
     # W columns, transposed: scrW[row lam, lane g*128 + t'] =
     # y[t' + qmin + oi, lam] — a lane roll of the transposed tiles,
@@ -572,6 +565,41 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
             wre_scr[oi * p:(oi + 1) * p, :] = rre
             wim_scr[oi * p:(oi + 1) * p, :] = rim
     bt_scr[...] = bt_ref[...].reshape(g_count * tr, 128)
+
+    # splice the carried interpolation tail over k in [drop-4, drop),
+    # applied where the spliced samples LAND in the W scratch rather
+    # than on the (G, 128, P) planes: a (G,)-stacked scalar value for
+    # a batched where lowers to the Mosaic-unsupported
+    # vector<Gxf32> -> vector<Gx1x1xf32> reshape (BENCH_r03 tail), so
+    # each (shift oi, tap j, carrier g) copy is a masked (1, 128)
+    # aligned row-segment update with an SMEM scalar value — the same
+    # proven pattern as the pc_scr plane writes below.  Element
+    # cre_a[g, row_t, lane_t + j] sits at scratch row oi*p + lane_t + j,
+    # lane (row_t - qmin - oi) % 128 of carrier g's 128-lane block
+    # (lane_t + 3 <= p - 1 always: drop % 4 == 0 and p % 4 == 0).
+    if "nosplice" not in ablate and "noW" not in ablate:
+        l128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        for oi in range(span):
+            lm = l128 == (row_t - qmin - oi) % 128
+            for j in range(4):
+                r = oi * p + lane_t + j
+                for g in range(g_count):
+                    cs = slice(g * 128, (g + 1) * 128)
+                    wre_scr[r:r + 1, cs] = jnp.where(
+                        lm, sc_ref[g, 7 + j], wre_scr[r:r + 1, cs])
+                    wim_scr[r:r + 1, cs] = jnp.where(
+                        lm, sc_ref[g, 11 + j], wim_scr[r:r + 1, cs])
+    if "nosplice" not in ablate and row_t == 127:
+        # tail reaches the final sample row -> patch last_ref too
+        # (unreachable at production drops; kept for exactness)
+        lp = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+        for j in range(4):
+            pm_ = lp == lane_t + j
+            for g in range(g_count):
+                last_ref[g, 0, 0:1, :] = jnp.where(
+                    pm_, sc_ref[g, 7 + j], last_ref[g, 0, 0:1, :])
+                last_ref[g, 1, 0:1, :] = jnp.where(
+                    pm_, sc_ref[g, 11 + j], last_ref[g, 1, 0:1, :])
 
     # per-carrier rows of the (16, G*128) scalar plane: 0..6 the
     # Catmull-Rom tap-block weights, 7 n_valid, 8/9 prev symbol

@@ -114,6 +114,61 @@ def roofline_estimate(n_carriers: int, fs: float, frontend: str = "fft",
     }
 
 
+def voice_roofline(n_carriers: int, block_s: float,
+                   rt_factor: float | None = None,
+                   frames_per_carrier_block: int = 4,
+                   basicops_per_frame: float | None = None,
+                   eff_ops_per_s: float | None = None) -> dict:
+    """Device-limit model for the bit-exact ETSI ACELP voice chain.
+
+    The decoder (voice/jspeech.py) is a chain of ~50k SEQUENTIAL Word16
+    basic operations per 30 ms speech frame — saturating Q15 mults,
+    adds, shifts whose exact rounding the conformance corpus pins, so
+    no reformulation may reorder or batch them WITHIN a frame.  The
+    device parallelizes across frames (carriers x slots fill VPU
+    lanes), so the ceiling is the effective rate at which the chip
+    retires lane-parallel basicop STEPS:
+
+        t_block >= C * frames/block * basicops / eff_rate
+
+    eff_rate is CALIBRATED, not a datasheet figure: agenda10's jsponly
+    stage retired 16,384 frames x ~50k basicops in ~205 ms =
+    ~4.0e9 basicops/s (TETRAEAR_VOICE_EFF_OPS overrides; recalibrate
+    whenever jspeech's scan structure changes).  The v5e VPU's
+    theoretical int-op rate (~3.9e12/s: 8 cores x 4 ALUs x (8, 128)
+    lanes x 940 MHz) sits ~1000x higher — unreachable here because
+    each basicop expands to several saturation/rounding vector ops on
+    a dependent chain only ~16 vregs wide, and the lax.scan step
+    machinery costs more than the body at this width
+    (perf/scan_overhead_probe.py).  Both numbers are reported so the
+    gap stays visible instead of buried in prose (VERDICT r03 item 5).
+
+    Returns the model ceiling in realtime carriers and, when rt_factor
+    (measured realtime multiple) is given, the fraction achieved.
+    """
+    import os
+    basicops = basicops_per_frame or float(os.environ.get(
+        "TETRAEAR_ACELP_BASICOPS", "50e3"))
+    eff = eff_ops_per_s or float(os.environ.get(
+        "TETRAEAR_VOICE_EFF_OPS", "4.0e9"))
+    ops_per_carrier_block = frames_per_carrier_block * basicops
+    # realtime ceiling: carriers such that the block decodes in block_s
+    model_carriers = eff * block_s / ops_per_carrier_block
+    out = {
+        "model_voice_carriers_rt": model_carriers,
+        "model_ms_per_block": 1e3 * n_carriers * ops_per_carrier_block
+        / eff,
+        "basicops_per_frame": basicops,
+        "eff_basicops_per_s": eff,
+        "theoretical_vpu_int_ops_per_s": 3.9e12,
+        "frames_per_carrier_block": frames_per_carrier_block,
+    }
+    if rt_factor is not None:
+        achieved = rt_factor * n_carriers
+        out["voice_model_pct"] = 100.0 * achieved / model_carriers
+    return out
+
+
 def roofline_fraction(n_carriers: int, fs: float, rt_factor: float,
                       frontend: str = "fft",
                       peak_flops: float | None = None,

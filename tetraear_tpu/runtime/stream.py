@@ -266,15 +266,11 @@ class DecodeRunner:
         # planes and bit tails (tests/unit/test_backhalf.py), so the
         # host selection consumes either path's outputs unchanged
         self.fused = None
-        want = (jax.default_backend() == "tpu"        # interpret mode
-                or os.environ.get("TETRAEAR_FORCE_FUSED") == "1")
-        if (os.environ.get("TETRAEAR_NO_FUSED") != "1" and want
-                and self.t2 == 1200):
-            try:
-                from tetraear_tpu.dsp.backhalf import FusedRx
-                self.fused = FusedRx(bank)
-            except ValueError:
-                self.fused = None
+        if self.t2 == 1200:          # FusedRx hard-codes TAILBITS
+            from tetraear_tpu.dsp.backhalf import try_fused
+            self.fused, self._backhalf_reason = try_fused(bank)
+        else:
+            self._backhalf_reason = f"t2={self.t2} != TAILBITS"
         self._scan = jax.jit(self._scan_fused_impl if self.fused
                              else self._scan_impl)
         self.dispatches = 0
