@@ -114,6 +114,9 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
     }
 
     # ---- demod-only chain (round-1 metric, kept for comparability) ----
+    # Measured AFTER the e2e headline in both-mode (see below): a cold
+    # compile here once burned 25 min of the shared watchdog budget and
+    # the headline degraded to classic (round-4 lesson, PERF_9f7dbe3).
     def chain_demod(x_r, state, n):
         def body(st, _):
             out, st2 = bank._step_impl(x_r, st)
@@ -121,7 +124,7 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         st, tails = jax.lax.scan(body, state, None, length=n)
         return st, tails
 
-    if mode in ("demod", "both"):
+    def run_demod():
         try:
             chain_j = jax.jit(chain_demod, static_argnums=2)
             elapsed = _time_chain(
@@ -142,6 +145,9 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
             print(f"# bench ladder: demod-only chain failed, continuing"
                   f" ({type(e).__name__}: {e})", file=sys.stderr,
                   flush=True)
+
+    if mode == "demod":
+        run_demod()
 
     # ---- end-to-end chain: IQ -> sync + CRC verdicts everywhere ----
     # Fused path (dsp.backhalf): band synthesis + timing + DQPSK +
@@ -379,9 +385,11 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
         from tetraear_tpu.runtime.profiling import roofline_fraction
         res["roofline"] = roofline_fraction(
             n_carriers, fs, res["rt_factor"], frontend=frontend)
-        # voice add-on AFTER the headline is banked (a voice-chain
-        # failure must not cost the e2e number); opt out with
-        # BENCH_VOICE=0
+        # secondary metrics AFTER the headline is banked (neither a
+        # failure nor a cold compile here may cost the e2e number);
+        # opt out of voice with BENCH_VOICE=0
+        if mode == "both":
+            run_demod()
         if (mode == "both" and run_voice is not None
                 and fused is not None
                 and os.environ.get("BENCH_VOICE") != "0"):
@@ -403,7 +411,10 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     frontend = os.environ.get("BENCH_FRONTEND", "fft")
     mode = os.environ.get("BENCH_MODE", "both")
-    budget_s = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+    # 2700s default: one cold fused-chain compile through the relay
+    # measured ~25 min (round 4) — 1500s lost the headline to the
+    # classic rung purely on compile time when the kernel cache missed
+    budget_s = int(os.environ.get("BENCH_TIMEOUT_S", "2700"))
 
     # Watchdog: a hung remote compile must not hang the harness; raising
     # in-process lets the PJRT client unwind and release its device grant

@@ -165,6 +165,13 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
     i = pl.program_id(0)
     g_count = out_ref.shape[0]
     p = nat_scr.shape[2]
+    # h1_vmem mode (h1_scr is None): the whole rolled-filter table is a
+    # VMEM-RESIDENT constant block (constant index map -> fetched from
+    # HBM once, reused across all grid steps) and each carrier's roll is
+    # a dynamic leading-dim index — instead of a per-carrier HBM DMA
+    # that re-reads P rows x C carriers = 80x the table per block
+    # (671 MB at C=10240, ~1.7 ms of pure re-read traffic).
+    h1_resident = h1_scr is None
 
     def nat_dma(g):
         c = i * g_count + g
@@ -179,15 +186,21 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
 
     for g in range(g_count):
         nat_dma(g).start()
-        h1_dma(g).start()
+        if not h1_resident:
+            h1_dma(g).start()
 
     for g in range(g_count):
         nat_dma(g).wait()
-        h1_dma(g).wait()
+        if h1_resident:
+            d = d_ref[i * g_count + g]
+            hre = h1_hbm[0, d]
+            him = h1_hbm[1, d]
+        else:
+            h1_dma(g).wait()
+            hre = h1_scr[g, 0]
+            him = h1_scr[g, 1]
         nre = nat_scr[g, 0]
         nim = nat_scr[g, 1]
-        hre = h1_scr[g, 0]
-        him = h1_scr[g, 1]
         bre = nre * hre - nim * him                  # (P, 128)
         bim = nre * him + nim * hre
         a = jnp.concatenate([bre, bim], axis=0)      # (2P, 128)
@@ -237,7 +250,9 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
 
 def _band_synth_kernel(row_ref, d_ref, planes_hbm, h1_hbm,
                        m1c_ref, m2re_ref, m2im_ref, twre_ref, twim_ref,
-                       out_ref, nat_scr, h1_scr, sem_n, sem_h):
+                       out_ref, *scr):
+    nat_scr, h1_scr, sem_n, sem_h = (scr if len(scr) == 4
+                                     else (scr[0], None, scr[1], None))
     _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm, m1c_ref,
                      m2re_ref, m2im_ref, twre_ref, twim_ref, out_ref,
                      None, nat_scr, h1_scr, sem_n, sem_h, 0)
@@ -246,7 +261,9 @@ def _band_synth_kernel(row_ref, d_ref, planes_hbm, h1_hbm,
 def _band_synth_ph_kernel(phasor_drop, row_ref, d_ref,
                           planes_hbm, h1_hbm, m1c_ref, m2re_ref,
                           m2im_ref, twre_ref, twim_ref, out_ref, ph_ref,
-                          nat_scr, h1_scr, sem_n, sem_h):
+                          *scr):
+    nat_scr, h1_scr, sem_n, sem_h = (scr if len(scr) == 4
+                                     else (scr[0], None, scr[1], None))
     _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm, m1c_ref,
                      m2re_ref, m2im_ref, twre_ref, twim_ref, out_ref,
                      ph_ref, nat_scr, h1_scr, sem_n, sem_h, phasor_drop)
@@ -258,21 +275,33 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                twre: jnp.ndarray, twim: jnp.ndarray,
                rows_per_band: int, group: int = 8,
                interpret: bool = False,
-               phasor_drop: int | None = None):
+               phasor_drop: int | None = None,
+               h1_vmem: bool | None = None):
     """See _band_synth_impl.  (A group-dense "batched" kernel body
     existed behind TETRAEAR_BS_BATCHED; its real-chip A/B crashed the
     Mosaic compiler (layout.h check failure, round 3) and it was
-    removed — the per-carrier body is the only formulation.)"""
+    removed — the per-carrier body is the only formulation.)
+
+    h1_vmem: keep the whole rolled-H1 table VMEM-resident instead of
+    DMAing each carrier's roll from HBM (see _band_synth_body); None
+    auto-selects it whenever the table fits a 16 MB budget (gated by
+    TETRAEAR_BS_H1VMEM=0/1 for the hardware A/B)."""
+    if h1_vmem is None:
+        env = os.environ.get("TETRAEAR_BS_H1VMEM", "")
+        if env in ("0", "1"):
+            h1_vmem = env == "1"
+        else:
+            h1_vmem = h1_planes.size * 4 <= 16 * 1024 * 1024
     return _band_synth_impl(planes, h1_planes, row_starts, d_shift,
                             m1c, m2re, m2im, twre, twim,
                             rows_per_band=rows_per_band, group=group,
                             interpret=interpret,
-                            phasor_drop=phasor_drop)
+                            phasor_drop=phasor_drop, h1_vmem=h1_vmem)
 
 
 @partial(jax.jit,
          static_argnames=("rows_per_band", "group", "interpret",
-                          "phasor_drop"))
+                          "phasor_drop", "h1_vmem"))
 def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      row_starts: jnp.ndarray, d_shift: jnp.ndarray,
                      m1c: jnp.ndarray, m2re: jnp.ndarray,
@@ -280,7 +309,8 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      twre: jnp.ndarray, twim: jnp.ndarray,
                      rows_per_band: int, group: int = 8,
                      interpret: bool = False,
-                     phasor_drop: int | None = None):
+                     phasor_drop: int | None = None,
+                     h1_vmem: bool = False):
     """Fused band extract + H1 filter + inverse transform.
 
     Args:
@@ -340,6 +370,24 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct(y_shape, jnp.float32)
     scr_shape = (group, 2, p, 128)
+    if h1_vmem:
+        # resident table: constant index map -> one HBM fetch, reused
+        # across every grid step; carriers index their roll in VMEM
+        h1_spec = pl.BlockSpec(h1_planes.shape,
+                               lambda i, *_: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        scratch = [
+            pltpu.VMEM(scr_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((group,)),
+        ]
+    else:
+        h1_spec = pl.BlockSpec(memory_space=pl.ANY)      # h1 (HBM)
+        scratch = [
+            pltpu.VMEM(scr_shape, jnp.float32),
+            pltpu.VMEM(scr_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((group,)),
+            pltpu.SemaphoreType.DMA((group,)),
+        ]
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -347,7 +395,7 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
             grid=(c // group,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),       # planes (HBM)
-                pl.BlockSpec(memory_space=pl.ANY),       # h1 (HBM)
+                h1_spec,
                 pl.BlockSpec((2 * p, 2 * p), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
@@ -360,12 +408,7 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM(scr_shape, jnp.float32),
-                pltpu.VMEM(scr_shape, jnp.float32),
-                pltpu.SemaphoreType.DMA((group,)),
-                pltpu.SemaphoreType.DMA((group,)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=out_shape,
         # group > 8 overflows the 16 MB default scoped-vmem budget
@@ -493,6 +536,24 @@ def _dot_hp(a, b):
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         precision=_HP, preferred_element_type=jnp.float32)
+
+
+def _dot_high(a, b):
+    # 3-pass bf16 (hi*hi + hi*lo + lo*hi) — half the MXU passes of
+    # HIGHEST at ~2^-16-relative product error; an fft2p A/B knob
+    # (TETRAEAR_FFT2P_PREC=high).  Decomposed by hand: Mosaic cannot
+    # lower Precision.HIGH itself (NotImplementedError, round 4).
+    ahi = a.astype(jnp.bfloat16)
+    alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bhi = b.astype(jnp.bfloat16)
+    blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
 
 
 def _dot01(a, b):
@@ -1173,7 +1234,9 @@ def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
     (n, 128) planes with rows in k order."""
     import os
     ablate = set(os.environ.get("TETRAEAR_FFT2P_ABLATE", "").split(","))
-    dot = _dot01 if "hp" in ablate else _dot_hp
+    prec = os.environ.get("TETRAEAR_FFT2P_PREC", "highest")
+    dot = (_dot01 if "hp" in ablate
+           else _dot_high if prec == "high" else _dot_hp)
     n = 128 * a
     w = tre.shape[1]                     # lane width (any multiple of 128)
     # inner: S[kB, (iA, l)] = sum_iB F128[kB, iB] T[(iB, iA), l]
