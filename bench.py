@@ -103,6 +103,9 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
     x = (rng.standard_normal(block)
          + 1j * rng.standard_normal(block)).astype(np.complex64)
     xd = jnp.asarray(kernels.c2r_np(x))
+    # planar (2, N) layout for the fused chains: the spliced fft2p
+    # front end consumes these planes with zero device relayout
+    xp = jnp.asarray(kernels.c2p_np(x))
     k = bank.k_max
     t2 = 1200                      # carried tail bits (frame.batch TAIL)
 
@@ -299,7 +302,7 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
             try:
                 elapsed = _time_chain(
                     chain_j,
-                    lambda: (xd, fused.init_state(), sstate0, steps),
+                    lambda: (xp, fused.init_state(), sstate0, steps),
                     steps,
                     lambda out: (
                         np.asarray(
@@ -348,7 +351,7 @@ def run_bench(n_carriers: int = 256, block: int | None = None,
                 if variant == "fused":
                     chain_j = jax.jit(chain_e2e_fused, static_argnums=2)
                     elapsed = _time_chain(
-                        chain_j, lambda: (xd, fused.init_state(), steps),
+                        chain_j, lambda: (xp, fused.init_state(), steps),
                         steps,
                         lambda out: (
                             np.asarray(

@@ -56,18 +56,20 @@ def main():
     x = (rng.standard_normal(block)
          + 1j * rng.standard_normal(block)).astype(np.complex64)
     xd = jnp.asarray(kernels.c2r_np(x))
+    xp = jnp.asarray(kernels.c2p_np(x))   # planar: the fused-path feed
 
     results = {}
     only = [s for s in os.environ.get("PERF_ONLY", "").split(",") if s]
 
-    def timed(name, chain_fn):
+    def timed(name, chain_fn, xin=None):
         if only and name not in only:
             return
+        xin = xd if xin is None else xin
         cj = jax.jit(chain_fn, static_argnums=1)
-        out = cj(xd, STEPS)
+        out = cj(xin, STEPS)
         float(np.asarray(out)[-1])
         t0 = time.time()
-        out = cj(xd, STEPS)
+        out = cj(xin, STEPS)
         float(np.asarray(out)[-1])
         dt = (time.time() - t0) / STEPS * 1e3
         results[name] = round(dt, 1)
@@ -114,6 +116,19 @@ def main():
     if ch.fft2p_ok:
         timed("planes2p", chain_planes2p)
 
+    # spliced pass-1 input: no r2c/concat/stack glue at all (the
+    # production chan_raw path whenever ch.fft2p_splice)
+    def chain_planes2s(x_p, n):
+        def body(carry, _2):
+            tail_p = jnp.zeros((2, ch.overlap), jnp.float32)
+            planes = ch.wideband_planes_spliced(tail_p, x_p + carry)
+            return planes[0, 0, 0] * 1e-30, planes[1, 0, 0]
+        c, tails = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return tails
+
+    if getattr(ch, "fft2p_splice", False):
+        timed("planes2s", chain_planes2s, xp)
+
     def chain_synth(x_r, n):
         st0 = fused.init_state()["bank"]["channelizer"]
 
@@ -123,7 +138,7 @@ def main():
         st, tails = jax.lax.scan(body, st0, None, length=n)
         return tails
 
-    timed("synth", chain_synth)
+    timed("synth", chain_synth, xp)
 
     def chain_step(x_r, n):
         st0 = fused.init_state()
@@ -134,7 +149,7 @@ def main():
         st, tails = jax.lax.scan(body, st0, None, length=n)
         return tails
 
-    timed("step", chain_step)
+    timed("step", chain_step, xp)
 
     results["block_ms_realtime"] = round(block / fs * 1e3, 1)
     print(json.dumps({"carriers": C, **results}))

@@ -70,7 +70,8 @@ def main() -> int:
     def s(shape, dtype=f32):
         return jax.ShapeDtypeStruct(shape, dtype)
 
-    x_s = s((bank.block_len, 2))
+    x_s = s((2, bank.block_len))     # planar: the fused-path layout
+    x_cl = s((bank.block_len, 2))    # interleaved: the classic layout
     state_s = jax.eval_shape(fused.init_state)
     k3, rsyn, c0row = framescan._PALLAS_TABLES
 
@@ -97,7 +98,7 @@ def main() -> int:
 
     def gate_classic():
         jax.jit(bank._step_impl).lower(
-            x_s, jax.eval_shape(bank.init_state)).compile()
+            x_cl, jax.eval_shape(bank.init_state)).compile()
 
     targets = {
         "backhalf": gate_backhalf,

@@ -70,8 +70,14 @@ def test_fft_frontend_streaming_blocks():
     assert len(iq) > 2 * bank.block_len        # spans >= 2 blocks
     out = bank.run(iq)
     tx = modulator.bits_to_symbols(bits)
-    # a run crossing the first block boundary must be error-free
-    assert _best(out["symbols"][0], tx[100:3600]) == 1.0
+    # a run crossing the first block boundary must be error-free; the
+    # span derives from the bank geometry (block_len depends on the
+    # overlap choice, e.g. the fft2p splice alignment)
+    n_blocks = len(iq) // bank.block_len
+    n_sym = int(n_blocks * bank.block_len / 2.4e6 * 18_000)
+    b_sym = int(bank.block_len / 2.4e6 * 18_000)
+    assert n_sym - 100 > b_sym + 200           # crosses the boundary
+    assert _best(out["symbols"][0], tx[100:n_sym - 100]) == 1.0
 
 
 @pytest.mark.integration
@@ -380,3 +386,65 @@ def test_fft2p_chan_raw_decisions_exact(monkeypatch):
         j = pe - off
         if 0 <= j < err_ref.shape[1]:
             assert err_got[c, j] == err_ref[c, j], (c, pe)
+
+
+@pytest.mark.unit
+def test_fft2p_spliced_matches_glue():
+    """fft2p_planes_spliced (tail + block as separate planar inputs,
+    spliced inside pass 1) is BIT-IDENTICAL to fft2p_planes on the
+    stacked concat window — same matmuls on the same tiles."""
+    import jax.numpy as jnp
+    from tetraear_tpu.dsp import pallas_kernels as pk
+
+    rng = np.random.default_rng(7)
+    n1, n2 = 512, 256
+    o2 = 16                              # 8-aligned tail row count
+    n = n1 * n2
+    x = (rng.standard_normal(n)
+         + 1j * rng.standard_normal(n)).astype(np.complex64)
+    planes = np.stack([x.reshape(n2, n1).real,
+                       x.reshape(n2, n1).imag]).astype(np.float32)
+    want = np.asarray(pk.fft2p_planes(jnp.asarray(planes), n1, n2,
+                                      wrap_k1=2, interpret=True))
+    got = np.asarray(pk.fft2p_planes_spliced(
+        jnp.asarray(planes[:, :o2]), jnp.asarray(planes[:, o2:]),
+        n1, n2, wrap_k1=2, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.unit
+def test_fused_planar_spliced_step_exact(monkeypatch):
+    """FusedRx.step fed the planar (2, N) block through the spliced
+    fft2p input (the production TPU layout) produces bit-identical
+    outputs and state to the interleaved (N, 2) glue path."""
+    import jax.numpy as jnp
+    from tetraear_tpu.dsp import backhalf, kernels
+    from tetraear_tpu.ref import golden
+
+    fs = 2.304e6
+    payloads = [golden.sds_text_payload("SPLICE CHECK")] * 24
+    iq = golden.golden_iq(payloads, fs=fs, freq_offset_hz=12_500.0,
+                          snr_db=20, seed=11)
+    bank = CarrierBankDemod(fs=fs, freqs_hz=[12_500.0], frontend="fft")
+    ch = bank.channelizer
+    assert ch.fft2p_splice, "geometry must allow the aligned splice"
+    assert ch.overlap % (8 * ch.fft2p_n1) == 0
+    fused = backhalf.FusedRx(bank)
+    monkeypatch.setenv("TETRAEAR_FFT2P", "1")
+
+    iqb = iq[:bank.block_len]
+    x_r = jnp.asarray(kernels.c2r_np(iqb))       # interleaved
+    x_p = jnp.asarray(kernels.c2p_np(iqb))       # planar
+
+    monkeypatch.setenv("TETRAEAR_FFT2P_SPLICE", "0")
+    ref, st_ref = fused.step(x_r, fused.init_state())
+    monkeypatch.delenv("TETRAEAR_FFT2P_SPLICE")
+    got, st_got = fused.step(x_p, fused.init_state())
+
+    for k in ("corr", "crc_err", "soft_planes", "n_valid"):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+    ct_ref = st_ref["bank"]["channelizer"]["tail"]
+    ct_got = st_got["bank"]["channelizer"]["tail"]
+    np.testing.assert_array_equal(np.asarray(ct_got),
+                                  np.asarray(ct_ref))

@@ -413,8 +413,10 @@ class Pipeline:
             import jax.numpy as jnp
             from tetraear_tpu.dsp import kernels
             from tetraear_tpu.dsp.backhalf import TAILBITS
-            x_r = jnp.asarray(kernels.c2r_np(block))
             if self._fused is not None:
+                # planar (2, N) block: the spliced fft2p pass-1 input
+                # layout (kernels.c2p_np) — zero device relayout
+                x_r = jnp.asarray(kernels.c2p_np(block))
                 # the device tail replicates the host tail (carried
                 # inside the fused state); the first-diff-symbol drop
                 # is skipped on both sides
@@ -422,6 +424,7 @@ class Pipeline:
                 scan, self.state, _n_c, out = self._block_step(
                     x_r, self.state)
             else:
+                x_r = jnp.asarray(kernels.c2r_np(block))
                 if self._tail_bits is None:
                     self._tail_bits = jnp.zeros(
                         (self.n_carriers, TAILBITS), jnp.uint8)

@@ -151,12 +151,16 @@ class FusedRx:
     def chan_raw(self, x_r: jnp.ndarray, cstate: dict) -> tuple:
         """Channelizer front + band synthesis with the fused O&M
         phasor.  Returns (y raw planes (C, 2, 128, P), phasor
-        (C, 1, 128), rot (C,) complex, new channelizer state)."""
+        (C, 1, 128), rot (C,) complex, new channelizer state).
+
+        x_r is the wideband block as float32 in EITHER layout:
+        interleaved (N, 2) [re, im] pairs, or planar (2, N) — feed
+        planar on the hot path (kernels.c2p_np): with the spliced
+        fft2p it reaches pass 1 with ZERO relayout passes, where the
+        interleaved form costs a full-block transpose first."""
         ch = self.ch
         interp = jax.default_backend() != "tpu"
-        x = kernels.r2c(x_r)
-        tail = kernels.r2c(cstate["tail"])
-        xx = jnp.concatenate([tail, x])
+        planar = x_r.shape[0] == 2 and x_r.shape[-1] != 2
         import os
         # two-pass Pallas MXU FFT: default ON for TPU backends (real-chip
         # A/B: planes 20.2 -> 14.7 ms/block, e2e 22.5k -> 23.6k carriers
@@ -166,13 +170,28 @@ class FusedRx:
         fft2p_env = os.environ.get("TETRAEAR_FFT2P", "")
         use_2p = ch.fft2p_ok and fft2p_env != "0" and (
             fft2p_env == "1" or jax.default_backend() == "tpu")
-        if use_2p:
-            planes = ch.wideband_planes(xx, interpret=interp)
+        splice = (use_2p and ch.fft2p_splice
+                  and os.environ.get("TETRAEAR_FFT2P_SPLICE") != "0")
+        if splice:
+            x_p = x_r if planar else jnp.transpose(x_r)
+            tail_p = jnp.transpose(cstate["tail"])   # (2, overlap) tiny
+            planes = ch.wideband_planes_spliced(tail_p, x_p,
+                                                interpret=interp)
+            new_tail = jnp.transpose(
+                x_p[:, x_p.shape[1] - ch.overlap:])
         else:
-            big_x = ch._wideband_fft(xx)
-            x_ext = jnp.concatenate([big_x, big_x[:ch.n_band]])
-            planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
-            planes = planes.reshape(2, -1, 128)
+            x = (jax.lax.complex(x_r[0], x_r[1]) if planar
+                 else kernels.r2c(x_r))
+            tail = kernels.r2c(cstate["tail"])
+            xx = jnp.concatenate([tail, x])
+            new_tail = kernels.c2r(xx[xx.shape[0] - ch.overlap:])
+            if use_2p:
+                planes = ch.wideband_planes(xx, interpret=interp)
+            else:
+                big_x = ch._wideband_fft(xx)
+                x_ext = jnp.concatenate([big_x, big_x[:ch.n_band]])
+                planes = jnp.stack([jnp.real(x_ext), jnp.imag(x_ext)])
+                planes = planes.reshape(2, -1, 128)
         bs_group = int(os.environ.get("TETRAEAR_BS_GROUP", "32"))  # agenda9: 24.6/24.7/23.7 ms at 8/16/32
         y, ph = pk.band_synth(
             planes, jnp.asarray(ch.h1_planes),
@@ -185,14 +204,15 @@ class FusedRx:
         ang = cstate["cycles"] * jnp.float32(TWO_PI) / nfft_f
         rot = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))    # (C,)
         new_cstate = {
-            "tail": kernels.c2r(xx[xx.shape[0] - ch.overlap:]),
+            "tail": new_tail,
             "cycles": jnp.mod(cstate["cycles"]
                               + jnp.asarray(ch.cycle_step), nfft_f),
         }
         return y, ph, rot, new_cstate
 
     def step(self, x_r: jnp.ndarray, state: dict) -> tuple:
-        """x_r: (N, 2) wideband block in [re, im] form.
+        """x_r: wideband block, float32 (N, 2) [re, im] pairs or planar
+        (2, N) — planar is the hot-path layout (see chan_raw).
 
         Returns (out, new_state); out = {"corr": (C, n_corr) f32,
         "crc_err": (C, n_err) i32, "soft_planes": (C, 2, SY, 128) f32,

@@ -120,6 +120,18 @@ class FFTChannelizer:
         fir_mem = (0 if self.fold_fir is None
                    else (len(self.fold_fir) - 1) * self.decim)
 
+        # two-pass MXU FFT geometry (pallas_kernels.fft2p_planes) —
+        # needed BEFORE the overlap choice: the spliced pass-1 input
+        # wants the tail row count overlap/n1 to be 8-sublane-aligned
+        lg2 = int(math.log2(self.nfft))
+        self.fft2p_n1 = 1 << ((lg2 + 1) // 2)
+        self.fft2p_n2 = self.nfft // self.fft2p_n1
+        self.fft2p_ok = (self.fft2p_n1 % 128 == 0
+                         and self.fft2p_n2 % 128 == 0
+                         and self.n_band % 128 == 0)
+        if self.fft2p_ok:
+            self.fft2p_wrap = -(-self.n_band // self.fft2p_n2)
+
         # overlap: >= h1 (+ folded output FIR) memory, and block = nfft -
         # overlap must divide by decim * back_granularity (the 72 kHz
         # back half's block quantum)
@@ -128,6 +140,26 @@ class FFTChannelizer:
         overlap = self.nfft % quantum
         while overlap < max(self.h1_len + fir_mem, self.decim):
             overlap += quantum
+        # spliced fft2p input: round the overlap up until its row count
+        # overlap/n1 is a multiple of 8 (one sublane tile), so pass 1
+        # can take tail+block as two inputs and splice them with
+        # aligned VMEM copies — skipping the r2c/concat/stack glue
+        # (4.7 ms/block of pure HBM streaming at 2^25,
+        # perf/fft2p_stage_probe.py).  Everything is a power of two in
+        # practice so the walk terminates in <= align/quantum steps;
+        # if it can't align (exotic quantum) we keep the minimal
+        # overlap and the glue path.
+        self.fft2p_splice = False
+        if self.fft2p_ok:
+            align = 8 * self.fft2p_n1
+            cand, steps = overlap, 0
+            while (cand % align and cand * 2 < self.nfft
+                   and steps <= align // math.gcd(quantum, align) + 1):
+                cand += quantum
+                steps += 1
+            if cand % align == 0 and cand * 2 < self.nfft:
+                overlap = cand
+                self.fft2p_splice = True
         self.overlap = overlap
         if overlap * 2 >= self.nfft:
             raise ValueError(
@@ -304,20 +336,13 @@ class FFTChannelizer:
         # w^{k2 i1} = A[k2, i1a] * B[k2, i1b] — two tables of a few MB
         # that broadcast-multiply in the same fused pass.
         self.fft4 = self.nfft >= (1 << 20)
-        # TWO-PASS Pallas MXU FFT (pallas_kernels.fft2p_planes): the
-        # whole forward transform + natural-order relayout + wrap
-        # extension in two HBM passes of Cooley-Tukey matmuls — every
-        # XLA formulation above is pass-bound (>= 15 ms/block at 2^25
-        # for 268 MB of input).  wideband_planes() below produces the
-        # band_synth input directly.
-        lg = int(math.log2(self.nfft))
-        self.fft2p_n1 = 1 << ((lg + 1) // 2)
-        self.fft2p_n2 = self.nfft // self.fft2p_n1
-        self.fft2p_ok = (self.fft2p_n1 % 128 == 0
-                         and self.fft2p_n2 % 128 == 0
-                         and self.n_band % 128 == 0)
-        if self.fft2p_ok:
-            self.fft2p_wrap = -(-self.n_band // self.fft2p_n2)
+        # (TWO-PASS Pallas MXU FFT geometry — fft2p_n1/n2/ok/wrap/splice
+        # — is computed near the top of __init__, before the overlap
+        # choice.  wideband_planes()/wideband_planes_spliced() below
+        # produce the band_synth input directly: the whole forward
+        # transform + natural-order relayout + wrap extension in two
+        # HBM passes of Cooley-Tukey matmuls — every XLA formulation
+        # above is pass-bound, >= 15 ms/block at 2^25.)
         if self.fft4:
             lg = int(np.log2(self.nfft))
             n1 = 1 << ((lg + 1) // 2)
@@ -386,6 +411,28 @@ class FFTChannelizer:
                                wrap_k1=self.fft2p_wrap,
                                cols=cols, rows2=rows2,
                                interpret=interpret)
+
+    def wideband_planes_spliced(self, tail_p: jnp.ndarray,
+                                x_p: jnp.ndarray,
+                                interpret: bool = False) -> jnp.ndarray:
+        """wideband_planes with the overlap-save window spliced inside
+        pass 1: tail_p (2, overlap) carried tail + x_p (2, block_len)
+        fresh block, both PLANAR f32.  Identical output planes to
+        wideband_planes(stack(concat(tail, x))) — but zero XLA glue
+        passes over the block (the tail row count overlap/n1 is
+        8-aligned by construction whenever fft2p_splice is True)."""
+        import os
+        from tetraear_tpu.dsp import pallas_kernels as pk
+        n1, n2 = self.fft2p_n1, self.fft2p_n2
+        o2 = self.overlap // n1
+        t3 = tail_p.reshape(2, o2, n1)
+        x3 = x_p.reshape(2, n2 - o2, n1)
+        cols = int(os.environ.get("TETRAEAR_FFT2P_COLS", "128"))
+        rows2 = int(os.environ.get("TETRAEAR_FFT2P_ROWS2", "128"))
+        return pk.fft2p_planes_spliced(t3, x3, n1, n2,
+                                       wrap_k1=self.fft2p_wrap,
+                                       cols=cols, rows2=rows2,
+                                       interpret=interpret)
 
     def _synth(self, band: jnp.ndarray) -> jnp.ndarray:
         """(C, n_band) spectra -> (C, n_band) time samples; equals

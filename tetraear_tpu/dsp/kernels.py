@@ -56,6 +56,14 @@ def r2c_np(a: np.ndarray) -> np.ndarray:
     return (a[..., 0] + 1j * a[..., 1]).astype(np.complex64)
 
 
+def c2p_np(z: np.ndarray) -> np.ndarray:
+    """complex (..., N) -> float32 PLANAR (..., 2, N) — the wideband
+    block layout the fused fft2p front end consumes directly (pass 1
+    reads these planes as-is; the interleaved (N, 2) form costs a
+    full-block relayout on device first)."""
+    return np.stack([z.real, z.imag], axis=-2).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # NCO tables (host-side, exact integer arithmetic)
 # ---------------------------------------------------------------------------

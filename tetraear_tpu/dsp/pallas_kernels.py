@@ -1234,7 +1234,11 @@ def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
     (n, 128) planes with rows in k order."""
     import os
     ablate = set(os.environ.get("TETRAEAR_FFT2P_ABLATE", "").split(","))
-    prec = os.environ.get("TETRAEAR_FFT2P_PREC", "highest")
+    # default "high" (bf16x3): real-chip A/B planes2p 14.4 -> 12.4
+    # ms/block at 2^25 vs "highest" (f32x6), accuracy 2.8e-5 max err
+    # over RMS (perf/fft2p_prec_probe.py), scan verdicts identical on
+    # goldens (test_fft2p_chan_raw_decisions_exact)
+    prec = os.environ.get("TETRAEAR_FFT2P_PREC", "high")
     dot = (_dot01 if "hp" in ablate
            else _dot_high if prec == "high" else _dot_hp)
     n = 128 * a
@@ -1271,10 +1275,8 @@ def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
     return (vre.reshape(n, w), vim.reshape(n, w))
 
 
-def _fft2p_pass1_kernel(n2a, x_ref, bq_ref, at2_ref, f128_ref, fa_ref,
-                        w2_ref, g_ref):
-    xre = x_ref[0]
-    xim = x_ref[1]                                   # (n2, W)
+def _fft2p_pass1_core(n2a, xre, xim, bq_ref, at2_ref, f128_ref, fa_ref,
+                      w2_ref, g_ref):
     vre, vim = _ct_dft_cols(xre, xim, n2a, f128_ref, fa_ref, w2_ref)
     # four-step twiddle w_N^{k2 i1}: At lane part x Bt half select,
     # one 128-lane tile at a time (At repeats every 64 lanes; Bt
@@ -1293,6 +1295,27 @@ def _fft2p_pass1_kernel(n2a, x_ref, bq_ref, at2_ref, f128_ref, fa_ref,
         wim = twre * bim + twim * bre
         g_ref[0, :, 128 * t:128 * (t + 1)] = vr * wre - vi * wim
         g_ref[1, :, 128 * t:128 * (t + 1)] = vr * wim + vi * wre
+
+
+def _fft2p_pass1_kernel(n2a, x_ref, bq_ref, at2_ref, f128_ref, fa_ref,
+                        w2_ref, g_ref):
+    _fft2p_pass1_core(n2a, x_ref[0], x_ref[1], bq_ref, at2_ref,
+                      f128_ref, fa_ref, w2_ref, g_ref)
+
+
+def _fft2p_pass1_spliced_kernel(n2a, t_ref, x_ref, bq_ref, at2_ref,
+                                f128_ref, fa_ref, w2_ref, g_ref):
+    """Pass 1 with the overlap-save tail spliced IN-KERNEL: the carried
+    tail rows (2, o2, W) and the fresh block rows (2, n2 - o2, W) arrive
+    as separate inputs and concatenate in VMEM — o2 is 8-sublane-aligned
+    (channelizer rounds the overlap up to a multiple of 8*n1), so the
+    concat is pure block copies.  Replaces the XLA glue (r2c + tail
+    concat + re/im plane stack = three full HBM passes over the block,
+    4.7 ms/block at 2^25 — perf/fft2p_stage_probe.py)."""
+    xre = jnp.concatenate([t_ref[0], x_ref[0]], axis=0)
+    xim = jnp.concatenate([t_ref[1], x_ref[1]], axis=0)
+    _fft2p_pass1_core(n2a, xre, xim, bq_ref, at2_ref,
+                      f128_ref, fa_ref, w2_ref, g_ref)
 
 
 def _fft2p_pass2_kernel(n1b, wrap_k1, g_ref, fb_ref, f128_ref, w1_ref,
@@ -1371,8 +1394,79 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
       jnp.asarray(t["at2"]),
       jnp.asarray(t["f128"]), jnp.asarray(t["fa2"]),
       jnp.asarray(t["w2"]))
+    return _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret)
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "cols",
+                                   "rows2", "interpret"))
+def fft2p_planes_spliced(tail_p: jnp.ndarray, x_p: jnp.ndarray,
+                         n1: int, n2: int,
+                         wrap_k1: int = 0, cols: int = 128,
+                         rows2: int = 128, interpret: bool = False):
+    """fft2p_planes with the overlap-save window assembled IN pass 1:
+    tail_p (2, o2, n1) carried-tail rows + x_p (2, n2 - o2, n1) fresh
+    block rows (both planar f32, rows in sample order) -> identical
+    output planes to fft2p_planes(stack(concat)).  Requires
+    o2 % 8 == 0 (the channelizer aligns the overlap; see
+    _fft2p_pass1_spliced_kernel) — saves the three XLA glue passes over
+    the 268 MB block."""
+    if n1 % 128 or n2 % 128:
+        raise ValueError(f"fft2p needs 128 | n1, n2 (got {n1}, {n2})")
+    if cols % 128 or n1 % cols or rows2 % 128 or n2 % rows2:
+        raise ValueError(f"fft2p grid blocks: need 128 | cols | n1 and "
+                         f"128 | rows2 | n2 (got {cols}, {rows2})")
+    o2 = tail_p.shape[1]
+    if o2 % 8 or tail_p.shape != (2, o2, n1) \
+            or x_p.shape != (2, n2 - o2, n1):
+        raise ValueError(
+            f"spliced fft2p: tail {tail_p.shape} / x {x_p.shape} must "
+            f"be (2, o2, {n1}) + (2, {n2} - o2, {n1}) with 8 | o2")
+    key = (n1, n2)
+    if key not in _FFT2P_TABLES:
+        _FFT2P_TABLES[key] = _fft2p_tables(n1, n2)
+    t = _FFT2P_TABLES[key]
+    a2 = n2 // 128
+
+    g = pl.pallas_call(
+        partial(_fft2p_pass1_spliced_kernel, a2),
+        grid_spec=pl.GridSpec(
+            grid=(n1 // cols,),
+            in_specs=[
+                pl.BlockSpec((2, o2, cols), lambda q: (0, 0, q),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, n2 - o2, cols), lambda q: (0, 0, q),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cols // 128, 2, n2, 2),
+                             lambda q: (q, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, n2, 128), lambda q: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128, 128), lambda q: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, a2, a2), lambda q: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128, a2), lambda q: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((2, n2, cols), lambda q: (0, 0, q),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, n2, n1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tail_p, x_p,
+      jnp.asarray(t["bq"]),
+      jnp.asarray(t["at2"]),
+      jnp.asarray(t["f128"]), jnp.asarray(t["fa2"]),
+      jnp.asarray(t["w2"]))
+    return _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret)
+
+
+def _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret):
     # pass-1 emitted G as (2, n2 k2, n1 i1); pass 2 slices 128-lane k2
     # column blocks of its TRANSPOSE via an input block on the k2 axis
+    b2 = n1 // 128
     out = pl.pallas_call(
         partial(_fft2p_pass2_kernel, b2, wrap_k1),
         grid_spec=pl.GridSpec(

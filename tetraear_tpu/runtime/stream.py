@@ -425,10 +425,12 @@ class DecodeRunner:
         while pos + bl <= len(iq):
             take = min(self.s, (len(iq) - pos) // bl)
             xs = iq[pos:pos + take * bl].reshape(take, bl)
-            xs_r = jnp.asarray(kernels.c2r_np(xs))
             if self.fused:
+                # planar (take, 2, N): the spliced fft2p input layout
+                xs_r = jnp.asarray(kernels.c2p_np(xs))
                 state, ys = self._scan(xs_r, state)
             else:
+                xs_r = jnp.asarray(kernels.c2r_np(xs))
                 state, tail_bits, ys = self._scan(xs_r, state,
                                                   tail_bits)
             self.dispatches += 1
