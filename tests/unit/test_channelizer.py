@@ -448,3 +448,30 @@ def test_fused_planar_spliced_step_exact(monkeypatch):
     ct_got = st_got["bank"]["channelizer"]["tail"]
     np.testing.assert_array_equal(np.asarray(ct_got),
                                   np.asarray(ct_ref))
+
+
+@pytest.mark.unit
+def test_fft2p_spliced_split_dot(monkeypatch):
+    """TETRAEAR_FFT2P_SPLIT_DOT=1 (concat-free spliced pass 1: block
+    piece against the lane-sliced DFT matrix + tail rows as broadcast
+    outer products) matches the glue path to f32 rounding (not bitwise
+    — the tail terms accumulate after the dot)."""
+    import jax.numpy as jnp
+    from tetraear_tpu.dsp import pallas_kernels as pk
+
+    rng = np.random.default_rng(8)
+    n1, n2 = 512, 256
+    o2 = 8                               # k = o2/a2 = 4 whole rows
+    n = n1 * n2
+    x = (rng.standard_normal(n)
+         + 1j * rng.standard_normal(n)).astype(np.complex64)
+    planes = np.stack([x.reshape(n2, n1).real,
+                       x.reshape(n2, n1).imag]).astype(np.float32)
+    want = np.asarray(pk.fft2p_planes(jnp.asarray(planes), n1, n2,
+                                      wrap_k1=2, interpret=True))
+    monkeypatch.setenv("TETRAEAR_FFT2P_SPLIT_DOT", "1")
+    got = np.asarray(pk.fft2p_planes_spliced(
+        jnp.asarray(planes[:, :o2]), jnp.asarray(planes[:, o2:]),
+        n1, n2, wrap_k1=2, interpret=True))
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 5e-5, rel

@@ -229,7 +229,7 @@ def frame_scan_packed(bits: jnp.ndarray) -> dict:
 
 
 def _pallas_scan_tables() -> tuple:
-    """(k3 (384, 1600) bf16, rsyn (1600, 128) bf16, c0 (1, 1600) f32)
+    """(k3 (384, 1600) bf16, rsyn (1600, 128) bf16, crow (1, 128) f32)
     for pallas_kernels.frame_scan_even.
 
     k3 evaluates the whole even-position scan of a 3-row (384-bit)
@@ -238,10 +238,15 @@ def _pallas_scan_tables() -> tuple:
     carries the even-phase FORWARD-only packed taps of channel
     ch = i*19 + r shifted by 8*t (window shift t in [0,16) inside the
     128-bit row; the reversed-payload check is completed on host in
-    O(sync hits) — _packed_kernel docstring).  rsyn is the 0/1
-    syndrome row-selector; its reversed half duplicates the forward
-    columns so the kernel's min(e_fwd, e_rev) reduces to e_fwd with no
-    kernel change.  c0 is the expected CRC parity per conv column."""
+    O(sync hits) — _packed_kernel docstring).  rsyn is the SIGNED
+    syndrome selector with the expected-parity comparison folded in:
+    with par in {0,1}, |par - c0| = par*(1 - 2*c0) + c0, so
+    e = par @ ((1-2*c0)*rsyn0) + (c0 @ rsyn0) — the second term is the
+    constant row crow and the kernel never materializes the
+    (rows, 1600) |par - c0| plane (it measured as pure VPU time,
+    agenda13).  Values stay exact small integers; bit-identical
+    verdicts.  rsyn's reversed half duplicates the forward columns so
+    min(e_fwd, e_rev) reduces to e_fwd with no kernel change."""
     kk = _PACKED_KERNEL_EVEN_FWD[:, 0, :].astype(np.float32)  # (76, 237)
     n_cols = 384 + 16 * 76
     k3 = np.zeros((384, n_cols), np.float32)
@@ -262,7 +267,9 @@ def _pallas_scan_tables() -> tuple:
             for r in range(16):
                 rsyn[rows + r, q] = 1.0
                 rsyn[rows + r, 64 + q] = 1.0
-    return (k3.astype(jnp.bfloat16), rsyn.astype(jnp.bfloat16), c0v)
+    crow = c0v @ rsyn                            # (1, 128) f32 ints
+    rsyn2 = (1.0 - 2.0 * c0v.T) * rsyn           # {-1, 0, 1}
+    return (k3.astype(jnp.bfloat16), rsyn2.astype(jnp.bfloat16), crow)
 
 
 _PALLAS_TABLES = _pallas_scan_tables()

@@ -165,6 +165,30 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
     i = pl.program_id(0)
     g_count = out_ref.shape[0]
     p = nat_scr.shape[2]
+    # synthesis-transform precision A/B: TETRAEAR_BS_PREC=high runs the
+    # three per-carrier transform matmuls as hand-split 3-pass bf16.
+    # Real-chip A/B (agenda13): synth 19.1 (high) vs 19.0 (highest) —
+    # the small (128x128-ish) per-carrier matmuls are latency-bound,
+    # not pass-bound, so the split buys nothing; default stays f32
+    # (exact accumulation, minimal delta vs the XLA formulation).
+    import os
+    bs_high = os.environ.get("TETRAEAR_BS_PREC", "highest") == "high"
+
+    def _split(mat):
+        hi = mat.astype(jnp.bfloat16)
+        lo = (mat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def _d3(a_, b_, dn):
+        ahi, alo = _split(a_)
+        bhi, blo = _split(b_)
+
+        def d(x, y_):
+            return jax.lax.dot_general(
+                x, y_, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
     # h1_vmem mode (h1_scr is None): the whole rolled-filter table is a
     # VMEM-RESIDENT constant block (constant index map -> fetched from
     # HBM once, reused across all grid steps) and each carrier's roll is
@@ -204,9 +228,14 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
         bre = nre * hre - nim * him                  # (P, 128)
         bim = nre * him + nim * hre
         a = jnp.concatenate([bre, bim], axis=0)      # (2P, 128)
-        t2 = jax.lax.dot_general(
-            a, m1c_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (128 l, 2P)
+        dn0 = (((0,), (0,)), ((), ()))
+        dn1 = (((1,), (0,)), ((), ()))
+        if bs_high:
+            t2 = _d3(a, m1c_ref[:], dn0)             # (128 l, 2P)
+        else:
+            t2 = jax.lax.dot_general(
+                a, m1c_ref[:], dimension_numbers=dn0,
+                preferred_element_type=jnp.float32)
         tre = t2[:, :p]
         tim = t2[:, p:]
         twre = twre_ref[:]
@@ -215,10 +244,13 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
         uim = tre * twim + tim * twre
         u2 = jnp.concatenate([ure, uim], axis=1)     # (128, 2P)
         u2s = jnp.concatenate([-uim, ure], axis=1)
-        y2 = (jnp.dot(m2re_ref[:], u2,
-                      preferred_element_type=jnp.float32)
-              + jnp.dot(m2im_ref[:], u2s,
-                        preferred_element_type=jnp.float32))
+        if bs_high:
+            y2 = _d3(m2re_ref[:], u2, dn1) + _d3(m2im_ref[:], u2s, dn1)
+        else:
+            y2 = (jnp.dot(m2re_ref[:], u2,
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(m2im_ref[:], u2s,
+                            preferred_element_type=jnp.float32))
         yre = y2[:, :p]
         yim = y2[:, p:]
         out_ref[g, 0] = yre                          # Y_re (128 t, P s)
@@ -466,9 +498,12 @@ def _scan_rows(base_f, k3_ref, rsyn_ref, c0_ref, m):
     s1 = out[:, 128:192]
     s2 = out[:, 256:320]
     par = out - 2.0 * jnp.floor(out * 0.5)
-    syn = jnp.abs(par - c0_ref[:])
-    e = jnp.dot(syn.astype(jnp.bfloat16), rsyn_ref[:],
-                preferred_element_type=jnp.float32)    # (M, 128)
+    # expected-parity fold (framescan._pallas_scan_tables): rsyn is the
+    # SIGNED selector (1-2*c0)*rsyn0 and c0_ref the constant row
+    # c0 @ rsyn0, so e == sum |par - c0| without materializing the
+    # (M, 1600) syndrome plane
+    e = jnp.dot(par.astype(jnp.bfloat16), rsyn_ref[:],
+                preferred_element_type=jnp.float32) + c0_ref[:]
     e_fwd = e[:, 0:64]
     e_rev = e[:, 64:128]
     corr = jnp.maximum(s1 + zs[0], s2 + zs[1]) * jnp.float32(
@@ -1227,11 +1262,7 @@ def _fft2p_tables(n1: int, n2: int) -> dict:
 _FFT2P_TABLES = {}
 
 
-def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
-    """(128*a, 128) tile -> n-point DFT over the SUBLANE axis (n=128*a),
-    lanes ride along.  i = a*iB + iA (iA in [0, a)), k = kB + 128*kA;
-    inner 128-DFT contracts iB, outer a-DFT contracts iA.  Returns
-    (n, 128) planes with rows in k order."""
+def _ct_dot_select():
     import os
     ablate = set(os.environ.get("TETRAEAR_FFT2P_ABLATE", "").split(","))
     # default "high" (bf16x3): real-chip A/B planes2p 14.4 -> 12.4
@@ -1241,7 +1272,15 @@ def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
     prec = os.environ.get("TETRAEAR_FFT2P_PREC", "high")
     dot = (_dot01 if "hp" in ablate
            else _dot_high if prec == "high" else _dot_hp)
-    n = 128 * a
+    return dot, ablate
+
+
+def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
+    """(128*a, 128) tile -> n-point DFT over the SUBLANE axis (n=128*a),
+    lanes ride along.  i = a*iB + iA (iA in [0, a)), k = kB + 128*kA;
+    inner 128-DFT contracts iB, outer a-DFT contracts iA.  Returns
+    (n, 128) planes with rows in k order."""
+    dot, ablate = _ct_dot_select()
     w = tre.shape[1]                     # lane width (any multiple of 128)
     # inner: S[kB, (iA, l)] = sum_iB F128[kB, iB] T[(iB, iA), l]
     t2re = tre.reshape(128, a * w)
@@ -1250,6 +1289,11 @@ def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
     f128im = f128[1]
     sre = (dot(f128re, t2re) - dot(f128im, t2im))
     sim = (dot(f128re, t2im) + dot(f128im, t2re))  # (128, a*w)
+    return _ct_dft_cols_tail(sre, sim, a, w, fsmall, wsm, dot, ablate)
+
+
+def _ct_dft_cols_tail(sre, sim, a, w, fsmall, wsm, dot, ablate):
+    n = 128 * a
     # CT twiddle w_n^{iA kB}: broadcast over lanes
     s3re = sre.reshape(128, a, w)
     s3im = sim.reshape(128, a, w)
@@ -1278,6 +1322,10 @@ def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
 def _fft2p_pass1_core(n2a, xre, xim, bq_ref, at2_ref, f128_ref, fa_ref,
                       w2_ref, g_ref):
     vre, vim = _ct_dft_cols(xre, xim, n2a, f128_ref, fa_ref, w2_ref)
+    _fft2p_pass1_finish(vre, vim, bq_ref, at2_ref, g_ref)
+
+
+def _fft2p_pass1_finish(vre, vim, bq_ref, at2_ref, g_ref):
     # four-step twiddle w_N^{k2 i1}: At lane part x Bt half select,
     # one 128-lane tile at a time (At repeats every 64 lanes; Bt
     # columns 2q'+0/1 live in bq row q' = i1 // 128)
@@ -1311,7 +1359,44 @@ def _fft2p_pass1_spliced_kernel(n2a, t_ref, x_ref, bq_ref, at2_ref,
     (channelizer rounds the overlap up to a multiple of 8*n1), so the
     concat is pure block copies.  Replaces the XLA glue (r2c + tail
     concat + re/im plane stack = three full HBM passes over the block,
-    4.7 ms/block at 2^25 — perf/fft2p_stage_probe.py)."""
+    4.7 ms/block at 2^25 — perf/fft2p_stage_probe.py).
+
+    TETRAEAR_FFT2P_SPLIT_DOT=1 (A/B): when the tail covers whole
+    inner-DFT contraction rows (o2 % a2 == 0, small k = o2/a2), skip
+    the concat entirely — contract the block piece against the
+    lane-sliced DFT matrix and add the k tail rows as outer-product
+    broadcasts.  NOT bitwise-equal to the concat form (the tail terms
+    accumulate in f32 after the dot instead of inside it, and skip the
+    bf16 split); verdict-level exact."""
+    import os
+    o2 = t_ref.shape[1]
+    k = o2 // n2a
+    if (os.environ.get("TETRAEAR_FFT2P_SPLIT_DOT") == "1"
+            and o2 % n2a == 0 and 1 <= k <= 8):
+        dot, ablate = _ct_dot_select()
+        w = x_ref.shape[2]
+        aw = n2a * w
+        t2re = t_ref[0].reshape(k, aw)
+        t2im = t_ref[1].reshape(k, aw)
+        x2re = x_ref[0].reshape(128 - k, aw)
+        x2im = x_ref[1].reshape(128 - k, aw)
+        f128re = f128_ref[0]
+        f128im = f128_ref[1]
+        fxre = f128re[:, k:]                    # (128, 128-k)
+        fxim = f128im[:, k:]
+        sre = dot(fxre, x2re) - dot(fxim, x2im)
+        sim = dot(fxre, x2im) + dot(fxim, x2re)
+        for j in range(k):
+            fr = f128re[:, j:j + 1]             # (128, 1) broadcast
+            fi = f128im[:, j:j + 1]
+            tr = t2re[j:j + 1, :]
+            ti = t2im[j:j + 1, :]
+            sre = sre + fr * tr - fi * ti
+            sim = sim + fr * ti + fi * tr
+        vre, vim = _ct_dft_cols_tail(sre, sim, n2a, w, fa_ref, w2_ref,
+                                     dot, ablate)
+        _fft2p_pass1_finish(vre, vim, bq_ref, at2_ref, g_ref)
+        return
     xre = jnp.concatenate([t_ref[0], x_ref[0]], axis=0)
     xim = jnp.concatenate([t_ref[1], x_ref[1]], axis=0)
     _fft2p_pass1_core(n2a, xre, xim, bq_ref, at2_ref,
