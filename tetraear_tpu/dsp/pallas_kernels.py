@@ -763,7 +763,7 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
             return (wr4_re[a_:a_ + sy, r_, :],
                     wr4_im[a_:a_ + sy, r_, :])
 
-        for q in range(7):
+        for q in ([] if "nointerp" in ablate else range(7)):
             w_row = pc_scr[q:q + 1, :]
             tr_s, ti_s = wslice(q + 4)
             pr_s, pi_s = wslice(q)
@@ -780,9 +780,12 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
     # ---- batched DQPSK + bit planes (full-lane rows) ----
     dre = sym_re * prv_re + sym_im * prv_im
     dim_ = sym_im * prv_re - sym_re * prv_im
-    mag = jnp.sqrt(dre * dre + dim_ * dim_) + 1e-12
-    soft0 = -dim_ / mag
-    soft1 = -dre / mag
+    if "nodq" in ablate:                 # WRONG VALUES: timing ablation
+        soft0, soft1 = dim_, dre
+    else:
+        mag = jnp.sqrt(dre * dre + dim_ * dim_) + 1e-12
+        soft0 = -dim_ / mag
+        soft1 = -dre / mag
     flat = (sy * (tl % 128) + ur).astype(jnp.float32)
     nv_row = pc_scr[7:8, :]
     valid = flat < nv_row
@@ -851,7 +854,7 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
         # two sandwich pairs per candidate: slab d covers lanes with no
         # row carry (rho + l' < 128), slab d+3 the carried lanes
         acc = jnp.zeros((g_count * tr, 128), jnp.float32)
-        for dd in (d, d + 3):
+        for dd in ([] if "notails" in ablate else (d, d + 3)):
             t2 = bdot(etail_ref[dd], zb).reshape(
                 g_count * tr, 128).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
@@ -867,7 +870,8 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
         1.0, 0.0).astype(jnp.float32)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     m_last = flat == nv_row - 1.0
-    for g in range(g_count):
+    # "noloopc" ablation: outputs left unwritten (garbage), timing only
+    for g in ([] if "noloopc" in ablate else range(g_count)):
         c = i * g_count + g
         dsel = dsel_ref[c]
         corr_ref[g] = corr_all[g * z_rows:g * z_rows + z_rows - 2]
