@@ -59,11 +59,12 @@ def try_fused(bank) -> tuple:
     the DELIBERATE fallback — reachable for conv-frontend / AFC /
     non-72kHz-family configs, on non-TPU backends, via
     TETRAEAR_NO_FUSED=1, and as the bench degrade ladder's second rung
-    when a fused compile fails on hardware (measured gap at C=10240:
-    fused 23.6k vs classic 18.2k realtime carriers, BENCH_r02/
-    BASELINE.md).  It is NOT an unreconciled twin: the exactness suite
-    pins both formulations to identical symbol decisions and verdict
-    planes (tests/unit/test_backhalf.py).
+    when a fused compile fails on hardware (measured gap at C=10240,
+    round 4: fused 32.2k vs classic 15.4k realtime carriers — the
+    classic rung verified LIVE by a forced-failure bench run, ladder
+    fires and reports `degraded` honestly).  It is NOT an unreconciled
+    twin: the exactness suite pins both formulations to identical
+    symbol decisions and verdict planes (tests/unit/test_backhalf.py).
 
     Returns (FusedRx | None, reason string).
     """
