@@ -76,7 +76,12 @@ def main() -> int:
     k3, rsyn, c0row = framescan._PALLAS_TABLES
 
     def gate_backhalf():
-        pk.fused_backhalf.lower(
+        # fused_backhalf is a non-jitted env-resolving wrapper (round-5
+        # advisor fix); jit it fresh so .lower works and the current
+        # env resolution is what gets compiled
+        jax.jit(pk.fused_backhalf,
+                static_argnames=("drop", "k_max", "group",
+                                 "interpret")).lower(
             s((c_n, 2, 128, p)), s((c_n, 10, 128)),
             s((c_n, 2, 128, 1)), s((c_n, 2, 1, p)), s((c_n, 16)),
             s((c_n,), jnp.int32), s((c_n,), jnp.int32),

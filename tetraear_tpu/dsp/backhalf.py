@@ -149,7 +149,8 @@ class FusedRx:
 
     # -- the fused block step (traceable) ------------------------------
 
-    def chan_raw(self, x_r: jnp.ndarray, cstate: dict) -> tuple:
+    def chan_raw(self, x_r: jnp.ndarray, cstate: dict,
+                 layout: str | None = None) -> tuple:
         """Channelizer front + band synthesis with the fused O&M
         phasor.  Returns (y raw planes (C, 2, 128, P), phasor
         (C, 1, 128), rot (C,) complex, new channelizer state).
@@ -158,10 +159,25 @@ class FusedRx:
         interleaved (N, 2) [re, im] pairs, or planar (2, N) — feed
         planar on the hot path (kernels.c2p_np): with the spliced
         fft2p it reaches pass 1 with ZERO relayout passes, where the
-        interleaved form costs a full-block transpose first."""
+        interleaved form costs a full-block transpose first.
+
+        layout: "planar" | "interleaved" | None.  None infers from the
+        shape and RAISES when the shape matches both (e.g. (2, 2)) or
+        neither — callers that built the block pass it explicitly."""
         ch = self.ch
         interp = jax.default_backend() != "tpu"
-        planar = x_r.shape[0] == 2 and x_r.shape[-1] != 2
+        if layout is None:
+            is_p = x_r.ndim == 2 and x_r.shape[0] == 2
+            is_i = x_r.ndim == 2 and x_r.shape[-1] == 2
+            if is_p == is_i:
+                raise ValueError(
+                    f"chan_raw: block shape {x_r.shape} matches "
+                    f"{'both layouts' if is_p else 'neither layout'} — "
+                    "pass layout='planar' or 'interleaved' explicitly")
+            layout = "planar" if is_p else "interleaved"
+        elif layout not in ("planar", "interleaved"):
+            raise ValueError(f"chan_raw: unknown layout {layout!r}")
+        planar = layout == "planar"
         import os
         # two-pass Pallas MXU FFT: default ON for TPU backends (real-chip
         # A/B: planes 20.2 -> 14.7 ms/block, e2e 22.5k -> 23.6k carriers

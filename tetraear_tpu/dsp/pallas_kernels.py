@@ -161,18 +161,18 @@ def band_extract_rows(x_planes: jnp.ndarray, row_starts: jnp.ndarray,
 def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
                      m1c_ref, m2re_ref, m2im_ref, twre_ref, twim_ref,
                      out_ref, ph_ref, nat_scr, h1_scr, sem_n, sem_h,
-                     phasor_drop):
+                     phasor_drop, bs_high):
     i = pl.program_id(0)
     g_count = out_ref.shape[0]
     p = nat_scr.shape[2]
-    # synthesis-transform precision A/B: TETRAEAR_BS_PREC=high runs the
-    # three per-carrier transform matmuls as hand-split 3-pass bf16.
-    # Real-chip A/B (agenda13): synth 19.1 (high) vs 19.0 (highest) —
-    # the small (128x128-ish) per-carrier matmuls are latency-bound,
-    # not pass-bound, so the split buys nothing; default stays f32
-    # (exact accumulation, minimal delta vs the XLA formulation).
-    import os
-    bs_high = os.environ.get("TETRAEAR_BS_PREC", "highest") == "high"
+    # synthesis-transform precision A/B: bs_high (TETRAEAR_BS_PREC=high,
+    # resolved in the non-jitted band_synth wrapper and threaded here as
+    # a static arg) runs the three per-carrier transform matmuls as
+    # hand-split 3-pass bf16.  Real-chip A/B (agenda13): synth 19.1
+    # (high) vs 19.0 (highest) — the small (128x128-ish) per-carrier
+    # matmuls are latency-bound, not pass-bound, so the split buys
+    # nothing; default stays f32 (exact accumulation, minimal delta vs
+    # the XLA formulation).
 
     def _split(mat):
         hi = mat.astype(jnp.bfloat16)
@@ -280,17 +280,17 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
                          + jnp.where(lane == 1, phim, 0.0))
 
 
-def _band_synth_kernel(row_ref, d_ref, planes_hbm, h1_hbm,
+def _band_synth_kernel(bs_high, row_ref, d_ref, planes_hbm, h1_hbm,
                        m1c_ref, m2re_ref, m2im_ref, twre_ref, twim_ref,
                        out_ref, *scr):
     nat_scr, h1_scr, sem_n, sem_h = (scr if len(scr) == 4
                                      else (scr[0], None, scr[1], None))
     _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm, m1c_ref,
                      m2re_ref, m2im_ref, twre_ref, twim_ref, out_ref,
-                     None, nat_scr, h1_scr, sem_n, sem_h, 0)
+                     None, nat_scr, h1_scr, sem_n, sem_h, 0, bs_high)
 
 
-def _band_synth_ph_kernel(phasor_drop, row_ref, d_ref,
+def _band_synth_ph_kernel(phasor_drop, bs_high, row_ref, d_ref,
                           planes_hbm, h1_hbm, m1c_ref, m2re_ref,
                           m2im_ref, twre_ref, twim_ref, out_ref, ph_ref,
                           *scr):
@@ -298,7 +298,8 @@ def _band_synth_ph_kernel(phasor_drop, row_ref, d_ref,
                                      else (scr[0], None, scr[1], None))
     _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm, m1c_ref,
                      m2re_ref, m2im_ref, twre_ref, twim_ref, out_ref,
-                     ph_ref, nat_scr, h1_scr, sem_n, sem_h, phasor_drop)
+                     ph_ref, nat_scr, h1_scr, sem_n, sem_h, phasor_drop,
+                     bs_high)
 
 
 def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
@@ -317,23 +318,26 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
     h1_vmem: keep the whole rolled-H1 table VMEM-resident instead of
     DMAing each carrier's roll from HBM (see _band_synth_body); None
     auto-selects it whenever the table fits a 16 MB budget (gated by
-    TETRAEAR_BS_H1VMEM=0/1 for the hardware A/B)."""
+    TETRAEAR_BS_H1VMEM=0/1 for the hardware A/B).  TETRAEAR_BS_PREC is
+    likewise resolved here (non-jitted) and threaded as a static arg."""
     if h1_vmem is None:
         env = os.environ.get("TETRAEAR_BS_H1VMEM", "")
         if env in ("0", "1"):
             h1_vmem = env == "1"
         else:
             h1_vmem = h1_planes.size * 4 <= 16 * 1024 * 1024
+    bs_high = os.environ.get("TETRAEAR_BS_PREC", "highest") == "high"
     return _band_synth_impl(planes, h1_planes, row_starts, d_shift,
                             m1c, m2re, m2im, twre, twim,
                             rows_per_band=rows_per_band, group=group,
                             interpret=interpret,
-                            phasor_drop=phasor_drop, h1_vmem=h1_vmem)
+                            phasor_drop=phasor_drop, h1_vmem=h1_vmem,
+                            bs_high=bs_high)
 
 
 @partial(jax.jit,
          static_argnames=("rows_per_band", "group", "interpret",
-                          "phasor_drop", "h1_vmem"))
+                          "phasor_drop", "h1_vmem", "bs_high"))
 def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      row_starts: jnp.ndarray, d_shift: jnp.ndarray,
                      m1c: jnp.ndarray, m2re: jnp.ndarray,
@@ -342,7 +346,8 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      rows_per_band: int, group: int = 8,
                      interpret: bool = False,
                      phasor_drop: int | None = None,
-                     h1_vmem: bool = False):
+                     h1_vmem: bool = False,
+                     bs_high: bool = False):
     """Fused band extract + H1 filter + inverse transform.
 
     Args:
@@ -384,7 +389,7 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
         if phasor_drop % 4 or p % 4:
             raise ValueError("phasor fusion needs drop % 4 == 0 and "
                              f"P % 4 == 0 (drop={phasor_drop}, P={p})")
-        kern = partial(_band_synth_ph_kernel, phasor_drop)
+        kern = partial(_band_synth_ph_kernel, phasor_drop, bs_high)
         out_specs = (
             pl.BlockSpec(y_block, lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -396,7 +401,7 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
             jax.ShapeDtypeStruct((c, 1, 128), jnp.float32),
         )
     else:
-        kern = _band_synth_kernel
+        kern = partial(_band_synth_kernel, bs_high)
         out_specs = pl.BlockSpec(y_block,
                                  lambda i, *_: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -598,6 +603,7 @@ def _dot01(a, b):
 
 
 def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
+                     bh_ablate_s, bh_interp, bh_place,
                      bsel_ref, dsel_ref,
                      y_ref, bt_ref, rr_ref, rc_ref, sc_ref,
                      k3_ref, rsyn_ref, c0_ref,
@@ -606,8 +612,10 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
                      corr_ref, err_ref, soft_ref, bt2_ref, last_ref,
                      misc_ref,
                      wre_scr, wim_scr, pc_scr, bt_scr):
-    import os
-    ablate = set(os.environ.get("TETRAEAR_BH_ABLATE", "").split(","))
+    # bh_* are the TETRAEAR_BH_{ABLATE,INTERP,PLACE} knobs, resolved in
+    # the non-jitted fused_backhalf wrapper and threaded through the
+    # jit cache as static args (in-process flips recompile)
+    ablate = set(bh_ablate_s.split(","))
     i = pl.program_id(0)
     g_count = y_ref.shape[0]
     p = y_ref.shape[3]
@@ -729,8 +737,7 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
     sym_im = jnp.zeros((sy, gc), jnp.float32)
     prv_re = jnp.zeros((sy, gc), jnp.float32)
     prv_im = jnp.zeros((sy, gc), jnp.float32)
-    if (os.environ.get("TETRAEAR_BH_INTERP", "slice") == "matmul"
-            or "hp" in ablate):
+    if bh_interp == "matmul" or "hp" in ablate:
         prec = None if "hp" in ablate else _HP
         t_re = jax.lax.dot_general(
             pall_ref[...], wre_scr[...],
@@ -807,7 +814,7 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
     z = bdot(epad_ref[...],
              bt_scr[...].astype(jnp.bfloat16).reshape(g_count, tr, 128)
              ).reshape(g_count * z_rows, 128)        # (G*Z, Z128)
-    place_fused = os.environ.get("TETRAEAR_BH_PLACE", "fused") != "split"
+    place_fused = bh_place != "split"
     if place_fused and "place" not in ablate:
         # ONE depth-2SY matmul for all n_m classes x both bit planes
         # (the split form launched 2*n_m depth-SY matmuls at ~6% MXU
@@ -963,14 +970,36 @@ def _bh_static_tables(group, tb, z_rows, tr, w_width, base, sy, k_max):
 _BH_TABLE_CACHE = {}
 
 
-@partial(jax.jit, static_argnames=("drop", "k_max", "group",
-                                   "interpret"))
 def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
                    rc: jnp.ndarray, sc: jnp.ndarray,
                    bsel: jnp.ndarray, dsel: jnp.ndarray,
                    k3: jnp.ndarray, rsyn: jnp.ndarray, c0: jnp.ndarray,
                    drop: int, k_max: int, group: int = 8,
                    interpret: bool = False) -> tuple:
+    """Non-jitted entry for _fused_backhalf_impl: resolves the
+    TETRAEAR_BH_{ABLATE,INTERP,PLACE} env knobs here and threads them
+    through the jit cache as static args."""
+    return _fused_backhalf_impl(
+        y, bt, rr, rc, sc, bsel, dsel, k3, rsyn, c0,
+        drop=drop, k_max=k_max, group=group, interpret=interpret,
+        bh_ablate_s=os.environ.get("TETRAEAR_BH_ABLATE", ""),
+        bh_interp=os.environ.get("TETRAEAR_BH_INTERP", "slice"),
+        bh_place=os.environ.get("TETRAEAR_BH_PLACE", "fused"))
+
+
+@partial(jax.jit, static_argnames=("drop", "k_max", "group",
+                                   "interpret", "bh_ablate_s",
+                                   "bh_interp", "bh_place"))
+def _fused_backhalf_impl(y: jnp.ndarray, bt: jnp.ndarray,
+                         rr: jnp.ndarray,
+                         rc: jnp.ndarray, sc: jnp.ndarray,
+                         bsel: jnp.ndarray, dsel: jnp.ndarray,
+                         k3: jnp.ndarray, rsyn: jnp.ndarray,
+                         c0: jnp.ndarray,
+                         drop: int, k_max: int, group: int = 8,
+                         interpret: bool = False,
+                         bh_ablate_s: str = "", bh_interp: str = "slice",
+                         bh_place: str = "fused") -> tuple:
     """Fused timing + DQPSK + frame scan on raw band-synthesis planes.
 
     Args:
@@ -1035,7 +1064,8 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
     tabs = _BH_TABLE_CACHE[key]
     n_m = tabs["n_m"]
     gz, gc, gt = group * z_rows, group * 128, group * tr
-    kern = partial(_backhalf_kernel, drop, k_max, tb, w_width, qmin)
+    kern = partial(_backhalf_kernel, drop, k_max, tb, w_width, qmin,
+                   bh_ablate_s, bh_interp, bh_place)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1143,8 +1173,11 @@ def frame_scan_even(bits: jnp.ndarray, k3: jnp.ndarray,
         conv for all 16 within-row shifts t AND the ones/sync channel
         selections (k3's first three 128-lane blocks carry the
         ones / TS1 / TS2 rows at columns t*4 + i);
-      * the CRC syndrome reduction is a second matmul against a 0/1
-        row-selector (rsyn), keeping the lane dim intact.
+      * the CRC error count is a second matmul against the SIGNED
+        selector rsyn = (1 - 2*c0)*rsyn0 plus the constant row
+        c0 @ rsyn0, folding the expected-parity comparison into the
+        contraction (|par - c0| = par*(1 - 2*c0) + c0 for par in
+        {0,1}) while keeping the lane dim intact.
 
     Position mapping: out element [m, t*4 + i] is even bit position
     pe = 64*m + 4*t + i (bit p = 2*pe = 8*(16*m + t) + 2*i), so the
@@ -1157,9 +1190,12 @@ def frame_scan_even(bits: jnp.ndarray, k3: jnp.ndarray,
             that 128*R >= n + 256 with at least 236 pad bits.
         k3: (384, n_cols) bf16 — [ones | TS1 | TS2 | conv] column blocks
             (framescan._pallas_scan_tables).
-        rsyn: (n_cols, 128) bf16 — syndrome row-selector, columns
-            [forward 64 | reversed 64] indexed t*4 + i.
-        c0: (1, n_cols) f32 — expected CRC parity per conv column.
+        rsyn: (n_cols, 128) bf16 — SIGNED {-1, 0, 1} syndrome selector
+            (1 - 2*c0)*rsyn0, columns [forward 64 | reversed 64]
+            indexed t*4 + i (rsyn0 is the 0/1 channel selector, c0 the
+            expected CRC parity row — framescan._pallas_scan_tables).
+        c0: (1, 128) f32 — the constant row c0 @ rsyn0 added after the
+            rsyn matmul to complete the folded |par - c0| sum.
 
     Returns (corr (C, M, 64) f32, crc_err (C, M, 64) int32).
     """
@@ -1266,25 +1302,35 @@ def _fft2p_tables(n1: int, n2: int) -> dict:
 _FFT2P_TABLES = {}
 
 
-def _ct_dot_select():
-    import os
-    ablate = set(os.environ.get("TETRAEAR_FFT2P_ABLATE", "").split(","))
+def _fft2p_env() -> tuple:
+    """Resolve the fft2p tuning env vars OUTSIDE jit: (prec, ablate_s,
+    split_dot).  These are threaded through the jitted entry points as
+    STATIC arguments so an in-process env flip forces a recompile
+    instead of silently reusing the cached variant (round-4 advisor
+    finding: trace-time env reads are invisible to the jit cache)."""
+    prec = os.environ.get("TETRAEAR_FFT2P_PREC", "high")
+    ablate_s = os.environ.get("TETRAEAR_FFT2P_ABLATE", "")
+    split_dot = os.environ.get("TETRAEAR_FFT2P_SPLIT_DOT") == "1"
+    return prec, ablate_s, split_dot
+
+
+def _ct_dot_select(prec, ablate_s):
+    ablate = set(ablate_s.split(","))
     # default "high" (bf16x3): real-chip A/B planes2p 14.4 -> 12.4
     # ms/block at 2^25 vs "highest" (f32x6), accuracy 2.8e-5 max err
     # over RMS (perf/fft2p_prec_probe.py), scan verdicts identical on
     # goldens (test_fft2p_chan_raw_decisions_exact)
-    prec = os.environ.get("TETRAEAR_FFT2P_PREC", "high")
     dot = (_dot01 if "hp" in ablate
            else _dot_high if prec == "high" else _dot_hp)
     return dot, ablate
 
 
-def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm):
+def _ct_dft_cols(tre, tim, a, f128, fsmall, wsm, prec, ablate_s):
     """(128*a, 128) tile -> n-point DFT over the SUBLANE axis (n=128*a),
     lanes ride along.  i = a*iB + iA (iA in [0, a)), k = kB + 128*kA;
     inner 128-DFT contracts iB, outer a-DFT contracts iA.  Returns
     (n, 128) planes with rows in k order."""
-    dot, ablate = _ct_dot_select()
+    dot, ablate = _ct_dot_select(prec, ablate_s)
     w = tre.shape[1]                     # lane width (any multiple of 128)
     # inner: S[kB, (iA, l)] = sum_iB F128[kB, iB] T[(iB, iA), l]
     t2re = tre.reshape(128, a * w)
@@ -1323,9 +1369,10 @@ def _ct_dft_cols_tail(sre, sim, a, w, fsmall, wsm, dot, ablate):
     return (vre.reshape(n, w), vim.reshape(n, w))
 
 
-def _fft2p_pass1_core(n2a, xre, xim, bq_ref, at2_ref, f128_ref, fa_ref,
-                      w2_ref, g_ref):
-    vre, vim = _ct_dft_cols(xre, xim, n2a, f128_ref, fa_ref, w2_ref)
+def _fft2p_pass1_core(n2a, prec, ablate_s, xre, xim, bq_ref, at2_ref,
+                      f128_ref, fa_ref, w2_ref, g_ref):
+    vre, vim = _ct_dft_cols(xre, xim, n2a, f128_ref, fa_ref, w2_ref,
+                            prec, ablate_s)
     _fft2p_pass1_finish(vre, vim, bq_ref, at2_ref, g_ref)
 
 
@@ -1349,13 +1396,14 @@ def _fft2p_pass1_finish(vre, vim, bq_ref, at2_ref, g_ref):
         g_ref[1, :, 128 * t:128 * (t + 1)] = vr * wim + vi * wre
 
 
-def _fft2p_pass1_kernel(n2a, x_ref, bq_ref, at2_ref, f128_ref, fa_ref,
-                        w2_ref, g_ref):
-    _fft2p_pass1_core(n2a, x_ref[0], x_ref[1], bq_ref, at2_ref,
-                      f128_ref, fa_ref, w2_ref, g_ref)
+def _fft2p_pass1_kernel(n2a, prec, ablate_s, x_ref, bq_ref, at2_ref,
+                        f128_ref, fa_ref, w2_ref, g_ref):
+    _fft2p_pass1_core(n2a, prec, ablate_s, x_ref[0], x_ref[1], bq_ref,
+                      at2_ref, f128_ref, fa_ref, w2_ref, g_ref)
 
 
-def _fft2p_pass1_spliced_kernel(n2a, t_ref, x_ref, bq_ref, at2_ref,
+def _fft2p_pass1_spliced_kernel(n2a, prec, ablate_s, split_dot,
+                                t_ref, x_ref, bq_ref, at2_ref,
                                 f128_ref, fa_ref, w2_ref, g_ref):
     """Pass 1 with the overlap-save tail spliced IN-KERNEL: the carried
     tail rows (2, o2, W) and the fresh block rows (2, n2 - o2, W) arrive
@@ -1372,12 +1420,10 @@ def _fft2p_pass1_spliced_kernel(n2a, t_ref, x_ref, bq_ref, at2_ref,
     broadcasts.  NOT bitwise-equal to the concat form (the tail terms
     accumulate in f32 after the dot instead of inside it, and skip the
     bf16 split); verdict-level exact."""
-    import os
     o2 = t_ref.shape[1]
     k = o2 // n2a
-    if (os.environ.get("TETRAEAR_FFT2P_SPLIT_DOT") == "1"
-            and o2 % n2a == 0 and 1 <= k <= 8):
-        dot, ablate = _ct_dot_select()
+    if split_dot and o2 % n2a == 0 and 1 <= k <= 8:
+        dot, ablate = _ct_dot_select(prec, ablate_s)
         w = x_ref.shape[2]
         aw = n2a * w
         t2re = t_ref[0].reshape(k, aw)
@@ -1403,14 +1449,13 @@ def _fft2p_pass1_spliced_kernel(n2a, t_ref, x_ref, bq_ref, at2_ref,
         return
     xre = jnp.concatenate([t_ref[0], x_ref[0]], axis=0)
     xim = jnp.concatenate([t_ref[1], x_ref[1]], axis=0)
-    _fft2p_pass1_core(n2a, xre, xim, bq_ref, at2_ref,
+    _fft2p_pass1_core(n2a, prec, ablate_s, xre, xim, bq_ref, at2_ref,
                       f128_ref, fa_ref, w2_ref, g_ref)
 
 
-def _fft2p_pass2_kernel(n1b, wrap_k1, g_ref, fb_ref, f128_ref, w1_ref,
-                        out_ref):
-    import os
-    ablate = set(os.environ.get("TETRAEAR_FFT2P_ABLATE", "").split(","))
+def _fft2p_pass2_kernel(n1b, wrap_k1, prec, ablate_s, g_ref, fb_ref,
+                        f128_ref, w1_ref, out_ref):
+    ablate = set(ablate_s.split(","))
     n1 = 128 * n1b
     if "noxpose2" in ablate:             # WRONG VALUES: timing ablation
         gre = g_ref[0].reshape(n1, -1)
@@ -1418,7 +1463,8 @@ def _fft2p_pass2_kernel(n1b, wrap_k1, g_ref, fb_ref, f128_ref, w1_ref,
     else:
         gre = g_ref[0].T                             # (n1, R) relayout
         gim = g_ref[1].T
-    vre, vim = _ct_dft_cols(gre, gim, n1b, f128_ref, fb_ref, w1_ref)
+    vre, vim = _ct_dft_cols(gre, gim, n1b, f128_ref, fb_ref, w1_ref,
+                            prec, ablate_s)
     out_ref[0, 0:n1, :] = vre
     out_ref[1, 0:n1, :] = vim
     if wrap_k1:
@@ -1426,8 +1472,6 @@ def _fft2p_pass2_kernel(n1b, wrap_k1, g_ref, fb_ref, f128_ref, w1_ref,
         out_ref[1, n1:n1 + wrap_k1, :] = vim[0:wrap_k1, :]
 
 
-@partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "cols",
-                                   "rows2", "interpret"))
 def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
                  wrap_k1: int = 0, cols: int = 128, rows2: int = 128,
                  interpret: bool = False):
@@ -1439,7 +1483,22 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
     Requires n1 % 128 == 0, n2 % 128 == 0 (true for every nfft >= 2^14
     with the channelizer's n1 = 2^ceil(log2(nfft)/2) split) and
     wrap_k1 <= n1.
-    """
+
+    Non-jitted entry: the TETRAEAR_FFT2P_{PREC,ABLATE} env knobs are
+    resolved here and passed to the jitted impl as STATIC args, so
+    flipping them in-process recompiles instead of silently reusing a
+    cached variant."""
+    prec, ablate_s, _ = _fft2p_env()
+    return _fft2p_planes_impl(planes_in, n1, n2, wrap_k1, cols, rows2,
+                              interpret, prec, ablate_s)
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "cols",
+                                   "rows2", "interpret", "prec",
+                                   "ablate_s"))
+def _fft2p_planes_impl(planes_in: jnp.ndarray, n1: int, n2: int,
+                       wrap_k1: int, cols: int, rows2: int,
+                       interpret: bool, prec: str, ablate_s: str):
     if n1 % 128 or n2 % 128:
         raise ValueError(f"fft2p needs 128 | n1, n2 (got {n1}, {n2})")
     if cols % 128 or n1 % cols or rows2 % 128 or n2 % rows2:
@@ -1453,7 +1512,7 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
     b2 = n1 // 128
 
     g = pl.pallas_call(
-        partial(_fft2p_pass1_kernel, a2),
+        partial(_fft2p_pass1_kernel, a2, prec, ablate_s),
         grid_spec=pl.GridSpec(
             grid=(n1 // cols,),
             in_specs=[
@@ -1483,11 +1542,10 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
       jnp.asarray(t["at2"]),
       jnp.asarray(t["f128"]), jnp.asarray(t["fa2"]),
       jnp.asarray(t["w2"]))
-    return _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret)
+    return _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret,
+                             prec, ablate_s)
 
 
-@partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "cols",
-                                   "rows2", "interpret"))
 def fft2p_planes_spliced(tail_p: jnp.ndarray, x_p: jnp.ndarray,
                          n1: int, n2: int,
                          wrap_k1: int = 0, cols: int = 128,
@@ -1498,7 +1556,25 @@ def fft2p_planes_spliced(tail_p: jnp.ndarray, x_p: jnp.ndarray,
     output planes to fft2p_planes(stack(concat)).  Requires
     o2 % 8 == 0 (the channelizer aligns the overlap; see
     _fft2p_pass1_spliced_kernel) — saves the three XLA glue passes over
-    the 268 MB block."""
+    the 268 MB block.
+
+    Non-jitted entry: resolves TETRAEAR_FFT2P_{PREC,ABLATE,SPLIT_DOT}
+    and passes them to the jitted impl as STATIC args (see
+    fft2p_planes)."""
+    prec, ablate_s, split_dot = _fft2p_env()
+    return _fft2p_planes_spliced_impl(tail_p, x_p, n1, n2, wrap_k1,
+                                      cols, rows2, interpret, prec,
+                                      ablate_s, split_dot)
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "cols",
+                                   "rows2", "interpret", "prec",
+                                   "ablate_s", "split_dot"))
+def _fft2p_planes_spliced_impl(tail_p: jnp.ndarray, x_p: jnp.ndarray,
+                               n1: int, n2: int, wrap_k1: int,
+                               cols: int, rows2: int, interpret: bool,
+                               prec: str, ablate_s: str,
+                               split_dot: bool):
     if n1 % 128 or n2 % 128:
         raise ValueError(f"fft2p needs 128 | n1, n2 (got {n1}, {n2})")
     if cols % 128 or n1 % cols or rows2 % 128 or n2 % rows2:
@@ -1517,7 +1593,8 @@ def fft2p_planes_spliced(tail_p: jnp.ndarray, x_p: jnp.ndarray,
     a2 = n2 // 128
 
     g = pl.pallas_call(
-        partial(_fft2p_pass1_spliced_kernel, a2),
+        partial(_fft2p_pass1_spliced_kernel, a2, prec, ablate_s,
+                split_dot),
         grid_spec=pl.GridSpec(
             grid=(n1 // cols,),
             in_specs=[
@@ -1549,15 +1626,17 @@ def fft2p_planes_spliced(tail_p: jnp.ndarray, x_p: jnp.ndarray,
       jnp.asarray(t["at2"]),
       jnp.asarray(t["f128"]), jnp.asarray(t["fa2"]),
       jnp.asarray(t["w2"]))
-    return _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret)
+    return _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret,
+                             prec, ablate_s)
 
 
-def _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret):
+def _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret,
+                      prec, ablate_s):
     # pass-1 emitted G as (2, n2 k2, n1 i1); pass 2 slices 128-lane k2
     # column blocks of its TRANSPOSE via an input block on the k2 axis
     b2 = n1 // 128
     out = pl.pallas_call(
-        partial(_fft2p_pass2_kernel, b2, wrap_k1),
+        partial(_fft2p_pass2_kernel, b2, wrap_k1, prec, ablate_s),
         grid_spec=pl.GridSpec(
             grid=(n2 // rows2,),
             in_specs=[
