@@ -25,8 +25,37 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import shutil
+import subprocess
+from pathlib import Path
+
 import numpy as np
 import pytest
+
+
+def _build_native_libs():
+    """Build the optional native engines when a compiler is present.
+
+    A fresh clone's suite used to go quietly green with the hitparse
+    tests skipped because ``frame/csrc`` had never been built (round-4
+    verdict: a silent skip of a production component billed at 3.3x the
+    Python path).  With g++ on PATH, both native libraries are built
+    here — and a BUILD FAILURE fails the whole session loudly instead
+    of downgrading to skips.  Without a compiler the per-test skipif
+    markers still apply (their reasons name the make command)."""
+    if not (shutil.which("g++") or shutil.which("c++")):
+        return
+    repo = Path(__file__).resolve().parent.parent
+    for sub in ("tetraear_tpu/frame/csrc", "tetraear_tpu/voice/csrc"):
+        r = subprocess.run(["make", "-C", str(repo / sub)],
+                           capture_output=True, text=True, timeout=300)
+        if r.returncode:
+            raise RuntimeError(
+                f"native build failed in {sub} (compiler present, so "
+                f"this is an error, not a skip):\n{r.stdout}\n{r.stderr}")
+
+
+_build_native_libs()
 
 
 @pytest.fixture(scope="session")
