@@ -24,6 +24,17 @@ _DELTA = np.uint32(0x9E3779B9)
 _SUM0 = np.uint32((0x9E3779B9 * 32) & 0xFFFFFFFF)
 
 
+def _payload_sharding(mesh, axis: str | None):
+    """NamedSharding placing the payload (B) axis of the search grid on
+    the mesh — the keys x payloads product is embarrassingly parallel
+    over payloads (per-payload argmax over keys, no cross-payload term),
+    so a fleet's whole encrypted-frame backlog decrypts with zero
+    collectives in the rounds."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    axis = axis or mesh.axis_names[0]
+    return NamedSharding(mesh, PartitionSpec(axis))
+
+
 def _keys_to_words_tea1(keys: np.ndarray) -> np.ndarray:
     """(K, 10) key bytes -> (K, 5) big-endian uint16 words (as uint32)."""
     k = np.asarray(keys, np.uint8).reshape(-1, 10)
@@ -134,10 +145,14 @@ def _decrypt_impl(v0, v1, key_words, algorithm):
     return _words_to_bytes(p0, p1)
 
 
-def tea_decrypt_batch(payloads, keys, algorithm: str = "TEA1") -> np.ndarray:
+def tea_decrypt_batch(payloads, keys, algorithm: str = "TEA1",
+                      mesh=None, axis: str | None = None) -> np.ndarray:
     """Decrypt every payload with every key on device.
 
     payloads: (B, L) uint8 (L % 8 == 0); keys: list/array of key bytes.
+    mesh: optional jax.sharding.Mesh — shards the payload axis over
+    ``axis`` (default: the mesh's first axis) so the search runs SPMD
+    across chips; results are bit-identical to the unsharded call.
     Returns (K, B, L) uint8 plaintexts — bit-exact vs
     crypto.tea.TEADecryptor.decrypt (ECB) for each (key, payload) pair.
     """
@@ -148,8 +163,11 @@ def tea_decrypt_batch(payloads, keys, algorithm: str = "TEA1") -> np.ndarray:
     kw = _keys_to_words_tea1(keys) if algorithm == "TEA1" \
         else _keys_to_words_tea2(keys)
     v0, v1 = _payload_to_words(payloads)
-    out = _decrypt_impl(jnp.asarray(v0), jnp.asarray(v1),
-                        jnp.asarray(kw),
+    v0, v1, kw = (jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(kw))
+    if mesh is not None:
+        sh = _payload_sharding(mesh, axis)
+        v0, v1 = jax.device_put(v0, sh), jax.device_put(v1, sh)
+    out = _decrypt_impl(v0, v1, kw,
                         "TEA1" if algorithm == "TEA1" else "TEA2")
     return np.asarray(out)
 
@@ -243,7 +261,8 @@ def _search_impl(v0, v1, key_words, algorithm):
     return scores, best_key, best_score, plain
 
 
-def tea_key_search(payloads, keys, algorithm: str = "TEA1") -> dict:
+def tea_key_search(payloads, keys, algorithm: str = "TEA1",
+                   mesh=None, axis: str | None = None) -> dict:
     """Try every key against every payload on device.
 
     Args:
@@ -252,6 +271,10 @@ def tea_key_search(payloads, keys, algorithm: str = "TEA1") -> dict:
             TEA2/3/4), or an (K, key_len) uint8 array.
         algorithm: 'TEA1' or 'TEA2'/'TEA3'/'TEA4' (aliases, crypto.py
             semantics).
+        mesh: optional jax.sharding.Mesh — shards the payload axis over
+            ``axis`` (default: first mesh axis); the per-payload scoring
+            and argmax stay shard-local, so the fleet-scale search adds
+            no collectives and returns bit-identical results.
 
     Returns dict with:
         scores (K, B) int32, best_key_index (B,), best_score (B,),
@@ -267,8 +290,12 @@ def tea_key_search(payloads, keys, algorithm: str = "TEA1") -> dict:
         kw = _keys_to_words_tea2(keys)
         algorithm = "TEA2"
     v0, v1 = _payload_to_words(payloads)
-    scores, best_key, best_score, plain = _search_impl(
-        jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(kw), algorithm)
+    v0, v1, kw = (jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(kw))
+    if mesh is not None:
+        sh = _payload_sharding(mesh, axis)
+        v0, v1 = jax.device_put(v0, sh), jax.device_put(v1, sh)
+    scores, best_key, best_score, plain = _search_impl(v0, v1, kw,
+                                                       algorithm)
     scores = np.asarray(scores)
     best_key = np.asarray(best_key)
     plain = np.asarray(plain)

@@ -18,6 +18,21 @@ active voice carrier's frames for a block in ONE jitted dispatch:
 Audio is sample-for-sample identical to the host path
 (voice/codec.py decode_params) because jspeech is bit-exact vs the C
 decoder — asserted end-to-end in tests/unit/test_device_voice.py.
+
+Fleet scaling: the slot axis is embarrassingly parallel (every leaf of
+SpeechState is batch-major, decode_block is a per-row integer recurrence
+with no cross-row term), so a ``mesh`` argument shards the pool's slots
+across devices with a plain NamedSharding — each chip owns slots/N
+decoder states, jit partitions the whole decode with ZERO collectives in
+the decode body (one gather assembles the requested rows' PCM at the
+end).  PCM is bit-identical to the single-device pool for any mesh size
+(integer arithmetic — partitioning cannot change a single Word16 op);
+asserted at mesh 1/2/4/8 in __graft_entry__.dryrun_multichip.  This is
+the "more chips" axis for the voice bottleneck: one chip voice-decodes
+~2.1k carriers (94% of its device roofline, BENCH_r04) vs ~32k demod
+carriers, so a mixed fleet provisions ~15 voice chips per demod chip
+and this pool spans them (reference scope: one host codec call per
+frame, tetraear/audio/voice.py:73-250).
 """
 
 from __future__ import annotations
@@ -44,7 +59,11 @@ class DeviceSpeechPool:
     [float32 PCM (n*240,)], carrying per-carrier decoder state on
     device between calls."""
 
-    def __init__(self, slots: int = 256):
+    def __init__(self, slots: int = 256, mesh=None, axis: str | None = None):
+        """mesh: optional jax.sharding.Mesh; the pool's slot axis is
+        sharded over ``axis`` (default: the mesh's first axis name) and
+        every decode dispatch runs SPMD across those devices.  slots
+        must divide evenly."""
         import jax
         import jax.numpy as jnp
 
@@ -52,6 +71,20 @@ class DeviceSpeechPool:
         self.state = jspeech.init_state(self.slots)
         self._map: OrderedDict[int, int] = OrderedDict()   # carrier->slot
         self._free = list(range(self.slots - 1, -1, -1))
+        self._row_shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = axis or mesh.axis_names[0]
+            n_dev = mesh.shape[axis]
+            if self.slots % n_dev:
+                raise ValueError(
+                    f"slots={self.slots} not divisible by mesh axis "
+                    f"'{axis}' size {n_dev}")
+            # every SpeechState leaf is batch-major, so P(axis) shards
+            # exactly the slot dimension on each of them
+            self._row_shard = NamedSharding(mesh, PartitionSpec(axis))
+            self._repl = NamedSharding(mesh, PartitionSpec())
+            self.state = jax.device_put(self.state, self._row_shard)
 
         def step(state, reset_mask, frames, valid, rows):
             state = jspeech.reset_rows(state, reset_mask)
@@ -139,6 +172,12 @@ class DeviceSpeechPool:
         rows_pad = np.zeros(a_pad, np.int32)
         rows_pad[:len(rows)] = rows
 
+        if self._row_shard is not None:
+            import jax
+            frames = jax.device_put(frames, self._row_shard)
+            valid = jax.device_put(valid, self._row_shard)
+            reset_mask = jax.device_put(reset_mask, self._row_shard)
+            rows_pad = jax.device_put(rows_pad, self._repl)
         self.state, pcm = self._step(self.state, reset_mask, frames,
                                      valid, rows_pad)
         pcm = np.asarray(pcm)                       # (a_pad, f_max, 240)
