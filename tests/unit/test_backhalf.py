@@ -121,6 +121,29 @@ def test_fused_matches_classic_chain(bank, capture):
     assert hits.sum() > 0, "no sync hits in golden capture"
 
 
+def test_band_synth_phasor_only_bit_exact(bank, capture):
+    """The y_out=False band_synth variant (the y-round-trip pre-pass
+    measurement, perf/y_roundtrip_probe.py) must produce the EXACT
+    phasor of the full kernel — same synthesis, only the bulk y stores
+    elided."""
+    from tetraear_tpu.dsp import kernels
+    from tetraear_tpu.dsp import pallas_kernels as pk
+
+    ch = bank.channelizer
+    xp = jnp.asarray(kernels.c2p_np(capture[:bank.block_len]))
+    tail_p = jnp.zeros((2, ch.overlap), jnp.float32)
+    planes = ch.wideband_planes_spliced(tail_p, xp, interpret=True)
+    args = (planes, jnp.asarray(ch.h1_planes), jnp.asarray(ch.row_start),
+            jnp.asarray(ch.d_shift), jnp.asarray(ch.m1c),
+            jnp.asarray(ch.m2re), jnp.asarray(ch.m2im),
+            jnp.asarray(ch.twre), jnp.asarray(ch.twim))
+    _y, ph = pk.band_synth(*args, ch.synth_rows, group=8,
+                           interpret=True, phasor_drop=ch.drop)
+    ph2 = pk.band_synth(*args, ch.synth_rows, group=8, interpret=True,
+                        phasor_drop=ch.drop, y_out=False)
+    np.testing.assert_array_equal(np.asarray(ph), np.asarray(ph2))
+
+
 def test_fused_rejects_unsupported_configs():
     bank = CarrierBankDemod(fs=2.4e6, freqs_hz=[12_500.0],
                             frontend="fft")      # 150 kHz channel, L=12

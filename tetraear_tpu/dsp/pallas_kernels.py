@@ -163,7 +163,7 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
                      out_ref, ph_ref, nat_scr, h1_scr, sem_n, sem_h,
                      phasor_drop, bs_high):
     i = pl.program_id(0)
-    g_count = out_ref.shape[0]
+    g_count = (out_ref if out_ref is not None else ph_ref).shape[0]
     p = nat_scr.shape[2]
     # synthesis-transform precision A/B: bs_high (TETRAEAR_BS_PREC=high,
     # resolved in the non-jitted band_synth wrapper and threaded here as
@@ -253,8 +253,9 @@ def _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm,
                             preferred_element_type=jnp.float32))
         yre = y2[:, :p]
         yim = y2[:, p:]
-        out_ref[g, 0] = yre                          # Y_re (128 t, P s)
-        out_ref[g, 1] = yim
+        if out_ref is not None:
+            out_ref[g, 0] = yre                      # Y_re (128 t, P s)
+            out_ref[g, 1] = yim
         if ph_ref is not None:
             # Oerder-Meyr timing phasor of the post-slice block, fused
             # into the synthesis pass (dsp.timing._om_phasor semantics):
@@ -302,6 +303,25 @@ def _band_synth_ph_kernel(phasor_drop, bs_high, row_ref, d_ref,
                      bs_high)
 
 
+def _band_synth_phonly_kernel(phasor_drop, bs_high, row_ref, d_ref,
+                              planes_hbm, h1_hbm, m1c_ref, m2re_ref,
+                              m2im_ref, twre_ref, twim_ref, ph_ref,
+                              *scr):
+    """Phasor-only variant: the full synthesis runs in VMEM (the phasor
+    reduction consumes yre/yim, so Mosaic cannot dead-code it) but the
+    bulk y planes are never materialized to HBM.  This is the measured
+    cost of the hypothetical 'scalar pre-pass' that would let a merged
+    synth+backhalf kernel eliminate the y round-trip (round-4 verdict
+    item 4) — perf/y_roundtrip_probe.py turns it into a net-win verdict
+    without building the Mosaic-risk-bearing merge."""
+    nat_scr, h1_scr, sem_n, sem_h = (scr if len(scr) == 4
+                                     else (scr[0], None, scr[1], None))
+    _band_synth_body(row_ref, d_ref, planes_hbm, h1_hbm, m1c_ref,
+                     m2re_ref, m2im_ref, twre_ref, twim_ref, None,
+                     ph_ref, nat_scr, h1_scr, sem_n, sem_h, phasor_drop,
+                     bs_high)
+
+
 def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                row_starts: jnp.ndarray, d_shift: jnp.ndarray,
                m1c: jnp.ndarray, m2re: jnp.ndarray, m2im: jnp.ndarray,
@@ -309,7 +329,8 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                rows_per_band: int, group: int = 8,
                interpret: bool = False,
                phasor_drop: int | None = None,
-               h1_vmem: bool | None = None):
+               h1_vmem: bool | None = None,
+               y_out: bool = True):
     """See _band_synth_impl.  (A group-dense "batched" kernel body
     existed behind TETRAEAR_BS_BATCHED; its real-chip A/B crashed the
     Mosaic compiler (layout.h check failure, round 3) and it was
@@ -332,12 +353,12 @@ def band_synth(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                             rows_per_band=rows_per_band, group=group,
                             interpret=interpret,
                             phasor_drop=phasor_drop, h1_vmem=h1_vmem,
-                            bs_high=bs_high)
+                            bs_high=bs_high, y_out=y_out)
 
 
 @partial(jax.jit,
          static_argnames=("rows_per_band", "group", "interpret",
-                          "phasor_drop", "h1_vmem", "bs_high"))
+                          "phasor_drop", "h1_vmem", "bs_high", "y_out"))
 def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      row_starts: jnp.ndarray, d_shift: jnp.ndarray,
                      m1c: jnp.ndarray, m2re: jnp.ndarray,
@@ -347,7 +368,8 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
                      interpret: bool = False,
                      phasor_drop: int | None = None,
                      h1_vmem: bool = False,
-                     bs_high: bool = False):
+                     bs_high: bool = False,
+                     y_out: bool = True):
     """Fused band extract + H1 filter + inverse transform.
 
     Args:
@@ -385,7 +407,21 @@ def _band_synth_impl(planes: jnp.ndarray, h1_planes: jnp.ndarray,
     with_ph = phasor_drop is not None
     y_block = (group, 2, 128, p)
     y_shape = (c, 2, 128, p)
-    if with_ph:
+    if not y_out and not with_ph:
+        raise ValueError("y_out=False requires phasor_drop (the "
+                         "phasor-only measurement variant)")
+    if with_ph and not y_out:
+        # phasor-only (perf/y_roundtrip_probe.py): synthesis runs in
+        # VMEM, only the (C, 1, 128) phasor rows reach HBM
+        if phasor_drop % 4 or p % 4:
+            raise ValueError("phasor fusion needs drop % 4 == 0 and "
+                             f"P % 4 == 0 (drop={phasor_drop}, P={p})")
+        kern = partial(_band_synth_phonly_kernel, phasor_drop, bs_high)
+        out_specs = pl.BlockSpec((group, 1, 128),
+                                 lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((c, 1, 128), jnp.float32)
+    elif with_ph:
         if phasor_drop % 4 or p % 4:
             raise ValueError("phasor fusion needs drop % 4 == 0 and "
                              f"P % 4 == 0 (drop={phasor_drop}, P={p})")
