@@ -118,7 +118,8 @@ def main(argv=None) -> int:
         "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                      time.gmtime()),
         "env": {k: v for k, v in os.environ.items()
-                if k.startswith(("BENCH_", "PERF_", "TETRAEAR_"))},
+                if k.startswith(("BENCH_", "PERF_", "TETRAEAR_",
+                                 "GATE_"))},
         "steps": {},
     }
     if not gate(args.gate_tries, 600):

@@ -56,7 +56,7 @@ def main() -> int:
     from tetraear_tpu.dsp import pallas_kernels as pk
     from tetraear_tpu.dsp.backhalf import FusedRx, TAILBITS
 
-    c_n = int(os.environ.get("GATE_CARRIERS", "10240"))
+    c_n = int(os.environ.get("GATE_CARRIERS", "20480"))
     group = int(os.environ.get("TETRAEAR_BH_GROUP", "32"))
     print(f"# gate: backend={jax.default_backend()} C={c_n} "
           f"group={group}", flush=True)

@@ -14,8 +14,14 @@ not the budget; a failed pass records null and the probe continues.
 Exit is nonzero only when NO pass produced a number — a partial result
 is still a calibration.
 
+PERF_MB stays at 1024: a 512 MB trial measured 293 GB/s vs 411 at
+1024 MB (the ~1 ms fixed per-pass overhead dominates the smaller
+footprint), and an under-measured bandwidth would flatter
+roofline_measured_pct.  The watchdog, not a smaller array, is the
+wedge fix.
+
 Run: PYTHONPATH=/root/repo:/root/.axon_site python perf/hbm_bw_probe.py
-Env: PERF_MB (512), PERF_STEPS (16), PERF_PASS_TIMEOUT_S (300),
+Env: PERF_MB (1024), PERF_STEPS (16), PERF_PASS_TIMEOUT_S (300),
      PERF_TIMEOUT_S (900, whole-probe ceiling).
 """
 
@@ -43,7 +49,7 @@ def main():
                           os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    mb = int(os.environ.get("PERF_MB", "512"))
+    mb = int(os.environ.get("PERF_MB", "1024"))
     steps = int(os.environ.get("PERF_STEPS", "16"))
     n = mb * 1024 * 1024 // 4
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n)

@@ -180,7 +180,10 @@ def measured_hbm_gbs(repo_root: str | Path | None = None) -> tuple:
     the same figure the 405 constant came from).  Precedence:
 
       1. TETRAEAR_MEASURED_GBS (explicit operator calibration),
-      2. newest PERF_*.json with steps.hbm.result.axpy_gbs and rc 0,
+      2. newest PERF_*.json with steps.hbm.result.axpy_gbs, rc 0 AND
+         a >= 1 GB footprint (a 512 MB trial measured 293 GB/s vs 411
+         at 1024 MB — the ~1 ms fixed per-pass overhead dominates
+         small arrays and would FLATTER the roofline fraction),
       3. the agenda8 constant 405 (documented fallback for checkouts
          with no bundle).
 
@@ -203,7 +206,7 @@ def measured_hbm_gbs(repo_root: str | Path | None = None) -> tuple:
         step = (d.get("steps") or {}).get("hbm") or {}
         res = step.get("result") or {}
         gbs = res.get("axpy_gbs")
-        if not gbs or step.get("returncode"):
+        if not gbs or step.get("returncode") or res.get("mb", 0) < 1024:
             continue
         key = str(d.get("started_utc", ""))
         if best is None or key > best[0]:
