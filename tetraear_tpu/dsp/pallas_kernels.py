@@ -1347,7 +1347,14 @@ def _fft2p_env() -> tuple:
     prec = os.environ.get("TETRAEAR_FFT2P_PREC", "high")
     ablate_s = os.environ.get("TETRAEAR_FFT2P_ABLATE", "")
     split_dot = os.environ.get("TETRAEAR_FFT2P_SPLIT_DOT") == "1"
-    return prec, ablate_s, split_dot
+    # scoped-VMEM ceiling for the fft2p pallas_calls.  The 2^27
+    # geometry's pass 2 needs 123.3 MB of scoped VMEM (blocks carry the
+    # whole n1 = 2^14 axis) and fails the default 100 MB guard — the
+    # named compiler limit behind the round-4 "tpu_compile_helper exit
+    # 1" envelope failure (perf/out_r5/).  v5e VMEM is 128 MB;
+    # TETRAEAR_FFT2P_VMEM_MB=126 lets the 2^27 graph compile.
+    vmem_mb = int(os.environ.get("TETRAEAR_FFT2P_VMEM_MB", "100"))
+    return prec, ablate_s, split_dot, vmem_mb
 
 
 def _ct_dot_select(prec, ablate_s):
@@ -1524,17 +1531,18 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
     resolved here and passed to the jitted impl as STATIC args, so
     flipping them in-process recompiles instead of silently reusing a
     cached variant."""
-    prec, ablate_s, _ = _fft2p_env()
+    prec, ablate_s, _, vmem_mb = _fft2p_env()
     return _fft2p_planes_impl(planes_in, n1, n2, wrap_k1, cols, rows2,
-                              interpret, prec, ablate_s)
+                              interpret, prec, ablate_s, vmem_mb)
 
 
 @partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "cols",
                                    "rows2", "interpret", "prec",
-                                   "ablate_s"))
+                                   "ablate_s", "vmem_mb"))
 def _fft2p_planes_impl(planes_in: jnp.ndarray, n1: int, n2: int,
                        wrap_k1: int, cols: int, rows2: int,
-                       interpret: bool, prec: str, ablate_s: str):
+                       interpret: bool, prec: str, ablate_s: str,
+                       vmem_mb: int = 100):
     if n1 % 128 or n2 % 128:
         raise ValueError(f"fft2p needs 128 | n1, n2 (got {n1}, {n2})")
     if cols % 128 or n1 % cols or rows2 % 128 or n2 % rows2:
@@ -1571,7 +1579,7 @@ def _fft2p_planes_impl(planes_in: jnp.ndarray, n1: int, n2: int,
         ),
         out_shape=jax.ShapeDtypeStruct((2, n2, n1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
     )(planes_in,
       jnp.asarray(t["bq"]),
@@ -1579,7 +1587,7 @@ def _fft2p_planes_impl(planes_in: jnp.ndarray, n1: int, n2: int,
       jnp.asarray(t["f128"]), jnp.asarray(t["fa2"]),
       jnp.asarray(t["w2"]))
     return _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret,
-                             prec, ablate_s)
+                             prec, ablate_s, vmem_mb)
 
 
 def fft2p_planes_spliced(tail_p: jnp.ndarray, x_p: jnp.ndarray,
@@ -1597,20 +1605,20 @@ def fft2p_planes_spliced(tail_p: jnp.ndarray, x_p: jnp.ndarray,
     Non-jitted entry: resolves TETRAEAR_FFT2P_{PREC,ABLATE,SPLIT_DOT}
     and passes them to the jitted impl as STATIC args (see
     fft2p_planes)."""
-    prec, ablate_s, split_dot = _fft2p_env()
+    prec, ablate_s, split_dot, vmem_mb = _fft2p_env()
     return _fft2p_planes_spliced_impl(tail_p, x_p, n1, n2, wrap_k1,
                                       cols, rows2, interpret, prec,
-                                      ablate_s, split_dot)
+                                      ablate_s, split_dot, vmem_mb)
 
 
 @partial(jax.jit, static_argnames=("n1", "n2", "wrap_k1", "cols",
                                    "rows2", "interpret", "prec",
-                                   "ablate_s", "split_dot"))
+                                   "ablate_s", "split_dot", "vmem_mb"))
 def _fft2p_planes_spliced_impl(tail_p: jnp.ndarray, x_p: jnp.ndarray,
                                n1: int, n2: int, wrap_k1: int,
                                cols: int, rows2: int, interpret: bool,
                                prec: str, ablate_s: str,
-                               split_dot: bool):
+                               split_dot: bool, vmem_mb: int = 100):
     if n1 % 128 or n2 % 128:
         raise ValueError(f"fft2p needs 128 | n1, n2 (got {n1}, {n2})")
     if cols % 128 or n1 % cols or rows2 % 128 or n2 % rows2:
@@ -1655,7 +1663,7 @@ def _fft2p_planes_spliced_impl(tail_p: jnp.ndarray, x_p: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((2, n2, n1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
     )(tail_p, x_p,
       jnp.asarray(t["bq"]),
@@ -1663,11 +1671,11 @@ def _fft2p_planes_spliced_impl(tail_p: jnp.ndarray, x_p: jnp.ndarray,
       jnp.asarray(t["f128"]), jnp.asarray(t["fa2"]),
       jnp.asarray(t["w2"]))
     return _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret,
-                             prec, ablate_s)
+                             prec, ablate_s, vmem_mb)
 
 
 def _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret,
-                      prec, ablate_s):
+                      prec, ablate_s, vmem_mb=100):
     # pass-1 emitted G as (2, n2 k2, n1 i1); pass 2 slices 128-lane k2
     # column blocks of its TRANSPOSE via an input block on the k2 axis
     b2 = n1 // 128
@@ -1692,7 +1700,7 @@ def _fft2p_pass2_call(g, t, n1, n2, wrap_k1, rows2, interpret,
         out_shape=jax.ShapeDtypeStruct((2, n1 + wrap_k1, n2),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
     )(g, jnp.asarray(t["fb2"]), jnp.asarray(t["f128"]),
       jnp.asarray(t["w1"]))
