@@ -37,6 +37,10 @@ FRAME_BITS = 510
 DATA_MAX_BYTES = 64
 
 _LIB_PATHS = [
+    # TETRAEAR_HITPARSE_LIB: explicit path — set by the single-file
+    # app bootstrap (tools/build_exe.py)
+    *([Path(os.environ["TETRAEAR_HITPARSE_LIB"])]
+      if os.environ.get("TETRAEAR_HITPARSE_LIB") else []),
     Path(__file__).parent / "csrc" / "build" / "libhitparse.so",
 ]
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import struct
 from pathlib import Path
 
@@ -35,6 +36,11 @@ SPEECH_FRAME_PARAMS = 137
 SAMPLES_PER_SPEECH_FRAME = 240          # 30 ms at 8 kHz
 
 _LIB_CANDIDATES = [
+    # TETRAEAR_CODEC_LIB: explicit path — set by the single-file app
+    # bootstrap (tools/build_exe.py), where package-relative paths
+    # point inside the archive
+    *([Path(os.environ["TETRAEAR_CODEC_LIB"])]
+      if os.environ.get("TETRAEAR_CODEC_LIB") else []),
     Path(__file__).parent / "csrc" / "build" / "libtetracodec.so",
     Path(__file__).parent / "libtetracodec.so",
 ]
