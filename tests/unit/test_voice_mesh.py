@@ -55,3 +55,23 @@ def test_pool_mesh_slots_divisibility():
     mesh = Mesh(np.array(jax.devices()[:4]), ("voice",))
     with pytest.raises(ValueError, match="divisible"):
         DeviceSpeechPool(slots=6, mesh=mesh)
+
+
+def test_pipeline_wires_voice_mesh():
+    """PipelineConfig.device_voice_mesh reaches the pool (PCM parity of
+    the sharded pool itself is pinned above and in test_device_voice —
+    this guards the production wiring)."""
+    from tetraear_tpu.api import Pipeline, PipelineConfig
+    from tetraear_tpu.voice import codec
+
+    if not codec.VoiceProcessor().working:
+        pytest.skip("codec library not built "
+                    "(make -C tetraear_tpu/voice/csrc)")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("voice",))
+    cfg = PipelineConfig(sample_rate=2.4e6, voice=True, device_voice=True,
+                         device_voice_slots=8, device_voice_mesh=mesh,
+                         detect_gate=False, validate=False)
+    pipe = Pipeline(cfg)
+    assert pipe._voice_device is not None
+    assert pipe._voice_device._row_shard is not None
+    assert pipe._voice_device.slots == 8

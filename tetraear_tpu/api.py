@@ -82,6 +82,12 @@ class PipelineConfig:
                                         # beyond this LRU-evict (an
                                         # evicted carrier resyncs from a
                                         # fresh decoder state)
+    device_voice_mesh: object = None    # jax.sharding.Mesh: shard the
+                                        # voice slot bank across chips
+                                        # (~2.1k voice carriers per
+                                        # chip, bit-identical PCM at
+                                        # any mesh size; slots must
+                                        # divide by the mesh size)
     frame_workers: int = 0              # >0: shard the per-hit frame layer
                                         # over worker processes
                                         # (frame.parallel)
@@ -313,7 +319,8 @@ class Pipeline:
         if self.voice is not None and device_voice:
             from tetraear_tpu.voice.jspeech_pool import DeviceSpeechPool
             self._voice_device = DeviceSpeechPool(
-                slots=int(config.device_voice_slots))
+                slots=int(config.device_voice_slots),
+                mesh=config.device_voice_mesh)
 
         self._records_dir = Path(config.records_dir) if config.records_dir \
             else None
