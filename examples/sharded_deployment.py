@@ -65,6 +65,33 @@ def main() -> int:
     print(f"[*] hard symbols {out['hard'].shape} "
           f"(carrier x time-shard x sym) across a "
           f"{dict(mesh.shape)} mesh, {out['sync_hits']} sync hits")
+
+    # --- the voice fleet axis: shard the ACELP slot bank ------------
+    # One chip voice-decodes ~2.1k carriers at 94% of its device
+    # roofline (BASELINE.md), so voice scales by chips: the pool's
+    # slot axis shards over a mesh with zero collectives in the
+    # decode body, PCM bit-identical at any mesh size.
+    from jax.sharding import Mesh
+    from tetraear_tpu.voice.jspeech_pool import DeviceSpeechPool
+
+    vmesh = Mesh(np.array(devs[:8]), ("voice",))
+    pool = DeviceSpeechPool(slots=8, mesh=vmesh)
+    frames = np.zeros((3, 138), np.int16)
+    frames[:, 1:] = rng.integers(0, 2, (3, 137))
+    pcm = pool.synthesize([(0, frames)])[0]
+    print(f"[*] voice: {len(pcm)} PCM samples decoded on the "
+          f"{vmesh.shape['voice']}-device voice mesh")
+
+    # --- fleet decrypt: keys x frames sharded over the mesh ---------
+    from tetraear_tpu.crypto.batch import tea_key_search
+
+    payloads = rng.integers(0, 256, (64, 16), dtype=np.uint8)
+    keys = [bytes(rng.integers(0, 256, 10, dtype=np.uint8).tolist())
+            for _ in range(8)]
+    res = tea_key_search(payloads, keys, "TEA1", mesh=vmesh)
+    print(f"[*] crypto: {len(keys)} keys x {len(payloads)} frames "
+          f"searched on the mesh, best scores "
+          f"{res['best_score'][:4].tolist()} ...")
     return 0
 
 
