@@ -38,14 +38,15 @@ def _speech(n_slots: int, pitch: int = 57, seed: int = 0) -> np.ndarray:
     return (y / np.max(np.abs(y)) * 8000).astype(np.int16)
 
 
-def _run_pipeline(path, device: bool):
+def _run_pipeline(path, device: bool, mesh=None):
     from tetraear_tpu.api import Pipeline, PipelineConfig
     from tetraear_tpu.runtime.sources import FileIQSource
 
     audio, frames = [], []
     cfg = PipelineConfig(sample_rate=2.4e6, detect_gate=False, voice=True,
                          validate=False, block_len=32_000,
-                         device_voice=device, device_voice_slots=4)
+                         device_voice=device, device_voice_slots=4,
+                         device_voice_mesh=mesh)
     pipe = Pipeline(cfg, on_frame=frames.append, on_audio=audio.append)
     assert pipe.voice is not None
     if device:
@@ -82,6 +83,22 @@ def test_device_voice_matches_host(tmp_path):
     path = _write_voice_capture(tmp_path)
     host = _run_pipeline(path, device=False)
     dev = _run_pipeline(path, device=True)
+    assert host[2].voice_frames >= 5
+    _assert_equal_runs(host, dev)
+
+
+def test_device_voice_mesh_matches_host(tmp_path):
+    """Full production path with the voice slot bank SHARDED over a
+    4-device mesh (PipelineConfig.device_voice_mesh): audio stream,
+    frame flags and stats must be identical to the host codec path —
+    the strongest end-to-end form of the mesh-parity claim."""
+    import jax
+    from jax.sharding import Mesh
+
+    path = _write_voice_capture(tmp_path)
+    host = _run_pipeline(path, device=False)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("voice",))
+    dev = _run_pipeline(path, device=True, mesh=mesh)
     assert host[2].voice_frames >= 5
     _assert_equal_runs(host, dev)
 
