@@ -5,7 +5,7 @@ avoid heavy imports at package-import time, tetraear/__init__.py:25-47 —
 here it keeps ``import tetraear_tpu`` from pulling in JAX).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 _EXPORTS = {
     "Pipeline": ("tetraear_tpu.api", "Pipeline"),
