@@ -1013,19 +1013,22 @@ def fused_backhalf(y: jnp.ndarray, bt: jnp.ndarray, rr: jnp.ndarray,
                    drop: int, k_max: int, group: int = 8,
                    interpret: bool = False) -> tuple:
     """Non-jitted entry for _fused_backhalf_impl: resolves the
-    TETRAEAR_BH_{ABLATE,INTERP,PLACE} env knobs here and threads them
-    through the jit cache as static args."""
+    TETRAEAR_BH_{ABLATE,INTERP,PLACE,VMEM_MB} env knobs here and
+    threads them through the jit cache as static args.  BH_VMEM_MB
+    (default 64) is the kernel's scoped-VMEM ceiling — group=64 at
+    C=20480 needs 91.08 MB (out_r5/breakdown_c20480_bhg64.log)."""
     return _fused_backhalf_impl(
         y, bt, rr, rc, sc, bsel, dsel, k3, rsyn, c0,
         drop=drop, k_max=k_max, group=group, interpret=interpret,
         bh_ablate_s=os.environ.get("TETRAEAR_BH_ABLATE", ""),
         bh_interp=os.environ.get("TETRAEAR_BH_INTERP", "slice"),
-        bh_place=os.environ.get("TETRAEAR_BH_PLACE", "fused"))
+        bh_place=os.environ.get("TETRAEAR_BH_PLACE", "fused"),
+        vmem_mb=int(os.environ.get("TETRAEAR_BH_VMEM_MB", "64")))
 
 
 @partial(jax.jit, static_argnames=("drop", "k_max", "group",
                                    "interpret", "bh_ablate_s",
-                                   "bh_interp", "bh_place"))
+                                   "bh_interp", "bh_place", "vmem_mb"))
 def _fused_backhalf_impl(y: jnp.ndarray, bt: jnp.ndarray,
                          rr: jnp.ndarray,
                          rc: jnp.ndarray, sc: jnp.ndarray,
@@ -1035,7 +1038,8 @@ def _fused_backhalf_impl(y: jnp.ndarray, bt: jnp.ndarray,
                          drop: int, k_max: int, group: int = 8,
                          interpret: bool = False,
                          bh_ablate_s: str = "", bh_interp: str = "slice",
-                         bh_place: str = "fused") -> tuple:
+                         bh_place: str = "fused",
+                         vmem_mb: int = 64) -> tuple:
     """Fused timing + DQPSK + frame scan on raw band-synthesis planes.
 
     Args:
@@ -1180,7 +1184,7 @@ def _fused_backhalf_impl(y: jnp.ndarray, bt: jnp.ndarray,
         # the batched scan intermediate ((G*Z, n_cols) f32) overflows the
         # 16 MB default scoped-vmem budget at group=8; v5e has 128 MB
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
     )(bsel, dsel, y, bt, rr, rc, sc, k3, rsyn, c0,
       jnp.asarray(tabs["p_all"]),
