@@ -28,14 +28,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
     from tetraear_tpu.crypto import batch as cbatch
 
     k = int(os.environ.get("PERF_KEYS", "64"))

@@ -41,15 +41,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from bench import _make_bank
+    from bench import _enable_compile_cache, _make_bank
+    _enable_compile_cache()
     from tetraear_tpu.dsp import kernels
     from tetraear_tpu.dsp import pallas_kernels as pk
     from tetraear_tpu.dsp.backhalf import FusedRx
@@ -95,7 +92,8 @@ def main():
     def chain_planes(x_p, n):
         def body(carry, _2):
             tail_p = jnp.zeros((2, ch.overlap), jnp.float32)
-            planes = ch.wideband_planes_spliced(tail_p, x_p + carry)
+            planes = ch.wideband_planes_spliced(tail_p, x_p + carry,
+                                               interpret=interp)
             return planes[0, 0, 0] * 1e-30, planes[1, 0, 0]
         c, tails = jax.lax.scan(body, jnp.float32(0), None, length=n)
         return tails
@@ -103,7 +101,8 @@ def main():
     def chain_full(x_p, n):
         def body(carry, _2):
             tail_p = jnp.zeros((2, ch.overlap), jnp.float32)
-            planes = ch.wideband_planes_spliced(tail_p, x_p + carry)
+            planes = ch.wideband_planes_spliced(tail_p, x_p + carry,
+                                               interpret=interp)
             y, ph = synth(planes, True)
             return y[0, 0, 0, 0] * 1e-30 + ph[0, 0, 0] * 1e-30, \
                 ph[1, 0, 1]
@@ -113,7 +112,8 @@ def main():
     def chain_phonly(x_p, n):
         def body(carry, _2):
             tail_p = jnp.zeros((2, ch.overlap), jnp.float32)
-            planes = ch.wideband_planes_spliced(tail_p, x_p + carry)
+            planes = ch.wideband_planes_spliced(tail_p, x_p + carry,
+                                               interpret=interp)
             ph = synth(planes, False)
             return ph[0, 0, 0] * 1e-30, ph[1, 0, 1]
         c, tails = jax.lax.scan(body, jnp.float32(0), None, length=n)

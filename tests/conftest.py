@@ -43,11 +43,14 @@ def _build_native_libs():
     here — and a BUILD FAILURE fails the whole session loudly instead
     of downgrading to skips.  Without a compiler the per-test skipif
     markers still apply (their reasons name the make command)."""
-    if not (shutil.which("g++") or shutil.which("c++")):
-        return
+    import os
+    cxx = shutil.which("g++") or shutil.which("c++")
+    if not cxx or not shutil.which("make"):
+        return            # per-test skipif markers handle these hosts
     repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, CXX=cxx)   # Makefiles default CXX ?= g++;
     for sub in ("tetraear_tpu/frame/csrc", "tetraear_tpu/voice/csrc"):
-        r = subprocess.run(["make", "-C", str(repo / sub)],
+        r = subprocess.run(["make", "-C", str(repo / sub)], env=env,
                            capture_output=True, text=True, timeout=300)
         if r.returncode:
             raise RuntimeError(

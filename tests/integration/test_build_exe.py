@@ -7,6 +7,7 @@ extracted and loaded from the per-version cache.
 """
 
 import os
+import shutil
 import subprocess
 import sys
 import zipfile
@@ -15,6 +16,15 @@ from pathlib import Path
 import pytest
 
 ROOT = Path(__file__).resolve().parent.parent.parent
+# build_zipapp bundles "what exists": without a compiler the archive
+# legitimately carries no natives, so the native assertions skip with
+# the build command in the reason (repo convention)
+_HAVE_CXX = bool((shutil.which("g++") or shutil.which("c++"))
+                 and shutil.which("make"))
+needs_cxx = pytest.mark.skipif(
+    not _HAVE_CXX,
+    reason="no C++ toolchain: natives not bundled "
+           "(make -C tetraear_tpu/{voice,frame}/csrc)")
 
 
 @pytest.fixture(scope="module")
@@ -27,14 +37,18 @@ def app(tmp_path_factory):
     return out
 
 
-def test_onefile_contains_package_and_natives(app):
+def test_onefile_contains_package(app):
     names = zipfile.ZipFile(app).namelist()
     assert "__main__.py" in names
     assert "tetraear_tpu/cli.py" in names
-    assert any(n.endswith("csrc/build/libtetracodec.so") or
-               n == "_natives/libtetracodec.so" for n in names)
-    assert "_natives/libhitparse.so" in names
     assert os.access(app, os.X_OK)
+
+
+@needs_cxx
+def test_onefile_contains_natives(app):
+    names = zipfile.ZipFile(app).namelist()
+    assert "_natives/libtetracodec.so" in names
+    assert "_natives/libhitparse.so" in names
 
 
 def test_onefile_runs_cli(app, tmp_path):
@@ -46,7 +60,9 @@ def test_onefile_runs_cli(app, tmp_path):
                        env=env, cwd=str(tmp_path))
     assert r.returncode == 0
     assert "decode" in r.stdout and "scan" in r.stdout
-    # the bootstrap must have extracted the bundled natives
-    caches = list((tmp_path / "cache" / "tetraear-tpu").glob("*/*.so"))
-    assert {p.name for p in caches} >= {"libtetracodec.so",
-                                        "libhitparse.so"}
+    if _HAVE_CXX:
+        # the bootstrap must have extracted the bundled natives
+        caches = list((tmp_path / "cache" / "tetraear-tpu")
+                      .glob("*/*.so"))
+        assert {p.name for p in caches} >= {"libtetracodec.so",
+                                            "libhitparse.so"}

@@ -35,6 +35,15 @@ def _payload_sharding(mesh, axis: str | None):
     return NamedSharding(mesh, PartitionSpec(axis))
 
 
+def _pad_rows(v0, v1, mesh, axis: str | None) -> int:
+    """Rows to append so the payload axis divides the mesh size — a
+    fleet's backlog is an arbitrary count, and jax.device_put rejects
+    non-divisible shardings.  Zero rows are harmless for ECB; callers
+    slice the results back to the true B."""
+    n_dev = mesh.shape[axis or mesh.axis_names[0]]
+    return (-v0.shape[0]) % n_dev
+
+
 def _keys_to_words_tea1(keys: np.ndarray) -> np.ndarray:
     """(K, 10) key bytes -> (K, 5) big-endian uint16 words (as uint32)."""
     k = np.asarray(keys, np.uint8).reshape(-1, 10)
@@ -162,14 +171,19 @@ def tea_decrypt_batch(payloads, keys, algorithm: str = "TEA1",
     algorithm = algorithm.upper()
     kw = _keys_to_words_tea1(keys) if algorithm == "TEA1" \
         else _keys_to_words_tea2(keys)
+    b = payloads.shape[0]
     v0, v1 = _payload_to_words(payloads)
     v0, v1, kw = (jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(kw))
     if mesh is not None:
+        pad = _pad_rows(v0, v1, mesh, axis)
+        if pad:
+            v0 = jnp.pad(v0, ((0, pad), (0, 0)))
+            v1 = jnp.pad(v1, ((0, pad), (0, 0)))
         sh = _payload_sharding(mesh, axis)
         v0, v1 = jax.device_put(v0, sh), jax.device_put(v1, sh)
     out = _decrypt_impl(v0, v1, kw,
                         "TEA1" if algorithm == "TEA1" else "TEA2")
-    return np.asarray(out)
+    return np.asarray(out)[:, :b]
 
 
 def batch_decrypt_frames(decoders, frames: list) -> None:
@@ -289,21 +303,26 @@ def tea_key_search(payloads, keys, algorithm: str = "TEA1",
     else:
         kw = _keys_to_words_tea2(keys)
         algorithm = "TEA2"
+    b = payloads.shape[0]
     v0, v1 = _payload_to_words(payloads)
     v0, v1, kw = (jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(kw))
     if mesh is not None:
+        pad = _pad_rows(v0, v1, mesh, axis)
+        if pad:
+            v0 = jnp.pad(v0, ((0, pad), (0, 0)))
+            v1 = jnp.pad(v1, ((0, pad), (0, 0)))
         sh = _payload_sharding(mesh, axis)
         v0, v1 = jax.device_put(v0, sh), jax.device_put(v1, sh)
     scores, best_key, best_score, plain = _search_impl(v0, v1, kw,
                                                        algorithm)
-    scores = np.asarray(scores)
-    best_key = np.asarray(best_key)
-    plain = np.asarray(plain)
-    b = payloads.shape[0]
+    scores = np.asarray(scores)[:, :b]
+    best_key = np.asarray(best_key)[:b]
+    best_score = np.asarray(best_score)[:b]
+    plain = np.asarray(plain)[:, :b]
     best_plain = plain[best_key, np.arange(b)]
     return {
         "scores": scores,
         "best_key_index": best_key,
-        "best_score": np.asarray(best_score),
+        "best_score": best_score,
         "plaintexts": best_plain,
     }

@@ -650,7 +650,11 @@ def _backhalf_kernel(drop, k_max, tb, w_width, qmin,
                      wre_scr, wim_scr, pc_scr, bt_scr):
     # bh_* are the TETRAEAR_BH_{ABLATE,INTERP,PLACE} knobs, resolved in
     # the non-jitted fused_backhalf wrapper and threaded through the
-    # jit cache as static args (in-process flips recompile)
+    # jit cache as static args.  Scope: the wrapper runs at TRACE time
+    # of whatever outer jit encloses it, so a flip takes effect for any
+    # NEW outer trace (fresh jit / fresh process — what every probe and
+    # the bench do); re-calling an ALREADY-jitted outer callable keeps
+    # its cached executable, env flip or not.
     ablate = set(bh_ablate_s.split(","))
     i = pl.program_id(0)
     g_count = y_ref.shape[0]
@@ -1343,11 +1347,14 @@ _FFT2P_TABLES = {}
 
 
 def _fft2p_env() -> tuple:
-    """Resolve the fft2p tuning env vars OUTSIDE jit: (prec, ablate_s,
-    split_dot).  These are threaded through the jitted entry points as
-    STATIC arguments so an in-process env flip forces a recompile
-    instead of silently reusing the cached variant (round-4 advisor
-    finding: trace-time env reads are invisible to the jit cache)."""
+    """Resolve the fft2p tuning env vars in the NON-jitted wrappers:
+    (prec, ablate_s, split_dot, vmem_mb), threaded into the jitted
+    entry points as STATIC arguments (round-4 advisor finding:
+    trace-time env reads are invisible to the jit cache).  Scope: the
+    wrappers execute at trace time of any enclosing outer jit, so a
+    flip is honored by every NEW outer trace (fresh jit or process —
+    the probe/bench pattern); an already-compiled outer callable keeps
+    its executable regardless."""
     prec = os.environ.get("TETRAEAR_FFT2P_PREC", "high")
     ablate_s = os.environ.get("TETRAEAR_FFT2P_ABLATE", "")
     split_dot = os.environ.get("TETRAEAR_FFT2P_SPLIT_DOT") == "1"
@@ -1532,9 +1539,8 @@ def fft2p_planes(planes_in: jnp.ndarray, n1: int, n2: int,
     wrap_k1 <= n1.
 
     Non-jitted entry: the TETRAEAR_FFT2P_{PREC,ABLATE} env knobs are
-    resolved here and passed to the jitted impl as STATIC args, so
-    flipping them in-process recompiles instead of silently reusing a
-    cached variant."""
+    resolved here and passed to the jitted impl as STATIC args; a flip
+    is honored by any new outer trace (see _fft2p_env on scope)."""
     prec, ablate_s, _, vmem_mb = _fft2p_env()
     return _fft2p_planes_impl(planes_in, n1, n2, wrap_k1, cols, rows2,
                               interpret, prec, ablate_s, vmem_mb)

@@ -113,11 +113,14 @@ def build_zipapp(out: Path) -> None:
 
 
 def build_pyinstaller(out: Path) -> None:
+    binaries = []
+    for so in ("tetraear_tpu/voice/csrc/build/libtetracodec.so",
+               "tetraear_tpu/frame/csrc/build/libhitparse.so"):
+        if (ROOT / so).exists():
+            binaries += ["--add-binary", f"{ROOT / so}:."]
     subprocess.run(
         [sys.executable, "-m", "PyInstaller", "--onefile", "--clean",
-         "--name", out.name, "--distpath", str(out.parent),
-         "--add-binary",
-         f"{ROOT}/tetraear_tpu/voice/csrc/build/libtetracodec.so:.",
+         "--name", out.name, "--distpath", str(out.parent), *binaries,
          str(ROOT / "tetraear_tpu" / "__main__.py")],
         check=True)
 
